@@ -1,0 +1,346 @@
+"""§2.4 Aggregations.
+
+All aggregates are expressed declaratively so Catalyst plans a
+partial (map-side) + final hash aggregate — at 100 TB the partial
+combine is what keeps the shuffle small. No driver-side collection
+anywhere. Double aggregates are rounded per the SURVEY §2 determinism
+rule; every computed column is aliased identically to the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_sep_spark.io import t
+from hbase_sep_spark.registry import register
+
+SECTION = "2.4"
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(min(l_discount), 2) AS min_disc,
+           round(max(l_tax), 2) AS max_tax
+    FROM lineitem
+    """,
+    section=SECTION,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregate over lineitem. Single-stage partial
+    aggregate per partition + one tiny final reduce; scales linearly."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.min("l_discount"), 2).alias("min_disc"),
+        F.round(F.max("l_tax"), 2).alias("max_tax"),
+    )
+
+
+@register(
+    "agg_groupby_basic",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 2) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    section=SECTION,
+)
+def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (the flagship query; `entry()` runs this).
+
+    Hash aggregate with automatic partial+final split; the group-by
+    cardinality is tiny (|returnflag|x|linestatus| = 6) so the shuffle
+    is a few KB regardless of input scale.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+    section=SECTION,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING). The filter runs after the
+    final aggregate — no extra shuffle."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    section=SECTION,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (expands to a two-phase
+    aggregate; Catalyst plans the distinct-expansion automatically)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register("agg_approx_count_distinct", oracle=None, section=SECTION)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct estimate — the 100 TB path where exact distinct
+    would shuffle every key. rows-only check (estimates differ across
+    engines by design)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs"))
+    )
+
+
+@register(
+    "agg_min_max_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           round(stddev_samp(l_extendedprice), 2) AS std_price,
+           round(var_samp(l_quantity), 2) AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    section=SECTION,
+)
+def agg_min_max_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        )
+    )
+
+
+@register(
+    "agg_median_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    section=SECTION,
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentile (Spark `percentile` == DuckDB
+    `quantile_cont`). At 100 TB swap to `approx_percentile` — kept
+    exact here because the oracle hash requires it."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+        )
+    )
+
+
+@register(
+    "agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    section=SECTION,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name,
+           n_name,
+           count(*) AS n_custs,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    section=SECTION,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region→nation. The dim joins broadcast
+    (nation=25, region=5 rows); rollup expands grouping sets in one
+    aggregate."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    section=SECTION,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    section=SECTION,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() markers, via spark.sql
+    (SURVEY §3.2 EP2 — SQL entry point)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n_items
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS line_numbers,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    GROUP BY l_orderkey
+    """,
+    section=SECTION,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sorted value list (array_sort makes the collect
+    deterministic per SURVEY §2)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 100)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click_value,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    section=SECTION,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation (sum of CASE WHEN) — the
+    scalable form of pivot: one pass, no per-category shuffle."""
+    ev = t(spark, sf_dir, "events")
+
+    def cond_sum(etype: str):
+        return F.sum(F.when(F.col("event_type") == etype, F.col("value")).otherwise(F.lit(0.0)))
+
+    return ev.groupBy("user_id").agg(
+        F.round(cond_sum("click"), 2).alias("click_value"),
+        F.round(cond_sum("purchase"), 2).alias("purchase_value"),
+        F.sum(F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0))).alias("n_errors"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,1 @@
+"""Placeholder — filled in during round 1 build."""

@@ -1,0 +1,174 @@
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Mirrors __spark_entry__.py's documented contract: for each registered
+query, run the Spark DataFrame and the DuckDB oracle SQL over the same
+parquet files and compare row-count + column names + order-insensitive
+values (columns sorted by name, rows sorted, cells canonicalized;
+floats compared both exactly-as-string and with 1e-8 tolerance so we
+catch would-be hash mismatches before the driver does).
+
+CLI:  python -m tests.harness [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from hbase_sep_spark.io import TABLES
+
+DEFAULT_SF = "/root/testdata/sf0.01"
+
+
+def duck_connection(sf_dir: str):
+    con = duckdb.connect()
+    for name in TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon(v):
+    """Canonicalize one cell for order-insensitive comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    # numpy scalars → python
+    if hasattr(v, "item") and not isinstance(v, (list, tuple, dict)):
+        try:
+            return _canon(v.item())
+        except (ValueError, AttributeError):
+            pass
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _rows(df_pandas):
+    cols = sorted(df_pandas.columns)
+    out = []
+    for tup in df_pandas[cols].itertuples(index=False, name=None):
+        out.append(tuple(_canon(v) for v in tup))
+    out.sort(key=repr)
+    return cols, out
+
+
+def _cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, (float, int)):
+        return math.isclose(a, float(b), rel_tol=1e-9, abs_tol=1e-8)
+    if isinstance(b, float) and isinstance(a, (float, int)):
+        return math.isclose(float(a), b, rel_tol=1e-9, abs_tol=1e-8)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def _exact(a, b):
+    """Strict equality the way a value-hash would see it."""
+    return repr(a) == repr(b)
+
+
+def check_query(name, query, spark, con, sf_dir):
+    """Returns dict(status, detail). status ∈ ok | ok-rows-only |
+    mismatch | error | warn-float."""
+    t0 = time.time()
+    try:
+        sdf = query.fn(spark, sf_dir)
+        spdf = sdf.toPandas()
+    except Exception as e:  # noqa: BLE001
+        return {"status": "error", "detail": f"spark: {type(e).__name__}: {e}", "sec": time.time() - t0}
+    if query.oracle is None:
+        return {"status": "ok-rows-only", "detail": f"{len(spdf)} rows", "sec": time.time() - t0}
+    try:
+        odf = con.execute(query.oracle).fetchdf()
+    except Exception as e:  # noqa: BLE001
+        return {"status": "error", "detail": f"duckdb: {type(e).__name__}: {e}", "sec": time.time() - t0}
+
+    if len(spdf) != len(odf):
+        return {
+            "status": "mismatch",
+            "detail": f"row count: spark={len(spdf)} oracle={len(odf)}",
+            "sec": time.time() - t0,
+        }
+    scols, srows = _rows(spdf)
+    ocols, orows = _rows(odf)
+    if scols != ocols:
+        return {
+            "status": "mismatch",
+            "detail": f"columns: spark={scols} oracle={ocols}",
+            "sec": time.time() - t0,
+        }
+    n_float_warn = 0
+    for i, (sr, orow) in enumerate(zip(srows, orows)):
+        if not _cells_equal(sr, orow):
+            return {
+                "status": "mismatch",
+                "detail": f"row {i}: spark={sr!r} oracle={orow!r}",
+                "sec": time.time() - t0,
+            }
+        if not _exact(sr, orow):
+            n_float_warn += 1
+            if n_float_warn <= 1:
+                first_warn = f"row {i}: spark={sr!r} oracle={orow!r}"
+    if n_float_warn:
+        return {
+            "status": "warn-float",
+            "detail": f"{n_float_warn}/{len(srows)} rows differ in exact repr (hash risk): {first_warn}",
+            "sec": time.time() - t0,
+        }
+    return {"status": "ok", "detail": f"{len(srows)} rows", "sec": time.time() - t0}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("HARNESS_SF_DIR", DEFAULT_SF))
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from hbase_sep_spark.registry import load_all
+    from hbase_sep_spark.session import get_spark
+
+    registry = load_all()
+    names = args.names or sorted(registry)
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        sys.exit(2)
+
+    spark = get_spark("oracle-harness", shuffle_partitions=8)
+    con = duck_connection(args.sf)
+    n_bad = 0
+    for name in names:
+        res = check_query(name, registry[name], spark, con, args.sf)
+        flag = "✓" if res["status"].startswith("ok") else ("~" if res["status"] == "warn-float" else "✗")
+        if flag == "✗":
+            n_bad += 1
+        print(f"{flag} {name:32s} {res['status']:14s} {res['sec']:6.2f}s  {res['detail']}")
+    print(f"\n{len(names) - n_bad}/{len(names)} passing")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
