@@ -1,1 +1,260 @@
-"""Placeholder — filled in during round 1 build."""
+"""§2.8 Scalar functions — string / date / math / conditional / cast.
+
+All JVM-side built-ins inside whole-stage codegen (no Python in the
+row path). Engine-portability rules applied throughout (see
+.claude/skills/verify/SKILL.md): computed ints cast to the same width
+on both sides, no DATE-typed outputs, transcendental results rounded
+to kill libm ulp differences, no round() on exact half-boundaries.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_sep_spark.io import t
+from hbase_sep_spark.registry import register
+
+SECTION = "2.8"
+
+
+@register(
+    "str_basic",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           CAST(length(c_name) AS INT) AS name_len,
+           concat(c_mktsegment, ':', c_name) AS seg_name,
+           trim(concat('  ', c_name, ' ')) AS name_trim,
+           substring(c_name, 1, 8) AS name_prefix
+    FROM customer
+    """,
+    section=SECTION,
+)
+def str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("seg_name"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+    )
+
+
+@register(
+    "str_regex",
+    oracle="""
+    SELECT p_partkey,
+           p_type,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_first_word,
+           regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled,
+           CASE WHEN regexp_matches(p_type, 'PROMO|ECONOMY') THEN 1 ELSE 0 END AS is_cheap
+    FROM part
+    """,
+    section=SECTION,
+)
+def str_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract/replace/match. Spark regexp_replace is global by
+    default; DuckDB needs the 'g' flag — encoded in the oracle."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_type",
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_first_word"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_devoweled"),
+        F.when(F.col("p_type").rlike("PROMO|ECONOMY"), F.lit(1)).otherwise(F.lit(0)).alias("is_cheap"),
+    )
+
+
+@register(
+    "str_split_pad",
+    oracle="""
+    SELECT p_partkey,
+           string_split(p_name, ' ') AS name_words,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           CAST(instr(p_name, 'o') AS INT) AS first_o
+    FROM part
+    """,
+    section=SECTION,
+)
+def str_split_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split/lpad/replace/instr. Spark split() is regex-based, DuckDB
+    string_split is literal — safe here because the delimiter is a
+    plain space."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split("p_name", " ").alias("name_words"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.instr(F.col("p_name"), "o").alias("first_o"),
+    )
+
+
+@register(
+    "date_parts",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(month(l_shipdate) AS INT) AS ship_month,
+           CAST(day(l_shipdate) AS INT) AS ship_day,
+           CAST(dayofweek(l_shipdate) + 1 AS INT) AS ship_dow,
+           CAST(quarter(l_shipdate) AS INT) AS ship_quarter,
+           CAST(dayofyear(l_shipdate) AS INT) AS ship_doy
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+    section=SECTION,
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction. Spark dayofweek is 1=Sunday..7, DuckDB
+    dayofweek is 0=Sunday..6 — the oracle adds 1 to align."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.dayofmonth("l_shipdate").alias("ship_day"),
+        F.dayofweek("l_shipdate").alias("ship_dow"),
+        F.quarter("l_shipdate").alias("ship_quarter"),
+        F.dayofyear("l_shipdate").alias("ship_doy"),
+    )
+
+
+@register(
+    "date_trunc_arith",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS due_date,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+    section=SECTION,
+)
+def date_trunc_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc / date_add / datediff / last_day. Date-typed results
+    emitted as ISO strings (engine-portable); truncated month kept as
+    timestamp (both engines agree there)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    odate = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.date_format(F.date_add(odate, 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(odate, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        F.date_format(F.last_day(odate), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "math_basic",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           abs(l_discount - l_tax) AS abs_diff,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           sqrt(l_quantity) AS qty_sqrt,
+           round(pow(l_quantity, 1.5), 6) AS qty_pow,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+    section=SECTION,
+)
+def math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math built-ins. sqrt is IEEE-correctly-rounded (bitwise equal
+    across engines, left unrounded); pow/ln are libm-dependent →
+    rounded to 6 dp on both sides."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("abs_diff"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.pow("l_quantity", F.lit(1.5)), 6).alias("qty_pow"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@register(
+    "cond_case_coalesce",
+    oracle="""
+    SELECT c_custkey,
+           c_acctbal,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END AS bal_band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS seg_masked,
+           nullif(c_nationkey, 0) AS nation_or_null
+    FROM customer
+    """,
+    section=SECTION,
+)
+def cond_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("SUPPRESSED")).alias(
+            "seg_masked"
+        ),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nation_or_null"),
+    )
+
+
+@register(
+    "cast_types",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS BIGINT) AS k_int,
+           CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS DOUBLE) AS k_double,
+           CAST(user_id AS VARCHAR) AS user_str,
+           CAST(CAST(trunc(value) AS BIGINT) AS BIGINT) AS value_trunc,
+           CAST(value AS VARCHAR) IS NOT NULL AS value_str_ok
+    FROM events
+    WHERE event_id <= 2000
+    """,
+    section=SECTION,
+)
+def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast lattice: json-string→int→double, int→string, double→int.
+    DuckDB CAST(double AS INT) rounds while Spark truncates — both
+    sides spell out trunc() to pin the semantics. double→string is
+    asserted non-null rather than compared (repr differs)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.cast("long").alias("k_int"),
+        k.cast("double").alias("k_double"),
+        F.col("user_id").cast("string").alias("user_str"),
+        F.expr("CAST(value AS LONG)").alias("value_trunc"),
+        F.col("value").cast("string").isNotNull().alias("value_str_ok"),
+    )

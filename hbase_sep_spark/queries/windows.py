@@ -1,1 +1,249 @@
-"""Placeholder — filled in during round 1 build."""
+"""§2.5 Window functions.
+
+Window evaluation shuffles once on the partition key and sorts within
+partitions — at 100 TB the partition key choice (user_id / custkey:
+high-cardinality, low skew) keeps state per partition bounded. Every
+orderBy carries a unique tie-break key so results are deterministic
+across engines (SURVEY §2 rule).
+
+Rank-style outputs are INT in Spark but BIGINT in DuckDB; oracles
+cast to INT to align.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hbase_sep_spark.io import t
+from hbase_sep_spark.registry import register
+
+SECTION = "2.5"
+
+
+@register(
+    "win_row_number",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+    FROM orders
+    """,
+    section=SECTION,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           l_quantity,
+           CAST(rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS INT) AS qty_rank,
+           CAST(dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS INT) AS qty_dense_rank
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    """,
+    section=SECTION,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank with real ties (l_quantity repeats within an
+    order). Rank outputs are tie-invariant so no tie-break needed."""
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_quantity"))
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.rank().over(w).alias("qty_rank"),
+            F.dense_rank().over(w).alias("qty_dense_rank"),
+        )
+    )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey,
+           c_acctbal,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS bal_quartile
+    FROM customer
+    """,
+    section=SECTION,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles by account balance. Single unpartitioned window —
+    fine at dim-table cardinality; at fact scale you'd bucket by
+    percentile_approx instead (documented trade-off)."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("bal_quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+    section=SECTION,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next event value per user — the CDC 'compare with
+    prior version of the row' pattern (SURVEY §1.1 multi-version)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_spend
+    FROM orders
+    """,
+    section=SECTION,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS value_ma3
+    FROM events
+    """,
+    section=SECTION,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("value_ma3"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_event_type,
+           last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_event_type
+    FROM events
+    """,
+    section=SECTION,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last value over the full partition frame — the 'first and
+    latest version of a key' CDC view."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_event_type"),
+        F.last("event_type").over(w).alias("last_event_type"),
+    )
+
+
+@register(
+    "win_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey,
+           c_acctbal,
+           round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS bal_pct_rank,
+           round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6) AS bal_cume_dist
+    FROM customer
+    """,
+    section=SECTION,
+)
+def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           o_totalprice,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                               RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_similar_cheaper,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                                         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2)
+               AS sum_similar_cheaper
+    FROM orders
+    """,
+    section=SECTION,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering — value-based peers, so
+    ties are frame-peers and the result is tie-order-invariant."""
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, 0)
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_similar_cheaper"),
+    )
