@@ -1,1 +1,189 @@
-"""Placeholder — filled in during round 1 build."""
+"""§2.1 Sources, sinks, and the CDC/event transport (reference core).
+
+The reference (hbase-sep, a CDC transport over HBase replication —
+SURVEY §1.1, [R: sep-impl/.../SepConsumer.java — UNVERIFIED]) delivers
+per-row-ordered, at-least-once mutation events with opaque payloads.
+These queries re-express each of its delivery semantics over the
+`events` feed as declarative Spark plans; the live streaming analog
+is hbase_sep_spark/streaming/ (§2.10 + the sep_events DataSource).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hbase_sep_spark.io import t
+from hbase_sep_spark.registry import register
+
+SECTION = "2.1"
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    section=SECTION,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain table scan, all columns (the HBase table-scan analog,
+    columnar at rest per SURVEY §1.1)."""
+    return t(spark, sf_dir, "nation")
+
+
+@register(
+    "scan_events_feed",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    """,
+    section=SECTION,
+)
+def scan_events_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the change/event feed — the same schema the
+    streaming sep_events source delivers (batch/stream duality,
+    SURVEY §1.1 'Stream, not table')."""
+    return t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@register(
+    "events_payload_extract",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           event_type,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS payload_k,
+           value
+    FROM events
+    """,
+    section=SECTION,
+)
+def events_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the opaque payload — the PayloadExtractor
+    analog ([R: sep-api/.../BasePayloadExtractor.java — UNVERIFIED]):
+    SEP pulls payload bytes from a designated cell; here a typed field
+    from the JSON props blob."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("payload_k"),
+        "value",
+    )
+
+
+@register(
+    "events_table_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    """,
+    section=SECTION,
+)
+def events_table_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subscription-scoped filtering: SEP subscriptions receive only
+    replication-scoped tables/column-families; the analog is a
+    predicate on the event class, pushed to the scan."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "events_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    section=SECTION,
+)
+def events_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Current value' view — HBase latest-cell-version semantics
+    (SURVEY §1.1 multi-version): newest event per row key."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "events_dedup_redelivery",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, event_type, value
+    FROM (
+        SELECT event_id, user_id, event_type, value FROM events
+        UNION ALL
+        SELECT event_id, user_id, event_type, value FROM events
+        WHERE user_id % 3 = 0
+    )
+    """,
+    section=SECTION,
+)
+def events_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once → exactly-once: SEP redelivers unacked batches
+    ([R: sep-api/.../EventListener.java — UNVERIFIED]; listeners must
+    be idempotent). Simulated by re-appending a slice of the feed,
+    then deduplicating on the idempotency key."""
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    redelivered = ev.filter(F.col("user_id") % 3 == 0)
+    return ev.unionByName(redelivered).dropDuplicates(["event_id"])
+
+
+@register(
+    "events_per_key_ordered",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           event_type,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq
+    FROM events
+    """,
+    section=SECTION,
+)
+def events_per_key_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ordered change log — the reference's one concurrency
+    guarantee (row-hash → dedicated dispatch thread, [R: sep-impl/...
+    /SepConsumer.java — UNVERIFIED]) as a sequence number per key."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@register("sink_parquet_roundtrip", oracle=None, section=SECTION)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an aggregate to parquet and read it back (sink + source
+    round trip). rows-only check: the artifact is the round trip
+    itself. Writes under the system temp dir — never to the
+    read-only testdata."""
+    out = os.path.join(tempfile.gettempdir(), "hbase_sep_spark_sink", "events_by_type")
+    agg = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    agg.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

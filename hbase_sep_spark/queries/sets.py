@@ -86,16 +86,21 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
     """,
     section=SECTION,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders (EXCEPT — the anti-join expressed as a
-    set op; compare join_left_anti for the join form)."""
+    """Customers with no pending orders (EXCEPT — the anti-join as a
+    set op; compare join_left_anti for the join form). The status
+    filter keeps the difference non-empty at every SF."""
     custs = t(spark, sf_dir, "customer").select("c_custkey")
-    order_custs = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return custs.exceptAll(order_custs).distinct()
+    pending_custs = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return custs.exceptAll(pending_custs).distinct()
 
 
 @register(
