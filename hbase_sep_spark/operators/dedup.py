@@ -1,0 +1,189 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+Scale posture (the whole point of these at 100 TB):
+- exact: one hash-groupBy on a 32-byte digest — shuffle carries
+  (digest, doc_id) only, never the text;
+- MinHash+LSH: candidate generation is an equi-join on (band,
+  band_hash) — O(candidates), never all-pairs; signature computation
+  is a single explode+groupBy;
+- SimHash: 64-bit signature per doc, banded into 16-bit keys for
+  hamming-≤-distance candidate pairs — same equi-join shape.
+
+All hashing is xxhash64 with literal seeds → fully deterministic,
+no driver-side state.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from hbase_sep_spark.operators.text import shingles, words
+
+
+def normalize_text(text_col="text"):
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.lower(F.trim(c))
+
+
+def exact_dedup_groups(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Group exact duplicates by sha2-256 of normalized text; emit one
+    canonical row (min id) per group with its multiplicity."""
+    digest = F.sha2(normalize_text(text_col), 256)
+    return (
+        df.select(F.col(id_col), digest.alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col="doc_id", text_col="text", n_hashes: int = 32, shingle_k: int = 3
+) -> DataFrame:
+    """(id, minhash array<long>[n_hashes]) via explode + one groupBy.
+
+    Hash family: xxhash64(shingle, seed=i) — min per seed over the
+    doc's shingle set.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle"))
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}") for i in range(n_hashes)]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col="doc_id", n_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join, emit distinct candidate pairs
+    (id_a < id_b). Only same-bucket docs ever meet — no all-pairs."""
+    n_hashes = n_bands * rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("minhash", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    return pairs.distinct()
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    n_hashes: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline → (id_a, id_b, est_jaccard).
+
+    est_jaccard = fraction of agreeing minhash components (unbiased
+    Jaccard estimator); candidates come only from LSH buckets.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    pairs = lsh_candidate_pairs(sig, id_col)
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
+    est = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
+    ).cast("double") / F.lit(float(n_hashes))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash64(text_col="text"):
+    """64-bit SimHash of the word multiset, as a long column.
+
+    Each word's xxhash64 votes ±1 per bit position; the signature's
+    bit i is 1 iff the summed vote is positive. Pure expressions:
+    per-word bit arrays folded with element-wise zip_with add.
+    """
+    w = words(text_col)
+    per_word_bits = F.transform(
+        w,
+        lambda word: F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.when(F.shiftright(F.xxhash64(word), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    votes = F.aggregate(
+        per_word_bits,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, bits: F.zip_with(acc, bits, lambda x, y: x + y),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col="doc_id", text_col="text", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup: banded 16-bit key join (pigeonhole: hamming ≤3
+    ⇒ at least one of 4 bands identical), then exact hamming filter."""
+    sigs = df.select(F.col(id_col), simhash64(text_col).alias("sh"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("sh", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_key"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sigs.select(id_col, "sh", F.explode(bands).alias("bb")).select(
+        id_col, "sh", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.shiftright(F.col("sh_a").bitwiseXOR(F.col("sh_b")), i).bitwiseAND(F.lit(1)) == 1,
+            ),
+            lambda v: v,
+        )
+    )
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

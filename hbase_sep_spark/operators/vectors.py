@@ -1,0 +1,78 @@
+"""Vector operators over `array<float>` embedding columns.
+
+All arithmetic casts float→double BEFORE multiplying so results are
+bitwise-reproducible against any double-precision engine (float32
+accumulation is not portable). Everything is a Catalyst expression —
+higher-order functions run inside codegen, no UDFs.
+
+Scale posture: brute-force cosine is O(N) per probe and is the
+correctness baseline; the scale path is LSH bucketing (random
+hyperplane signs) which turns top-k into an equi-join on bucket id —
+see lsh_bucket() and llm_ops.simsearch_knn_join's docstring.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def dot(a, b) -> Column:
+    """Σ a_i·b_i as a left fold in element order (portable)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def unit_normalize(a, ndigits: int = 4) -> Column:
+    """Element-wise x/‖v‖, rounded for engine portability."""
+    a = F.col(a) if isinstance(a, str) else a
+    norm = l2_norm(a)
+    return F.transform(a, lambda x: F.round(x.cast("double") / norm, ndigits) + F.lit(0.0))
+
+
+def lsh_bucket(a, n_planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id: sign pattern of n_planes
+    pseudo-random projections, packed into a long. Deterministic in
+    (seed, n_planes). Vectors in the same bucket are cosine-close
+    with high probability — the 100 TB path for kNN joins (equi-join
+    on bucket id instead of a cross join).
+
+    The 'random' plane p_j component i is derived from xxhash64(i, j,
+    seed) mapped to [-1, 1) — no driver-side randomness, fully
+    plan-deterministic.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+
+    def plane_component(i: Column, j: int) -> Column:
+        h = F.xxhash64(i, F.lit(j), F.lit(seed))
+        return (h % 1000000).cast("double") / 500000.0 - 1.0
+
+    def projection_sign(j: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                a,
+                F.sequence(F.lit(0), F.size(a) - 1),
+                lambda x, i: x.cast("double") * plane_component(i, j),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        bucket = bucket * 2 + projection_sign(j)
+    return bucket

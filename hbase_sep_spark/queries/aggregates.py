@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from hbase_sep_spark.functions import davg, dsum
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -22,8 +23,8 @@ SECTION = "2.4"
     "agg_global",
     oracle="""
     SELECT count(*) AS n_rows,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(avg(l_extendedprice), 2) AS avg_price,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 2) AS avg_price,
            round(min(l_discount), 2) AS min_disc,
            round(max(l_tax), 2) AS max_tax
     FROM lineitem
@@ -35,8 +36,8 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per partition + one tiny final reduce; scales linearly."""
     return t(spark, sf_dir, "lineitem").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_extendedprice").alias("avg_price"),
         F.round(F.min("l_discount"), 2).alias("min_disc"),
         F.round(F.max("l_tax"), 2).alias("max_tax"),
     )
@@ -47,13 +48,13 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2) AS avg_qty,
-           round(avg(l_extendedprice), 2) AS avg_price,
-           round(avg(l_discount), 2) AS avg_disc,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 2) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 2) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount), 2) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -70,13 +71,13 @@ def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-        F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -86,7 +87,7 @@ def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS sum_price
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 12
@@ -101,7 +102,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            dsum("o_totalprice").alias("sum_price"),
         )
         .filter(F.col("n_orders") >= 12)
     )
@@ -218,7 +219,7 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r_name,
            n_name,
            count(*) AS n_custs,
-           round(sum(c_acctbal), 2) AS sum_bal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -238,7 +239,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_custs"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        dsum("c_acctbal").alias("sum_bal"),
     )
 
 
@@ -248,7 +249,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS sum_price
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -257,7 +258,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        dsum("o_totalprice").alias("sum_price"),
     )
 
 
@@ -321,8 +322,8 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional",
     oracle="""
     SELECT user_id,
-           round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click_value,
-           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value,
+           CAST(round(sum(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS click_value,
+           CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS purchase_value,
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
            count(*) AS n_events
     FROM events
@@ -335,12 +336,9 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable form of pivot: one pass, no per-category shuffle."""
     ev = t(spark, sf_dir, "events")
 
-    def cond_sum(etype: str):
-        return F.sum(F.when(F.col("event_type") == etype, F.col("value")).otherwise(F.lit(0.0)))
-
     return ev.groupBy("user_id").agg(
-        F.round(cond_sum("click"), 2).alias("click_value"),
-        F.round(cond_sum("purchase"), 2).alias("purchase_value"),
+        dsum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(F.lit(0.0))).alias("click_value"),
+        dsum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))).alias("purchase_value"),
         F.sum(F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0))).alias("n_errors"),
         F.count(F.lit(1)).alias("n_events"),
     )

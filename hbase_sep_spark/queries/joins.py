@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hbase_sep_spark.functions import dsum
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -47,7 +48,7 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            o_orderstatus,
            count(*) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS order_revenue
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS order_revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'F'
     GROUP BY o_orderkey, o_orderstatus
@@ -66,7 +67,7 @@ def join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(_revenue()), 2).alias("order_revenue"),
+            dsum(_revenue()).alias("order_revenue"),
         )
     )
 
@@ -75,7 +76,7 @@ def join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway_star",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -101,7 +102,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(_revenue()), 2).alias("revenue"),
+        dsum(_revenue()).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -112,7 +113,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            c_name,
            CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+           coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE), 0.0) AS total_spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
     """,
@@ -128,7 +129,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
         )
     )
 

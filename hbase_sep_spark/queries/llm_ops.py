@@ -1,1 +1,341 @@
-"""Placeholder — filled in during round 1 build."""
+"""§2.11 LLM-data-pipeline operators (north star, BASELINE.json:6).
+
+Built on hbase_sep_spark.operators.{dedup,text,vectors}. Each query
+is the small-SF correctness face of an operator designed for 100 TB:
+dedup shuffles digests not text, near-dup candidates come from LSH
+buckets not all-pairs, kNN is blocked/broadcast not cross-joined.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hbase_sep_spark.io import t
+from hbase_sep_spark.operators import dedup as D
+from hbase_sep_spark.operators import text as T
+from hbase_sep_spark.operators import vectors as V
+from hbase_sep_spark.registry import register
+
+SECTION = "2.11"
+
+# DuckDB-side helpers for the vector oracles (kept as format strings so
+# Spark + SQL stay visibly in lockstep).
+_DUCK_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+)
+_DUCK_NORM = (
+    "sqrt(list_sum(list_transform({a}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def _docs_with_redelivered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ an exact-copy slice (doc_id+100000) — the corpus
+    has no native duplicates, so dedup ops re-ingest a slice to have
+    something real to collapse (mirrors the events redelivery query)."""
+    d = t(spark, sf_dir, "documents")
+    copies = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    return d.unionByName(copies)
+
+
+_DUCK_DOCS_REDELIVERED = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@register(
+    "dedup_exact_docs",
+    oracle=f"""
+    WITH corpus AS ({_DUCK_DOCS_REDELIVERED})
+    SELECT min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM corpus
+    GROUP BY lower(trim(text))
+    """,
+    section=SECTION,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by sha2-256 of normalized text (the oracle groups
+    by the normalized text itself — identical partition unless sha2
+    collides). Only (digest, id) ever shuffles."""
+    corpus = _docs_with_redelivered(spark, sf_dir)
+    return D.exact_dedup_groups(corpus).select("canonical_doc_id", "n_copies")
+
+
+@register("dedup_minhash_near", oracle=None, section=SECTION)
+def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 hashes) + LSH(8 bands × 4) near-dup candidate pairs
+    with est. Jaccard ≥ 0.5. rows-only: the xxhash64 family isn't
+    reproducible in the oracle engine. Injected exact copies guarantee
+    a non-trivial result (est_jaccard = 1.0 pairs)."""
+    corpus = _docs_with_redelivered(spark, sf_dir)
+    return D.minhash_near_dup_pairs(corpus).orderBy("id_a", "id_b")
+
+
+@register(
+    "simsearch_cosine_topk",
+    oracle=f"""
+    WITH p AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT a.vec_id,
+           round({_DUCK_DOT.format(a='a', b='p')} /
+                 ({_DUCK_NORM.format(a='a')} * {_DUCK_NORM.format(a='p')}), 4) + 0.0 AS cos_sim
+    FROM embeddings a, p
+    WHERE a.vec_id <> 0
+    ORDER BY {_DUCK_DOT.format(a='a', b='p')} /
+             ({_DUCK_NORM.format(a='a')} * {_DUCK_NORM.format(a='p')}) DESC, a.vec_id
+    LIMIT 10
+    """,
+    section=SECTION,
+)
+def simsearch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for one probe vector — the exact
+    baseline for ANN. The probe is a 1-row broadcast (no collect);
+    per-row dot products run in codegen; TakeOrderedAndProject keeps
+    only k rows per partition. Ordering uses the UNrounded cosine
+    (bitwise-identical across engines) with vec_id tie-break."""
+    e = t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe_emb"))
+    cos = V.dot("embedding", "probe_emb") / (V.l2_norm("embedding") * V.l2_norm("probe_emb"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), "vec_id")
+        .limit(10)
+        .select("vec_id", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cos_sim"))
+    )
+
+
+@register(
+    "simsearch_knn_join",
+    oracle=f"""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT p.probe_id,
+               a.vec_id AS neighbor_id,
+               {_DUCK_DOT.format(a='a', b='p')} /
+               ({_DUCK_NORM.format(a='a')} * {_DUCK_NORM.format(a='p')}) AS cos_raw
+        FROM embeddings a, probes p
+        WHERE a.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id,
+           round(cos_raw, 4) + 0.0 AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+    section=SECTION,
+)
+def simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: 5 probe vectors × top-5 cosine neighbors each.
+    Probes broadcast against the corpus (block-nested at scale:
+    probes are the small side by construction); per-probe top-k via
+    window, no global sort. The 100 TB variant pre-buckets both sides
+    with vectors.lsh_bucket and equi-joins on bucket id."""
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    cos = V.dot("embedding", "probe_emb") / (V.l2_norm("embedding") * V.l2_norm("probe_emb"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cos_sim"), "rank")
+    )
+
+
+@register(
+    "vec_normalize_norm",
+    oracle=f"""
+    SELECT vec_id,
+           label,
+           round({_DUCK_NORM.format(a='embeddings')}, 6) AS l2_norm,
+           list_transform(embeddings.embedding,
+                          x -> round(CAST(x AS DOUBLE) / {_DUCK_NORM.format(a='embeddings')}, 4) + 0.0)
+               AS unit_vec
+    FROM embeddings
+    """,
+    section=SECTION,
+)
+def vec_normalize_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(V.l2_norm("embedding"), 6).alias("l2_norm"),
+        V.unit_normalize("embedding", 4).alias("unit_vec"),
+    )
+
+
+@register(
+    "text_tokenize_wordcount",
+    oracle="""
+    SELECT lang, word, count(*) AS cnt
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY lang, word
+    HAVING count(*) >= 20
+    """,
+    section=SECTION,
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + per-language word counts (≥20 bound keeps the
+    result stable-sized as SF grows). Explode is generate-side; only
+    (lang, word) pairs shuffle, pre-combined map-side."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        T.tokenize(d, id_cols=("lang",))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 20)
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        FROM w
+        WHERE len(ws) >= 2
+    )
+    SELECT bigram, count(*) AS cnt
+    FROM grams
+    GROUP BY bigram
+    HAVING count(*) >= 5
+    """,
+    section=SECTION,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram extraction + counts (shingles(k=2) from the operator
+    lib; DuckDB mirrors with list_transform over range)."""
+    d = t(spark, sf_dir, "documents").filter(F.size(T.words()) >= 2)
+    return (
+        d.select(F.explode(T.bigrams()).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE doc_id <= 100
+    ),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+    SELECT tf.doc_id,
+           tf.word,
+           CAST(tf.tf AS BIGINT) AS tf,
+           round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    """,
+    section=SECTION,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term) over a bounded doc slice. The corpus
+    size n_docs is a 1-row aggregate cross-broadcast into the plan —
+    no collect; df join is broadcast (vocabulary ≪ corpus)."""
+    tok = T.tokenize(t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "text_lang_filter_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+    section=SECTION,
+)
+def text_lang_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "multimodal_struct_cols",
+    oracle=f"""
+    WITH src AS (SELECT source, count(*) AS n_docs_in_source FROM documents GROUP BY source)
+    SELECT d.doc_id,
+           d.lang,
+           d.source,
+           src.n_docs_in_source,
+           e.label,
+           round({_DUCK_NORM.format(a='e')}, 6) AS emb_norm
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    JOIN src USING (source)
+    """,
+    section=SECTION,
+)
+def multimodal_struct_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble a multimodal record: text metadata + embedding stats +
+    source context as a nested struct, then flatten for the oracle
+    (structs don't cross engines). The struct stage is the real
+    product shape; flattening is only the comparison projection."""
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_in_source"))
+    record = (
+        d.join(e, d.doc_id == e.vec_id)
+        .join(F.broadcast(src), "source")
+        .select(
+            "doc_id",
+            F.struct("lang", "source", "n_chars").alias("text_meta"),
+            F.struct(
+                F.col("label"),
+                F.round(V.l2_norm("embedding"), 6).alias("emb_norm"),
+            ).alias("vec_meta"),
+            "n_docs_in_source",
+        )
+    )
+    return record.select(
+        "doc_id",
+        F.col("text_meta.lang").alias("lang"),
+        F.col("text_meta.source").alias("source"),
+        "n_docs_in_source",
+        F.col("vec_meta.label").alias("label"),
+        F.col("vec_meta.emb_norm").alias("emb_norm"),
+    )

@@ -1,1 +1,225 @@
-"""Placeholder — filled in during round 1 build."""
+"""§2.9 Array / map / JSON — the semi-structured surface.
+
+This is the engine's analog of the reference's schemaless, untyped
+cell model (SURVEY §1.1; [R: sep-api/.../SepEvent.java — UNVERIFIED]):
+opaque payloads become JSON extractions, dynamic columns become maps,
+repeated cells become arrays with higher-order lambdas. Everything is
+a JVM built-in — no Python in the row path.
+
+Dialect notes (Spark ↔ DuckDB) encoded in the oracles:
+`slice(a,start,len)` ↔ `list_slice(a,start,start+len-1)`;
+`array_distinct` preserves first-occurrence order while DuckDB's
+`list_distinct` doesn't — both get wrapped in a sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_sep_spark.functions import dsum
+from hbase_sep_spark.io import t
+from hbase_sep_spark.registry import register
+
+SECTION = "2.9"
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+           min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+           max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY k_bucket
+    """,
+    section=SECTION,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON payload extraction feeding an aggregate — extraction
+    happens in the scan stage, so only the extracted int shuffles."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value", k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "json_to_map",
+    oracle="""
+    SELECT event_id,
+           ['k'] AS prop_keys,
+           [CAST(json_extract(props, '$.k') AS INTEGER)] AS prop_values,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_from_map
+    FROM events
+    WHERE event_id <= 3000
+    """,
+    section=SECTION,
+)
+def json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload → MapType, access by key. The map itself can't cross
+    the oracle boundary (engines render maps differently), so the
+    output projects map_keys/map_values arrays and a by-key lookup."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 3000)
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.map_values(m).alias("prop_values"),
+        m.getItem("k").alias("k_from_map"),
+    )
+
+
+@register(
+    "arr_construct_contains",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           [l_quantity, l_discount, l_tax] AS metrics,
+           CAST(len([l_quantity, l_discount, l_tax]) AS INT) AS n_metrics,
+           list_contains([l_returnflag, l_linestatus], 'F') AS has_f_flag
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    """,
+    section=SECTION,
+)
+def arr_construct_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    metrics = F.array("l_quantity", "l_discount", "l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        metrics.alias("metrics"),
+        F.size(metrics).alias("n_metrics"),
+        F.array_contains(F.array("l_returnflag", "l_linestatus"), "F").alias("has_f_flag"),
+    )
+
+
+@register(
+    "arr_explode",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+    FROM part
+    WHERE p_partkey <= 300
+    """,
+    section=SECTION,
+)
+def arr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnest: one output row per word (Spark explode ↔ DuckDB
+    unnest). Explode is generate-side — no shuffle."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+
+
+@register(
+    "arr_sort_distinct_slice",
+    oracle="""
+    SELECT p_partkey,
+           list_sort(list_distinct(string_split(p_name, ' '))) AS uniq_words,
+           list_slice(list_sort(string_split(p_name, ' ')), 1, 2) AS first_two_sorted,
+           list_sort(string_split(p_name, ' '))[1] AS first_word
+    FROM part
+    WHERE p_partkey <= 300
+    """,
+    section=SECTION,
+)
+def arr_sort_distinct_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = F.split("p_name", " ")
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.array_sort(F.array_distinct(words)).alias("uniq_words"),
+        F.slice(F.array_sort(words), 1, 2).alias("first_two_sorted"),
+        F.element_at(F.array_sort(words), 1).alias("first_word"),
+    )
+
+
+@register(
+    "arr_lambda_transform",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 2, 4) + 0.0) AS doubled,
+           round(CAST(embedding[1] AS DOUBLE) * 2, 4) + 0.0 AS first_doubled
+    FROM embeddings
+    """,
+    section=SECTION,
+)
+def arr_lambda_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order transform over the embedding vector. Elements are
+    cast float→double BEFORE arithmetic on both sides (float32 math
+    would diverge between engines)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 2, 4) + F.lit(0.0)).alias("doubled"),
+        (F.round(F.element_at("embedding", 1).cast("double") * 2, 4) + F.lit(0.0)).alias("first_doubled"),
+    )
+
+
+@register(
+    "arr_lambda_filter_agg",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) + 0.0 AS vec_sum,
+           round(list_sum(list_transform(list_filter(embedding, x -> x > 0),
+                                         x -> CAST(x AS DOUBLE))), 6) + 0.0 AS pos_sum
+    FROM embeddings
+    """,
+    section=SECTION,
+)
+def arr_lambda_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter + aggregate (left fold) lambdas. Fold order is
+    element order in both engines → bitwise-identical sums; rounded
+    anyway as belt-and-braces."""
+    e = t(spark, sf_dir, "embeddings")
+    pos = F.filter("embedding", lambda x: x > 0)
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+    return e.select(
+        "vec_id",
+        F.size(pos).alias("n_positive"),
+        (F.round(fold_sum(F.col("embedding")), 6) + F.lit(0.0)).alias("vec_sum"),
+        (F.round(fold_sum(pos), 6) + F.lit(0.0)).alias("pos_sum"),
+    )
+
+
+@register(
+    "map_keys_values",
+    oracle="""
+    SELECT event_id,
+           ['etype', 'uid'] AS ctx_keys,
+           [event_type, CAST(user_id AS VARCHAR)] AS ctx_values,
+           event_type AS etype_lookup
+    FROM events
+    WHERE event_id <= 3000
+    """,
+    section=SECTION,
+)
+def map_keys_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construct a map from columns (the dynamic-column cell bag of
+    SURVEY §1.1), then read it back via map_keys/map_values/lookup.
+    Oracle sees only arrays — map literals aren't portable."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 3000)
+    m = F.map_from_arrays(
+        F.array(F.lit("etype"), F.lit("uid")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("ctx_keys"),
+        F.map_values(m).alias("ctx_values"),
+        m.getItem("etype").alias("etype_lookup"),
+    )

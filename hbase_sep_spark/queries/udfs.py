@@ -1,1 +1,148 @@
-"""Placeholder — filled in during round 1 build."""
+"""§2.12 UDF / UDAF / UDTF surface.
+
+UDFs are the engine's escape hatch, not its hot path (SURVEY §4):
+every query here exists to prove the extension points work, with the
+Arrow-vectorized forms (pandas_udf / applyInPandas) as the only
+sanctioned pattern for bulk data — the row-at-a-time Python UDF is
+deliberately confined to a tiny dimension table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from hbase_sep_spark.io import t
+from hbase_sep_spark.registry import register
+
+SECTION = "2.12"
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_ROT13 = _ALPHA[13:] + _ALPHA[:13]
+
+
+@register(
+    "udf_python_scalar",
+    oracle=f"""
+    SELECT s_suppkey,
+           s_name,
+           translate(lower(s_name), '{_ALPHA}', '{_ROT13}') AS name_rot13
+    FROM supplier
+    """,
+    section=SECTION,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python scalar UDF (deterministic rot13 cipher) —
+    kept on the supplier dim (≤1k rows) on purpose; the oracle
+    re-expresses it as SQL translate()."""
+    table = str.maketrans(_ALPHA, _ROT13)
+
+    @udf(returnType="string", useArrow=False)
+    def rot13(s: str) -> str:
+        return s.lower().translate(table)
+
+    s = t(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", "s_name", rot13("s_name").alias("name_rot13"))
+
+
+@register(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT o_orderkey,
+           round(1.0 / (1.0 + exp(-(o_totalprice / 100000.0))), 6) AS price_sigmoid
+    FROM orders
+    """,
+    section=SECTION,
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF: vectorized numpy sigmoid over the
+    full orders table (the sanctioned Python fast path — one Arrow
+    batch transfer per partition, ~100× the scalar UDF). exp() is
+    libm-dependent → rounded to 6 dp on both sides."""
+
+    @pandas_udf("double")
+    def sigmoid(x: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-(x / 100000.0)))
+
+    o = t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", F.round(sigmoid("o_totalprice"), 6).alias("price_sigmoid"))
+
+
+@register(
+    "udaf_pandas_group",
+    oracle="""
+    SELECT c_mktsegment,
+           round(avg(c_acctbal) FILTER (WHERE c_acctbal >= q10 AND c_acctbal <= q90), 4)
+               AS trimmed_mean_bal,
+           count(*) AS n_custs
+    FROM (
+        SELECT c_mktsegment, c_acctbal,
+               quantile_cont(c_acctbal, 0.1) OVER (PARTITION BY c_mktsegment) AS q10,
+               quantile_cont(c_acctbal, 0.9) OVER (PARTITION BY c_mktsegment) AS q90
+        FROM customer
+    )
+    GROUP BY c_mktsegment
+    """,
+    section=SECTION,
+)
+def udaf_pandas_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregate via applyInPandas: 10%-trimmed mean of
+    account balance per market segment. numpy's linear-interpolation
+    quantile == SQL quantile_cont, so the oracle reproduces the exact
+    trim boundaries."""
+
+    def trimmed_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        vals = pdf["c_acctbal"].to_numpy()
+        q10, q90 = np.quantile(vals, 0.1), np.quantile(vals, 0.9)
+        kept = vals[(vals >= q10) & (vals <= q90)]
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+                "trimmed_mean_bal": [round(float(kept.mean()), 4)],
+                "n_custs": [len(vals)],
+            }
+        )
+
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        trimmed_mean,
+        schema="c_mktsegment string, trimmed_mean_bal double, n_custs long",
+    )
+
+
+@register(
+    "udtf_python",
+    oracle="""
+    SELECT r_name,
+           CAST(unnest(range(0, r_regionkey + 1)) AS INT) AS seq,
+           CAST(r_regionkey AS INT) AS src_key
+    FROM region
+    """,
+    section=SECTION,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 @udtf): one input row → (key+1) output
+    rows, consumed via LATERAL join — the oracle is a plain unnest."""
+
+    @udtf(returnType="r_name string, seq int, src_key int")
+    class ExpandRegion:
+        def eval(self, name: str, key: int):
+            for i in range(key + 1):
+                yield (name, i, key)
+
+    spark.udtf.register("expand_region", ExpandRegion)
+    t(spark, sf_dir, "region").createOrReplaceTempView("region_udtf_v")
+    return spark.sql(
+        """
+        SELECT u.r_name, u.seq, u.src_key
+        FROM region_udtf_v r,
+             LATERAL expand_region(r.r_name, r.r_regionkey) u
+        """
+    )

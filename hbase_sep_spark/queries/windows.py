@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hbase_sep_spark.functions import dsum_window
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -126,9 +127,10 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
                AS running_spend
     FROM orders
     """,
@@ -143,7 +145,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        dsum_window("o_totalprice", w).alias("running_spend"),
     )
 
 
@@ -229,8 +231,9 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
                AS n_similar_cheaper,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-                                         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2)
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                      OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                            RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
                AS sum_similar_cheaper
     FROM orders
     """,
@@ -245,5 +248,5 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
         F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_similar_cheaper"),
+        dsum_window("o_totalprice", w).alias("sum_similar_cheaper"),
     )
