@@ -1,1 +1,273 @@
-"""Placeholder — filled in during round 1 build."""
+"""§2.10 Streaming queries + §2.1 stream_sep_source.
+
+Each callable runs a REAL Structured Streaming query over the events
+feed (via the sep_events Python DataSource or the parquet file
+source), drives it to completion with processAllAvailable() — the
+deterministic finite-replay form of a subscription — and returns the
+materialized result. All are rows-only checks by design
+(SURVEY §2.10): DuckDB has no streaming semantics to oracle against.
+
+Watermarks/windows follow the events fixture (30 days of data,
+microsecond ts): 1-day tumbling, 1-day/6-h sliding, 30-min sessions,
+1-h watermark.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_sep_spark.registry import register
+from hbase_sep_spark.sources.sep_events import EVENT_SCHEMA, register_sep_source
+
+SECTION = "2.10"
+
+_COUNTER = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
+    """The subscription: a sep_events readStream over the feed."""
+    register_sep_source(spark)
+    reader = (
+        spark.readStream.format("sep_events")
+        .option("path", f"{sf_dir}/events.parquet")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
+    """Drive the streaming query over the whole feed, return the
+    memory-sink table as a batch DataFrame."""
+    name = f"sep_stream_{next(_COUNTER)}"
+    ckpt = tempfile.mkdtemp(prefix="sep_ckpt_")
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@register("stream_sep_source", oracle=None, section="2.1")
+def stream_sep_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEP subscription itself: replay the full feed through the
+    sep_events source in offset-tracked micro-batches; the result is
+    exactly the batch events table (stream/batch duality)."""
+    return _run_to_memory(_events_stream(spark, sf_dir))
+
+
+@register("stream_tumbling_count", oracle=None, section=SECTION)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per type per 1-day tumbling window, with a 1-hour
+    watermark bounding state."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, mode="complete")
+    return out.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+@register("stream_sliding_avg", oracle=None, section=SECTION)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 day, slide 6 h) average event value."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day", "6 hours").alias("win"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, mode="complete")
+    return out.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "avg_value",
+        "n_events",
+    )
+
+
+@register("stream_session_window", oracle=None, section=SECTION)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap —
+    state is merged session ranges per key."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, mode="complete")
+    return out.select(
+        "user_id",
+        F.date_format("sess.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        F.date_format("sess.end", "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
+        "n_events",
+    )
+
+
+@register("stream_watermark_late", oracle=None, section=SECTION)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling: append-mode windowed counts where only
+    windows the watermark has passed are emitted — the multi-batch
+    replay advances the watermark batch by batch, closing windows as
+    it goes (rows appear per closed window, late events beyond the
+    1-hour threshold would be dropped)."""
+    ev = _events_stream(spark, sf_dir, batch_size=1000)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, mode="append")
+    return out.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "n_events",
+    )
+
+
+@register("stream_dedup_watermark", oracle=None, section=SECTION)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once view of an at-least-once feed: the source
+    re-delivers every 5th event of the previous batch (SEP redelivery
+    semantics) and dropDuplicatesWithinWatermark collapses them —
+    output count equals the clean feed."""
+    ev = _events_stream(spark, sf_dir, batch_size=1000, redeliver_every=5)
+    dedup = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+    out = _run_to_memory(dedup)
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
+
+
+@register("stream_stateful_latest", oracle=None, section=SECTION)
+def stream_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running state via applyInPandasWithState: the SEP
+    consumer's materialized 'current row' — latest (ts, value) per
+    user, carried across micro-batches in explicit state."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir)
+
+    out_schema = "user_id long, last_event_id long, last_value double, n_seen long"
+    state_schema = "last_ts double, last_event_id long, last_value double, n_seen long"
+
+    def latest_per_key(key, pdfs, state: GroupState):
+        last_ts, last_eid, last_val, n_seen = (
+            state.get if state.exists else (float("-inf"), -1, 0.0, 0)
+        )
+        for pdf in pdfs:
+            for ts, eid, val in zip(
+                pdf["ts"].astype("int64") / 1e9, pdf["event_id"], pdf["value"]
+            ):
+                n_seen += 1
+                if (ts, eid) > (last_ts, last_eid):
+                    last_ts, last_eid, last_val = float(ts), int(eid), float(val)
+        state.update((last_ts, last_eid, last_val, n_seen))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_event_id": [last_eid],
+                "last_value": [last_val],
+                "n_seen": [n_seen],
+            }
+        )
+
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        latest_per_key,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(updated, mode="update")
+    # The memory table holds one row per (key, batch); keep each key's
+    # final state (max n_seen).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"), F.desc("last_event_id"))
+    return (
+        out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+
+@register("stream_static_join", oracle=None, section=SECTION)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈static enrichment: the event stream joined to a static
+    dimension (event-type tiers) — the static side broadcasts into
+    every micro-batch."""
+    tiers = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "ops"),
+        ],
+        ["event_type", "tier"],
+    )
+    ev = _events_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(tiers), "event_type")
+    out = _run_to_memory(joined)
+    return out.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
+    )
+
+
+@register("stream_foreach_batch_sink", oracle=None, section=SECTION)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent micro-batch sink — the EventListener.processEvents
+    analog ([R: sep-api/.../EventListener.java — UNVERIFIED]): each
+    micro-batch lands in a deterministic epoch-keyed parquet dir
+    (overwrite ⇒ redelivered batches are idempotent), then the union
+    of all epochs is read back."""
+    out_root = os.path.join(tempfile.gettempdir(), "sep_foreach_sink")
+    import shutil
+
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+
+    def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_root, f"epoch={epoch_id}"))
+        )
+
+    ev = _events_stream(spark, sf_dir, batch_size=2500)
+    name_ckpt = tempfile.mkdtemp(prefix="sep_ckpt_fb_")
+    q = (
+        ev.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", name_ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.option("basePath", out_root)
+        .parquet(out_root + "/epoch=*")
+        .groupBy("event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+    )

@@ -1,0 +1,49 @@
+"""Streaming semantics tests (SURVEY §5.5): the SEP delivery
+invariants — replay equals batch, redelivery collapses to
+exactly-once — verified end-to-end through the sep_events source.
+Runs at sf0.001 for speed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hbase_sep_spark.io import t
+from hbase_sep_spark.registry import load_all
+from tests.conftest import SF_UNIT
+
+REGISTRY = load_all()
+
+
+def test_stream_replay_equals_batch(spark):
+    """The full stream replay delivers exactly the batch table
+    (stream/batch duality — SURVEY §1.1)."""
+    streamed = REGISTRY["stream_sep_source"].fn(spark, SF_UNIT)
+    batch = t(spark, SF_UNIT, "events")
+    assert streamed.count() == batch.count()
+    diff = streamed.select("event_id").exceptAll(batch.select("event_id"))
+    assert diff.count() == 0
+
+
+def test_stream_dedup_is_exactly_once(spark):
+    """At-least-once feed (redeliveries injected) + watermark dedup ==
+    the clean feed's per-type counts."""
+    result = REGISTRY["stream_dedup_watermark"].fn(spark, SF_UNIT)
+    clean = (
+        t(spark, SF_UNIT, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+    got = {r["event_type"]: r["n_unique_events"] for r in result.collect()}
+    want = {r["event_type"]: r["n_unique_events"] for r in clean.collect()}
+    assert got == want
+
+
+def test_stream_stateful_latest_matches_batch_window(spark):
+    """applyInPandasWithState 'current row' state == the batch
+    latest-per-key query."""
+    stateful = REGISTRY["stream_stateful_latest"].fn(spark, SF_UNIT)
+    batch = REGISTRY["events_latest_per_key"].fn(spark, SF_UNIT)
+    got = {r["user_id"]: r["last_event_id"] for r in stateful.collect()}
+    want = {r["user_id"]: r["event_id"] for r in batch.collect()}
+    assert got == want
