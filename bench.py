@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): one shared SparkSession, 1 warm-up + 3 timed
+runs per query, median recorded; timing covers full materialization
+(toPandas via Arrow); JVM/session startup excluded.
+
+  --duckdb   also time the DuckDB oracle per query (baseline capture)
+  --runs N   timed runs per query (default 3)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family, all with bounded outputs so
+# timing measures the plan, not result shipping.
+HEADLINE = [
+    "agg_groupby_basic",      # TPC-H Q1: scan + hash agg
+    "agg_cube",               # grouping-set expansion
+    "agg_median_percentile",  # exact percentile (sort-heavy)
+    "select_distinct",        # distinct projection
+    "filter_range_between",   # pushed-down scan predicate
+    "join_inner_shuffle",     # fact⋈fact shuffle join + agg
+    "join_multiway_star",     # 5-way star join
+    "join_asof_latest_event", # union+window as-of
+    "events_latest_per_key",  # window top-1 per key
+    "win_running_sum",        # cumulative window
+    "topk_per_group",         # per-group top-k
+    "limit_topn",             # global top-k
+    "text_tokenize_wordcount",# explode + agg
+    "dedup_exact_docs",       # digest groupBy
+    "dedup_minhash_near",     # MinHash+LSH (no oracle timing)
+    "simsearch_cosine_topk",  # vector dot-product scan
+    "udf_pandas_vectorized",  # Arrow UDF path
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duckdb", action="store_true")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hbase_sep_spark.registry import load_all
+    from hbase_sep_spark.session import get_spark
+
+    registry = load_all()
+    names = args.queries or [n for n in HEADLINE if n in registry]
+
+    spark = get_spark("bench")
+    times: dict[str, float] = {}
+    duck_times: dict[str, float] = {}
+
+    for name in names:
+        fn = registry[name].fn
+        fn(spark, sf_dir).toArrow()  # warm (also JIT/codegen cache)
+        samples = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).toArrow()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 4)
+
+    if args.duckdb:
+        from tests.harness import duck_connection
+
+        con = duck_connection(sf_dir)
+        for name in names:
+            sql = registry[name].oracle
+            if sql is None:
+                continue
+            con.execute(sql).arrow()  # warm
+            samples = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                con.execute(sql).arrow()
+                samples.append(time.perf_counter() - t0)
+            duck_times[name] = round(statistics.median(samples), 4)
+
+    result = {
+        "metric": "headline_median_total",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if duck_times:
+        result["duckdb_queries"] = duck_times
+        result["duckdb_total"] = round(sum(duck_times.values()), 4)
+        common = [n for n in times if n in duck_times]
+        result["ratio_vs_duckdb"] = round(
+            sum(times[n] for n in common) / max(sum(duck_times[n] for n in common), 1e-9), 3
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -88,17 +88,29 @@ def join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     section=SECTION,
 )
 def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped 5-way star join → revenue by nation. supplier
-    and nation broadcast; the two fact joins shuffle on their keys."""
+    """TPC-H Q5-shaped 5-way star join → revenue by nation.
+
+    Join order is fact-first: lineitem picks up supplier nation via a
+    broadcast, shuffles once against orders, then the customer dim
+    (with the c_nationkey = s_nationkey correlation) and nation attach
+    as broadcasts — the big fact table is shuffled exactly once and
+    never carried through a dim-side shuffle. At full 100 TB scale
+    AQE demotes the customer broadcast to a shuffle join on o_custkey
+    automatically if it exceeds the broadcast threshold; the plan
+    shape stays valid.
+    """
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     joined = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     )
     return joined.groupBy("n_name").agg(
