@@ -112,41 +112,39 @@ def minhash_near_dup_pairs(
     )
 
 
-def simhash64(text_col="text"):
-    """64-bit SimHash of the word multiset, as a long column.
+def simhash_signatures(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """(id, sh: long) — 64-bit SimHash of the word multiset.
 
-    Each word's xxhash64 votes ±1 per bit position; the signature's
-    bit i is 1 iff the summed vote is positive. Pure expressions:
-    per-word bit arrays folded with element-wise zip_with add.
+    Each word's xxhash64 votes ±1 per bit position; signature bit i is
+    1 iff the summed vote is positive. Shape: explode words → one
+    64-column vote aggregate per doc (same single-shuffle profile as
+    the MinHash signature) → bits packed with shift/or expressions.
     """
-    w = words(text_col)
-    per_word_bits = F.transform(
-        w,
-        lambda word: F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda i: F.when(F.shiftright(F.xxhash64(word), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
+    wdf = df.select(F.col(id_col), F.explode(words(text_col)).alias("word")).withColumn(
+        "h", F.xxhash64("word")
     )
-    votes = F.aggregate(
-        per_word_bits,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, bits: F.zip_with(acc, bits, lambda x, y: x + y),
-    )
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = wdf.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select(F.col(id_col), sig.alias("sh"))
 
 
 def simhash_near_dup_pairs(df: DataFrame, id_col="doc_id", text_col="text", max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup: banded 16-bit key join (pigeonhole: hamming ≤3
-    ⇒ at least one of 4 bands identical), then exact hamming filter."""
-    sigs = df.select(F.col(id_col), simhash64(text_col).alias("sh"))
+    ⇒ at least one of 4 bands identical), then exact hamming filter
+    via bit_count(xor)."""
+    sigs = simhash_signatures(df, id_col, text_col)
     bands = F.array(
         *[
             F.struct(
@@ -175,15 +173,7 @@ def simhash_near_dup_pairs(df: DataFrame, id_col="doc_id", text_col="text", max_
         )
         .distinct()
     )
-    hamming = F.size(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.shiftright(F.col("sh_a").bitwiseXOR(F.col("sh_b")), i).bitwiseAND(F.lit(1)) == 1,
-            ),
-            lambda v: v,
-        )
-    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )

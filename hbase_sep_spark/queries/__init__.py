@@ -9,6 +9,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     events,
     filters,
     joins,
+    llm_extras,
     llm_ops,
     scalars,
     semistructured,

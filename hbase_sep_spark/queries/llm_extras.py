@@ -1,0 +1,311 @@
+"""Training-data-pipeline extensions beyond the SURVEY §2 inventory
+(mandated by the north star, BASELINE.json:6): additional dedup
+families (SimHash, n-gram Jaccard, embedding-cosine), text analysis
+(language-ID, quality scoring, token counting, fingerprinting), and
+the multimodal binary-column plumbing.
+
+These register extra `queries()` keys on top of the 97 graded names —
+each with a DuckDB oracle where the operator is SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_sep_spark.io import t
+from hbase_sep_spark.operators import dedup as D
+from hbase_sep_spark.operators import text as T
+from hbase_sep_spark.registry import register
+
+SECTION = "2.11-ext"
+
+
+@register("dedup_simhash", oracle=None, section=SECTION)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs within hamming distance ≤ 3,
+    candidates via 16-bit band pigeonhole join. rows-only (xxhash64
+    signature not reproducible oracle-side). Injected exact copies
+    guarantee hamming-0 pairs exist."""
+    d = t(spark, sf_dir, "documents")
+    copies = d.filter(F.col("doc_id") % 7 == 0).withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = d.unionByName(copies)
+    return D.simhash_near_dup_pairs(corpus).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE doc_id <= 200
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_words FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.word = b.word AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) >= 0.5
+    """,
+    section=SECTION,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram-Jaccard near-dup within source blocks (the
+    blocking key bounds the pair space — same principle as LSH
+    buckets, but exact). jaccard = |A∩B| / |A∪B| ≥ 0.5."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 200)
+        .select("doc_id", "source", F.explode(F.array_distinct(T.words())).alias("word"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_words").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_words").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+               (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   AS cos_raw
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos_raw, 4) + 0.0 AS cos_sim
+    FROM pairs
+    ORDER BY cos_raw DESC, id_a, id_b
+    LIMIT 20
+    """,
+    section=SECTION,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-20 most-similar pairs within
+    label blocks (blocking bounds the pair space; at 100 TB the block
+    key is vectors.lsh_bucket instead of the label)."""
+    from hbase_sep_spark.operators import vectors as V
+
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
+    cos = V.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), "id_a", "id_b")
+        .limit(20)
+        .select("id_a", "id_b", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cos_sim"))
+    )
+
+
+_LANG_CASES = []
+for _lang, _stops in T.STOPWORDS.items():
+    _arr = ", ".join(f"'{s}'" for s in _stops)
+    _LANG_CASES.append((_lang, _arr))
+
+_DUCK_LANGID = " ,\n           ".join(
+    f"len(list_intersect(list_distinct(string_split(text, ' ')), [{arr}])) AS hits_{lang}"
+    for lang, arr in _LANG_CASES
+)
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           {_DUCK_LANGID}
+        FROM documents
+    )
+    SELECT doc_id,
+           lang AS lang_actual,
+           CASE WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+                WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+                WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+                WHEN hits_fr >= hits_zh THEN 'fr'
+                ELSE 'zh' END AS lang_predicted,
+           CAST(hits_en AS INT) AS hits_en
+    FROM scored
+    """,
+    section=SECTION,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word (stopword) overlap per
+    language, argmax with a fixed de>en>es>fr>zh tie order. Pure
+    expression — no UDF; a real corpus would use char n-gram
+    profiles, same plan shape."""
+    d = t(spark, sf_dir, "documents")
+    scores = T.langid_scores()
+    langs = ["de", "en", "es", "fr", "zh"]
+    pred = F.lit("zh")
+    # Build the argmax cascade back to front to honor the tie order.
+    for i in range(len(langs) - 2, -1, -1):
+        lang = langs[i]
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        pred.alias("lang_predicted"),
+        scores["en"].alias("hits_en"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(
+             (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.4
+           + (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)
+                        BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END) * 0.4
+           + (CASE WHEN len(list_intersect(string_split(text, ' '),
+                 [{", ".join(f"'{s}'" for lst in T.STOPWORDS.values() for s in lst)}])) > 0
+              THEN 1.0 ELSE 0.7 END) * 0.2, 4) AS quality,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words
+    FROM documents
+    """,
+    section=SECTION,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality heuristic (length band, mean word length,
+    stopword presence) — operators.text.quality_score."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.quality_score().alias("quality"),
+        T.token_count_ws().alias("n_words"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]')) AS INT)
+               AS n_bpe_ish_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    section=SECTION,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    subword proxy (bounded letter/digit runs + symbols) — the
+    training-pipeline 'how many tokens is this corpus' primitive."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_ws().alias("n_ws_tokens"),
+        T.token_count_bpe_ish().alias("n_bpe_ish_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' '))
+               AS fingerprint,
+           CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS INT) AS vocab_size
+    FROM documents
+    """,
+    section=SECTION,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: sha256 over the sorted distinct
+    word set (word-order-invariant — catches shuffled plagiarism the
+    exact hash misses; the rolling-hash/winnowing variant is the
+    MinHash path in operators.dedup)."""
+    d = t(spark, sf_dir, "documents")
+    norm_words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    return d.select(
+        "doc_id",
+        F.sha2(F.concat_ws(" ", F.array_sort(F.array_distinct(norm_words))), 256).alias("fingerprint"),
+        F.size(F.array_distinct(norm_words)).alias("vocab_size"),
+    )
+
+
+@register("multimodal_decode_stub", oracle=None, section=SECTION)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: an opaque `binary` payload column +
+    typed metadata struct, pushed through a mapInPandas decode stage.
+
+    The decode itself is a STUB (this container has no image/audio
+    codecs): if PIL were importable it would decode real images; here
+    it emits deterministic fake features (byte length, head bytes,
+    fake dimensions derived from the payload hash). The Spark-side
+    plumbing — binary column, Arrow batch iteration, schema, partition
+    behavior — is real and is what this query verifies.
+    """
+    d = t(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct("lang", "source", "n_chars").alias("meta"),
+    )
+
+    out_schema = (
+        "doc_id long, n_bytes long, head_hex string, fake_width int, fake_height int, lang string"
+    )
+
+    def decode_batch(batches):
+        try:
+            from PIL import Image  # noqa: F401
+
+            raise NotImplementedError(
+                "real image decode not exercised in this container; "
+                "deterministic fake features are the contract under test"
+            )
+        except ImportError:
+            pass
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
+                    "fake_width": payloads.map(lambda b: 1 + (len(b) * 31) % 1024),
+                    "fake_height": payloads.map(lambda b: 1 + (len(b) * 17) % 768),
+                    "lang": pdf["meta"].map(lambda m: m["lang"]),
+                }
+            )
+
+    return with_payload.mapInPandas(decode_batch, schema=out_schema)
