@@ -43,24 +43,41 @@ def _events_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
     return reader.load()
 
 
+def _drive(start_query):
+    """Start + drain a streaming query, retrying once if the Python
+    worker for the datasource fails to spawn (a transient environment
+    failure under heavy session load, not a query error)."""
+    last_exc = None
+    for _attempt in range(3):
+        q = start_query()
+        try:
+            q.processAllAvailable()
+            return
+        except Exception as e:  # noqa: BLE001
+            last_exc = e
+            if "failed to connect back" not in str(e):
+                raise
+        finally:
+            q.stop()
+    raise last_exc
+
+
 def _run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
     """Drive the streaming query over the whole feed, return the
     memory-sink table as a batch DataFrame."""
     name = f"sep_stream_{next(_COUNTER)}"
-    ckpt = tempfile.mkdtemp(prefix="sep_ckpt_")
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    spark = stream_df.sparkSession
-    return spark.table(name)
+
+    def start():
+        return (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sep_ckpt_"))
+            .start()
+        )
+
+    _drive(start)
+    return stream_df.sparkSession.table(name)
 
 
 @register("stream_sep_source", oracle=None, section="2.1")
@@ -255,16 +272,15 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ev = _events_stream(spark, sf_dir, batch_size=2500)
-    name_ckpt = tempfile.mkdtemp(prefix="sep_ckpt_fb_")
-    q = (
-        ev.writeStream.foreachBatch(sink_batch)
-        .option("checkpointLocation", name_ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+
+    def start():
+        return (
+            ev.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sep_ckpt_fb_"))
+            .start()
+        )
+
+    _drive(start)
     return (
         spark.read.option("basePath", out_root)
         .parquet(out_root + "/epoch=*")
