@@ -1,0 +1,114 @@
+"""Physical-plan audits (the 100 TB posture, SURVEY §4).
+
+Correctness says the operator computes the right rows; these tests
+pin HOW: predicates/projections reach the parquet scan, small dims
+broadcast instead of shuffling, top-k avoids global sorts, window
+top-k gets the group-limit pushdown. A regression here is a silent
+10-100× cliff at scale even though results stay correct.
+
+Runs at sf0.001 (plan shape is SF-invariant).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hbase_sep_spark.registry import load_all
+from tests.conftest import SF_UNIT
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_UNIT)
+    jvm = spark.sparkContext._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(spark, "filter_eq")
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]" in plan
+    # Projection pruned to the 3 selected columns at the scan.
+    assert "c_acctbal" not in plan
+
+
+def test_range_predicates_push_to_scan(spark):
+    plan = plan_of(spark, "filter_range_between")
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan
+    assert "LessThanOrEqual(l_quantity,20.0)" in plan
+
+
+def test_dim_join_broadcasts(spark):
+    plan = plan_of(spark, "join_inner_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "join_multiway_star")
+    # All dims broadcast (at sf0.001 AQE broadcasts the fact joins
+    # too); the invariant is: equi-joins only, never sort-merge of a
+    # dim, never a nested loop.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theta_join_broadcasts_small_side(spark):
+    plan = plan_of(spark, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = plan_of(spark, "limit_topn")
+    assert "TakeOrderedAndProject" in plan
+    # No global Sort node (TakeOrdered keeps per-partition heaps).
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_group_topk_gets_window_group_limit(spark):
+    plan = plan_of(spark, "topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_aggregate_is_partial_then_final(spark):
+    plan = plan_of(spark, "agg_groupby_basic")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "hashpartitioning(l_returnflag" in plan  # shuffle on group keys only
+
+
+def test_semi_anti_joins_stay_joins(spark):
+    assert "LeftSemi" in plan_of(spark, "join_left_semi")
+    assert "LeftAnti" in plan_of(spark, "join_left_anti")
+
+
+def test_no_cartesian_in_knn(spark):
+    """kNN join must broadcast the probe side, never cartesian the
+    corpus."""
+    plan = plan_of(spark, "simsearch_knn_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_whole_stage_codegen_covers_scan_pipelines(spark):
+    """The hot scan→project→filter path runs inside codegen."""
+    plan = plan_of(spark, "project_alias")
+    assert "codegen id" in plan  # formatted mode marks codegen spans per node
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_groupby_basic", "join_multiway_star", "dedup_exact_docs", "text_tfidf"],
+)
+def test_no_driver_side_collect_in_plan(spark, name):
+    """Operators must stay distributed: building the DataFrame never
+    triggers a job (no .collect() in any query constructor)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    REGISTRY[name].fn(spark, SF_UNIT)  # build plan only, no action
+    after = tracker.getJobIdsForGroup(None)
+    # File-index listing may run a tiny job per table scanned; a real
+    # collect() leaks many more (one per shuffle stage).
+    assert len(after) - len(before) <= 6

@@ -1,0 +1,117 @@
+"""Property-based semantics tests (SURVEY §5.4, hypothesis).
+
+Invariants of the operator library on random small inputs:
+dedup idempotence, union additivity, top-k ⊆ sort prefix, window
+recompute vs brute force, and the SEP at-least-once invariant
+(processing a feed with injected duplicates == processing the clean
+feed). One shared SparkSession; data sizes kept tiny so the suite
+stays fast while hypothesis explores the edge space (empty groups,
+all-equal keys, duplicate join keys, ties).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+
+from hbase_sep_spark.operators.dedup import exact_dedup_groups, minhash_signatures
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+texts = st.lists(
+    st.text(alphabet="ab c", min_size=1, max_size=20).map(lambda s: s.strip() or "x"),
+    min_size=1,
+    max_size=12,
+)
+values = st.lists(st.integers(min_value=-5, max_value=5), min_size=0, max_size=20)
+
+
+@given(texts=texts)
+@settings(**SETTINGS)
+def test_exact_dedup_idempotent(spark, texts):
+    """f(f(x)) == f(x): deduping an already-deduped corpus is a
+    no-op (canonical ids survive, every multiplicity collapses to 1)."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    once = exact_dedup_groups(df).select(
+        F.col("canonical_doc_id").alias("doc_id"),
+    )
+    docs_once = df.join(once, "doc_id", "left_semi")
+    twice = exact_dedup_groups(docs_once)
+    assert twice.filter(F.col("n_copies") != 1).count() == 0
+    assert twice.count() == once.count()
+
+
+@given(a=values, b=values)
+@settings(**SETTINGS)
+def test_union_all_count_additive(spark, a, b):
+    schema = "v int"
+    da = spark.createDataFrame([(x,) for x in a], schema)
+    db = spark.createDataFrame([(x,) for x in b], schema)
+    assert da.unionAll(db).count() == len(a) + len(b)
+
+
+@given(vals=st.lists(st.integers(0, 100), min_size=1, max_size=30), k=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_topk_is_sort_prefix(spark, vals, k):
+    """orderBy().limit(k) == first k of the full sort (with unique
+    tie-break, so the prefix is well-defined)."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["id", "v"])
+    full = [(r["v"], r["id"]) for r in df.orderBy(F.desc("v"), "id").collect()]
+    topk = [(r["v"], r["id"]) for r in df.orderBy(F.desc("v"), "id").limit(k).collect()]
+    assert topk == full[:k]
+
+
+@given(vals=st.lists(st.tuples(st.integers(0, 3), st.integers(-10, 10)), min_size=0, max_size=25))
+@settings(**SETTINGS)
+def test_running_sum_matches_bruteforce(spark, vals):
+    """Window cumulative sum per key == per-key Python prefix sums."""
+    rows = [(i, k, v) for i, (k, v) in enumerate(vals)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["id", "k", "v"])
+    w = Window.partitionBy("k").orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    got = {
+        r["id"]: r["rs"]
+        for r in df.select("id", "k", F.sum("v").over(w).alias("rs")).collect()
+    }
+    acc: dict[int, int] = {}
+    for i, k, v in rows:
+        acc[k] = acc.get(k, 0) + v
+        assert got[i] == acc[k]
+
+
+@given(dup_mod=st.integers(2, 5))
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_at_least_once_invariant(spark, dup_mod):
+    """SEP redelivery invariant: dedup(feed + duplicated slice) ==
+    feed, whatever slice got redelivered."""
+    feed = spark.range(0, 50).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("user_id")
+    )
+    redelivered = feed.filter(F.col("event_id") % dup_mod == 0)
+    merged = feed.unionAll(redelivered).dropDuplicates(["event_id"])
+    got = sorted(r["event_id"] for r in merged.collect())
+    want = sorted(r["event_id"] for r in feed.collect())
+    # (compared via collect: exceptAll over a self-unioned range hits
+    # a Spark analyzer bug — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    assert got == want
+
+
+@given(texts=texts)
+@settings(**SETTINGS)
+def test_minhash_identical_docs_identical_signatures(spark, texts):
+    """MinHash signatures are a pure function of text: exact copies
+    always collide on every component."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(1000 + i, t) for i, t in enumerate(texts)]  # exact copies
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = minhash_signatures(df, n_hashes=8)
+    by_id = {r["doc_id"]: tuple(r["minhash"]) for r in sig.collect()}
+    for i in range(len(texts)):
+        assert by_id[i] == by_id[1000 + i]
