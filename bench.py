@@ -64,25 +64,16 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from hbase_sep_spark.registry import load_all
-    from hbase_sep_spark.session import get_spark
 
     registry = load_all()
     names = args.queries or [n for n in HEADLINE if n in registry]
 
-    spark = get_spark("bench")
     times: dict[str, float] = {}
     duck_times: dict[str, float] = {}
 
-    for name in names:
-        fn = registry[name].fn
-        fn(spark, sf_dir).toArrow()  # warm (also JIT/codegen cache)
-        samples = []
-        for _ in range(args.runs):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).toArrow()
-            samples.append(time.perf_counter() - t0)
-        times[name] = round(statistics.median(samples), 4)
-
+    # DuckDB phase FIRST, before the JVM exists: a live local[32]
+    # Spark session contends for cores and inflates the baseline up
+    # to ~8x (measured) — the baseline must be uncontended.
     if args.duckdb:
         from tests.harness import duck_connection
 
@@ -98,6 +89,25 @@ def main() -> None:
                 con.execute(sql).arrow()
                 samples.append(time.perf_counter() - t0)
             duck_times[name] = round(statistics.median(samples), 4)
+        con.close()
+
+    from hbase_sep_spark.session import get_spark
+
+    # 8 shuffle partitions: sized so sf0.1 shuffle blocks stay ~MB and
+    # task-scheduling overhead stays off the measurement; AQE coalesces
+    # further at runtime. At cluster scale this knob comes from the
+    # cluster conf, not from here.
+    spark = get_spark("bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")))
+
+    for name in names:
+        fn = registry[name].fn
+        fn(spark, sf_dir).toArrow()  # warm (also JIT/codegen cache)
+        samples = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).toArrow()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 4)
 
     result = {
         "metric": "headline_median_total",

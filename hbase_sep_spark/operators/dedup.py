@@ -96,8 +96,17 @@ def minhash_near_dup_pairs(
 
     est_jaccard = fraction of agreeing minhash components (unbiased
     Jaccard estimator); candidates come only from LSH buckets.
+
+    The signature table is persisted: it is consumed three times
+    (banding + both sides of the verify join) and is tiny relative to
+    the corpus (n_hashes longs per doc) — materializing it once is
+    the standard MinHash-at-scale shape.
     """
-    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    from pyspark import StorageLevel
+
+    sig = minhash_signatures(df, id_col, text_col, n_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = lsh_candidate_pairs(sig, id_col)
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))

@@ -282,18 +282,18 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     price. The anchor side is pre-filtered tiny and broadcast →
     BroadcastNestedLoopJoin; at scale this is the banded-join pattern
     (a range-bucket equi-key would be added to make it an equi join)."""
-    a = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 20)
-    b = t(spark, sf_dir, "part")
+    a = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 20).alias("a")
+    b = t(spark, sf_dir, "part").alias("b")
     cond = (
-        (b.p_partkey != a.p_partkey)
-        & (b.p_retailprice >= a.p_retailprice * 0.95)
-        & (b.p_retailprice <= a.p_retailprice * 1.05)
+        (F.col("b.p_partkey") != F.col("a.p_partkey"))
+        & (F.col("b.p_retailprice") >= F.col("a.p_retailprice") * 0.95)
+        & (F.col("b.p_retailprice") <= F.col("a.p_retailprice") * 1.05)
     )
     return F.broadcast(a).join(b, cond).select(
-        a.p_partkey.alias("anchor_key"),
-        b.p_partkey.alias("similar_key"),
-        a.p_retailprice.alias("anchor_price"),
-        b.p_retailprice.alias("similar_price"),
+        F.col("a.p_partkey").alias("anchor_key"),
+        F.col("b.p_partkey").alias("similar_key"),
+        F.col("a.p_retailprice").alias("anchor_price"),
+        F.col("b.p_retailprice").alias("similar_price"),
     )
 
 
