@@ -187,3 +187,24 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+@register(
+    "events_sep_cell_model",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props
+    FROM events
+    """,
+    section=SECTION,
+)
+def events_sep_cell_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SepEvent cell-model roundtrip: flat feed → SepEvent shape
+    (table, row_key, cell bag, payload — operators/sep_model.py,
+    [R: sep-api/.../SepEvent.java — UNVERIFIED]) → back to the typed
+    feed. The oracle is the identity: the cell model must be lossless."""
+    from hbase_sep_spark.operators.sep_model import from_sep_events, to_sep_events
+
+    ev = t(spark, sf_dir, "events")
+    return from_sep_events(to_sep_events(ev)).select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )

@@ -1,0 +1,80 @@
+"""Subscription API — the SepModel analog (SURVEY §1.1, §3.1 EP1).
+
+Reference surface ([R: sep-api/.../SepModel.java → sep-impl/...
+/SepModelImpl.java — UNVERIFIED]): `addSubscription(name)` registers a
+durable named consumer (an HBase replication peer in ZooKeeper);
+`SepConsumer` then delivers the WAL feed from the peer's saved
+position, with per-row ordering; unsubscribing removes the peer.
+
+Spark-native mapping: a subscription is a NAMED, DURABLE streaming
+query over the sep_events source —
+- the name maps to a stable checkpoint directory (the replication
+  position / durable cursor);
+- `start()` resumes from the saved offsets: stop + start replays
+  nothing and misses nothing (exactly the replication-peer contract);
+- the listener is a foreachBatch callable (the
+  EventListener.processEvents analog) or any writeStream sink.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_sep_spark.sources.sep_events import register_sep_source
+
+
+@dataclass
+class SepSubscription:
+    """One durable subscription to the event feed."""
+
+    spark: SparkSession
+    name: str
+    feed_path: str
+    root: str = field(default="/tmp/sep_subscriptions")
+    batch_size: int = 2500
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return os.path.join(self.root, self.name, "checkpoint")
+
+    def stream(self) -> DataFrame:
+        register_sep_source(self.spark)
+        return (
+            self.spark.readStream.format("sep_events")
+            .option("path", self.feed_path)
+            .option("batch_size", str(self.batch_size))
+            .load()
+        )
+
+    def start(
+        self,
+        listener: Callable[[DataFrame, int], None],
+        transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    ):
+        """Begin (or resume) delivery to `listener(batch_df, epoch)`.
+
+        Returns the StreamingQuery; the caller drives it
+        (processAllAvailable for a finite replay, awaitTermination for
+        a live tail). Restarting with the same subscription name
+        resumes from the checkpointed offset — no redelivery of acked
+        batches, none skipped.
+        """
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        df = self.stream()
+        if transform is not None:
+            df = transform(df)
+        return (
+            df.writeStream.foreachBatch(listener)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )
+
+    def unsubscribe(self) -> None:
+        """Drop the durable position (the removePeer analog). The next
+        start() replays from the beginning of the retained feed."""
+        shutil.rmtree(os.path.join(self.root, self.name), ignore_errors=True)
