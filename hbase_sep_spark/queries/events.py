@@ -208,3 +208,43 @@ def events_sep_cell_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return from_sep_events(to_sep_events(ev)).select(
         "event_id", "user_id", "event_type", "value", "props"
     )
+
+
+@register("sink_bucketed_join", oracle=None, section=SECTION)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join — the 100 TB shuffle-elimination
+    story made concrete: lineitem is written once bucketed by
+    l_orderkey (`bucketBy(8)` + saveAsTable), after which every join
+    or aggregation on l_orderkey reads pre-partitioned buckets and
+    skips its shuffle entirely (the plan shows no Exchange on the
+    bucketed side). rows-only: the artifact is the bucketed layout."""
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    table_name = "lineitem_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # A previous session may have left the managed location behind
+    # (its catalog is gone, so DROP TABLE can't see it) — clear the
+    # physical path too or saveAsTable fails LOCATION_ALREADY_EXISTS.
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(warehouse, table_name), ignore_errors=True)
+    (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    bucketed = spark.table(table_name)
+    per_order = bucketed.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("order_total"),
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return per_order.join(o, per_order.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "o_orderstatus", "n_lines", "order_total"
+    )

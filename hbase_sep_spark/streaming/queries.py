@@ -287,3 +287,45 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("n_events").alias("n_events"))
     )
+
+
+@register("stream_stream_interval_join", oracle=None, section=SECTION)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream interval join: purchases matched to the same
+    user's clicks within the preceding hour — two independent
+    sep_events subscriptions joined with watermarks bounding both
+    sides' state (the streaming form of join_interval_events; Spark
+    drops state outside the watermark+interval window, so state is
+    bounded however long the feeds run)."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            c_ts >= p_ts - INTERVAL 1 HOUR AND
+            c_ts <= p_ts
+            """
+        ),
+    )
+    out = _run_to_memory(joined)
+    return out.select("purchase_id", "click_id", F.col("p_user").alias("user_id"))

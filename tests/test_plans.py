@@ -112,3 +112,12 @@ def test_no_driver_side_collect_in_plan(spark, name):
     # File-index listing may run a tiny job per table scanned; a real
     # collect() leaks many more (one per shuffle stage).
     assert len(after) - len(before) <= 6
+
+
+def test_bucketed_table_join_skips_shuffle(spark):
+    """The bucketed write (bucketBy l_orderkey) must let the per-order
+    aggregation read pre-partitioned buckets — no Exchange on
+    l_orderkey below the aggregate."""
+    plan = plan_of(spark, "sink_bucketed_join")
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
