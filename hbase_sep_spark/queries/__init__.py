@@ -11,6 +11,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     joins,
     llm_extras,
     llm_ops,
+    relational_ext,
     scalars,
     semistructured,
     sets,
