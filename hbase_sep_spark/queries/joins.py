@@ -403,3 +403,56 @@ def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("marker") == 1)
         .select("user_id", "purchase_id", "purchase_value", "last_click_id")
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN user_id < 30 THEN 0 ELSE user_id END AS hot_key, value
+        FROM events
+    ),
+    dim AS (
+        SELECT user_id AS hot_key, count(*) AS n_user_events
+        FROM events GROUP BY user_id
+    )
+    SELECT f.hot_key,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(f.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+           max(d.n_user_events) AS dim_attr
+    FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+    GROUP BY f.hot_key
+    """,
+    section=SECTION,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via salting — the manual pattern for when
+    AQE's runtime skew split isn't available (e.g. bucketed inputs).
+
+    A synthetic hot key (a fifth of all events collapse onto key 0)
+    would put the whole hot partition on one task in a plain shuffle
+    join. Mitigation: the fact side gets a deterministic salt
+    (event_id % N_SALT) appended to the key; the dim side is exploded
+    across all N_SALT salt values; the join key becomes (key, salt) →
+    the hot key's rows spread over N_SALT tasks. The salt never leaks
+    into the result — the oracle is the UNsalted join, proving
+    semantic equivalence.
+    """
+    N_SALT = 8
+    ev = t(spark, sf_dir, "events")
+    fact = ev.select(
+        F.when(F.col("user_id") < 30, F.lit(0)).otherwise(F.col("user_id")).alias("hot_key"),
+        "value",
+        (F.col("event_id") % N_SALT).alias("salt"),
+    )
+    dim = (
+        ev.groupBy(F.col("user_id").alias("hot_key"))
+        .agg(F.count(F.lit(1)).alias("n_user_events"))
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)])))
+    )
+    joined = fact.join(dim, ["hot_key", "salt"])
+    return joined.groupBy("hot_key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value").alias("sum_value"),
+        F.max("n_user_events").alias("dim_attr"),
+    )

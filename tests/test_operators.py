@@ -1,0 +1,100 @@
+"""Unit tests for the operator library on tiny hand-built frames
+(SURVEY §5.3): edge cases the corpus queries don't hit — unicode,
+single-word docs (shingle fallback), empty arrays, hot-key skew,
+LSH bucket determinism.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from hbase_sep_spark.operators import vectors as V
+from hbase_sep_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from hbase_sep_spark.operators.text import quality_score, shingles, token_count_ws
+
+
+def test_exact_dedup_unicode_and_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "héllo wörld"), (2, "  HÉLLO WÖRLD "), (3, "unrelated 文本")],
+        ["doc_id", "text"],
+    )
+    groups = exact_dedup_groups(df).collect()
+    by_canon = {r["canonical_doc_id"]: r["n_copies"] for r in groups}
+    # lower+trim folds 1 and 2 together; the CJK doc stands alone.
+    assert by_canon == {1: 2, 3: 1}
+
+
+def test_shingles_short_doc_fallback(spark):
+    df = spark.createDataFrame([(1, "single"), (2, "two words"), (3, "a b c d")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", shingles("text", 3).alias("sh")).collect()}
+    assert rows[1] == ["single"]          # < k words → whole text
+    assert rows[2] == ["two words"]
+    assert rows[3] == ["a b c", "b c d"]  # sliding 3-shingles
+
+
+def test_minhash_finds_exact_copy_pair(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words here now ok yes maybe")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_near_dup_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert all(k == (1, 2) for k in pairs)
+
+
+def test_simhash_copy_has_zero_hamming(spark):
+    base = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame([(1, base), (2, base)], ["doc_id", "text"])
+    rows = simhash_near_dup_pairs(df).collect()
+    assert len(rows) == 1 and rows[0]["hamming"] == 0
+
+
+def test_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [0.0, 1.0])],
+        ["id", "a", "b"],
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", F.round(V.cosine("a", "b"), 6).alias("c")).collect()}
+    assert got[1] == 1.0
+    assert got[2] == 0.0
+
+
+def test_unit_normalize_has_unit_norm(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0])], ["id", "v"])
+    row = df.select(V.unit_normalize("v", 4).alias("u")).collect()[0]
+    assert row["u"] == [0.6, 0.8]
+    assert math.isclose(sum(x * x for x in row["u"]), 1.0, abs_tol=1e-6)
+
+
+def test_lsh_bucket_deterministic_and_locality(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [-1.0, 0.0, 0.0])],
+        ["id", "v"],
+    )
+    out1 = {r["id"]: r["b"] for r in df.select("id", V.lsh_bucket("v", 8).alias("b")).collect()}
+    out2 = {r["id"]: r["b"] for r in df.select("id", V.lsh_bucket("v", 8).alias("b")).collect()}
+    assert out1 == out2                      # deterministic
+    assert out1[1] == out1[2]                # near-identical vectors collide
+    assert out1[1] != out1[3]                # antipodal vectors do not
+
+
+def test_quality_and_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 1), (2, " ".join(["word"] * 30), 30 * 5 - 1)],
+        ["doc_id", "text", "n_chars"],
+    )
+    rows = {
+        r["doc_id"]: (r["q"], r["n"])
+        for r in df.select(
+            "doc_id", quality_score().alias("q"), token_count_ws().alias("n")
+        ).collect()
+    }
+    assert rows[1][1] == 1 and rows[1][0] < rows[2][0]  # tiny doc scores lower
+    assert rows[2][1] == 30
