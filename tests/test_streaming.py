@@ -47,3 +47,42 @@ def test_stream_stateful_latest_matches_batch_window(spark):
     got = {r["user_id"]: r["last_event_id"] for r in stateful.collect()}
     want = {r["user_id"]: r["event_id"] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_per_key_delivery_order(spark):
+    """The SEP guarantee: each key's events arrive in order across
+    micro-batches (batch N's events for user U all precede batch
+    N+1's). Collect (batch, user, ts) via foreachBatch and assert
+    per-user (batch, ts) sequences are monotone."""
+    import tempfile
+
+    from hbase_sep_spark.streaming.subscription import SepSubscription
+
+    seen: list[tuple[int, int, object, int]] = []
+
+    def listener(batch_df, epoch_id):
+        for r in batch_df.select("user_id", "ts", "event_id").collect():
+            seen.append((epoch_id, r["user_id"], r["ts"], r["event_id"]))
+
+    sub = SepSubscription(
+        spark,
+        name="order-test",
+        feed_path=f"{SF_UNIT}/events.parquet",
+        root=tempfile.mkdtemp(prefix="sep_order_"),
+        batch_size=300,
+    )
+    q = sub.start(listener)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(seen) == 1000
+    per_user: dict[int, list[tuple]] = {}
+    for epoch, user, ts, eid in seen:
+        per_user.setdefault(user, []).append((epoch, ts, eid))
+    assert len(per_user) > 1
+    for user, entries in per_user.items():
+        # arrival order == (epoch asc, and within the feed, ts asc):
+        # the sequence as delivered must already be sorted.
+        assert entries == sorted(entries), f"out-of-order delivery for user {user}"
