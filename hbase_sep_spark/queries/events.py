@@ -36,7 +36,9 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scan_events_feed",
     oracle="""
-    SELECT event_id, ts, user_id, event_type, value, props
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           user_id, event_type, value, props
     FROM events
     """,
     section=SECTION,
@@ -44,9 +46,16 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_events_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch replay of the change/event feed — the same schema the
     streaming sep_events source delivers (batch/stream duality,
-    SURVEY §1.1 'Stream, not table')."""
+    SURVEY §1.1 'Stream, not table').
+
+    ts is emitted as a microsecond ISO string: the raw column is
+    TIMESTAMP(µs) in Spark but TIMESTAMP_NS in DuckDB and the oracle
+    compare must not depend on how the harness normalizes precision.
+    """
     return t(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id", "event_type", "value", "props",
     )
 
 

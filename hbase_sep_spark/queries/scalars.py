@@ -134,7 +134,7 @@ def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date_trunc_arith",
     oracle="""
     SELECT o_orderkey,
-           date_trunc('month', o_orderdate) AS order_month,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS due_date,
            CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
            CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
@@ -151,7 +151,7 @@ def date_trunc_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     odate = F.col("o_orderdate").cast("date")
     return o.select(
         "o_orderkey",
-        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
         F.date_format(F.date_add(odate, 30), "yyyy-MM-dd").alias("due_date"),
         F.datediff(odate, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
         F.date_format(F.last_day(odate), "yyyy-MM-dd").alias("month_end"),
