@@ -98,3 +98,25 @@ def test_quality_and_token_count_edges(spark):
     }
     assert rows[1][1] == 1 and rows[1][0] < rows[2][0]  # tiny doc scores lower
     assert rows[2][1] == 30
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """MinHash est_jaccard ≈ exact shingle Jaccard (32 hashes →
+    σ≈0.09; fixed texts + seeded hash family make the check exact,
+    asserted within 4σ)."""
+    base = [f"w{i}" for i in range(24)]
+    text_a = " ".join(base)
+    text_b = " ".join(base[4:] + ["x1", "x2", "x3", "x4"])  # shifted overlap
+
+    def sh_set(text, k=3):
+        w = text.split(" ")
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    exact = len(sh_set(text_a) & sh_set(text_b)) / len(sh_set(text_a) | sh_set(text_b))
+    assert 0.2 < exact < 0.95  # the fixture is a genuine near-dup, not a copy
+
+    df = spark.createDataFrame([(1, text_a), (2, text_b)], ["doc_id", "text"])
+    pairs = minhash_near_dup_pairs(df, threshold=0.0).collect()
+    assert len(pairs) == 1
+    est = pairs[0]["est_jaccard"]
+    assert abs(est - exact) < 0.36, f"est {est} vs exact {exact}"
