@@ -329,3 +329,59 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(joined)
     return out.select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
+@register("stream_incremental_upsert_view", oracle=None, section=SECTION)
+def stream_incremental_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical SEP consumer: maintain a materialized
+    'current row per key' view from the change feed, incrementally.
+
+    Each micro-batch upserts into a parquet-backed state table:
+    new per-key maxima replace old rows (anti-join + union — the
+    MERGE INTO emulation for a plain parquet store; with Delta/Iceberg
+    this is a MERGE). Batch-internal dedup picks the latest (ts,
+    event_id) per key first, so redeliveries and intra-batch updates
+    collapse. The final view must equal the batch latest-per-key
+    query — asserted in tests/test_streaming.py.
+    """
+    import shutil
+
+    state_dir = os.path.join(tempfile.gettempdir(), "sep_upsert_view")
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    from pyspark.sql import Window
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch_df.select("user_id", "ts", "event_id", "event_type", "value")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        target = os.path.join(state_dir, "current")
+        if os.path.exists(target):
+            existing = batch_df.sparkSession.read.parquet(target)
+            keep = existing.join(latest.select("user_id"), "user_id", "left_anti")
+            merged = keep.unionByName(latest)
+        else:
+            merged = latest
+        staging = os.path.join(state_dir, f"staging_{epoch_id}")
+        merged.write.mode("overwrite").parquet(staging)
+        refreshed = os.path.join(state_dir, f"v{epoch_id}")
+        os.rename(staging, refreshed)
+        link = os.path.join(state_dir, "current")
+        shutil.rmtree(link, ignore_errors=True)
+        shutil.copytree(refreshed, link)
+
+    ev = _events_stream(spark, sf_dir, batch_size=2000, redeliver_every=7)
+
+    def start():
+        return (
+            ev.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sep_ckpt_up_"))
+            .start()
+        )
+
+    _drive(start)
+    return spark.read.parquet(os.path.join(state_dir, "current"))

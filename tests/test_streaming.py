@@ -86,3 +86,14 @@ def test_stream_per_key_delivery_order(spark):
         # arrival order == (epoch asc, and within the feed, ts asc):
         # the sequence as delivered must already be sorted.
         assert entries == sorted(entries), f"out-of-order delivery for user {user}"
+
+
+def test_incremental_upsert_view_equals_batch_latest(spark):
+    """The incrementally-maintained materialized view (CDC upserts,
+    redeliveries included) converges to the batch latest-per-key
+    result — the SEP secondary-view guarantee."""
+    view = REGISTRY["stream_incremental_upsert_view"].fn(spark, SF_UNIT)
+    batch = REGISTRY["events_latest_per_key"].fn(spark, SF_UNIT)
+    got = {r["user_id"]: (r["event_id"], r["value"]) for r in view.collect()}
+    want = {r["user_id"]: (r["event_id"], r["value"]) for r in batch.collect()}
+    assert got == want
