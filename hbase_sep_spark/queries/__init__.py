@@ -16,6 +16,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     semistructured,
     sets,
     sort_limit,
+    sources_formats,
     udfs,
     windows,
 )

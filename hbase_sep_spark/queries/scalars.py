@@ -258,3 +258,28 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(value AS LONG)").alias("value_trunc"),
         F.col("value").cast("string").isNotNull().alias("value_str_ok"),
     )
+
+
+@register(
+    "str_levenshtein",
+    oracle="""
+    SELECT a.c_custkey AS key_a,
+           b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM (SELECT * FROM customer WHERE c_custkey <= 30) a
+    JOIN (SELECT * FROM customer WHERE c_custkey <= 30) b
+      ON a.c_custkey < b.c_custkey
+    """,
+    section=SECTION,
+)
+def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise edit distance on a bounded slice — the string-distance
+    primitive fuzzy dedup builds on (bounded pair space, same blocking
+    discipline as the dedup operators)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 30)
+    a, b = c.alias("a"), c.alias("b")
+    return a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey")).select(
+        F.col("a.c_custkey").alias("key_a"),
+        F.col("b.c_custkey").alias("key_b"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edit_dist"),
+    )

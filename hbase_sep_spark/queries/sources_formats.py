@@ -1,0 +1,83 @@
+"""Source/sink format coverage beyond parquet: JSON-lines, CSV, ORC.
+
+Each query round-trips the events feed through the format (write to
+tmp, read back with an explicit schema — never inferSchema in a
+pipeline) and is oracled against the ORIGINAL parquet: the check
+proves the format path is lossless, not merely that it runs.
+Timestamps travel as microsecond ISO strings (CSV/JSON have no
+native timestamp; the explicit schema + format pin the semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_sep_spark.io import t
+from hbase_sep_spark.registry import register
+
+SECTION = "2.1-ext"
+
+_ORACLE = """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           user_id, event_type, value, props
+    FROM events
+    WHERE event_id <= 3000
+"""
+
+_READ_SCHEMA = "event_id long, ts string, user_id long, event_type string, value double, props string"
+
+
+def _events_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") <= 3000)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **writer_opts) -> DataFrame:
+    out = os.path.join(tempfile.gettempdir(), "sep_fmt_roundtrip", fmt)
+    df = _events_slice(spark, sf_dir)
+    writer = df.write.mode("overwrite").format(fmt)
+    for k, v in writer_opts.items():
+        writer = writer.option(k, v)
+    writer.save(out)
+    reader = spark.read.format(fmt).schema(_READ_SCHEMA)
+    for k, v in writer_opts.items():
+        reader = reader.option(k, v)
+    return reader.load(out)
+
+
+@register("source_json_roundtrip", oracle=_ORACLE, section=SECTION)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON-lines → back. The props column is itself a JSON
+    string — the writer must escape it, the reader must NOT re-parse
+    it (schema pins it to string); this is the classic nested-JSON
+    trap the roundtrip proves out."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@register("source_csv_roundtrip", oracle=_ORACLE, section=SECTION)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV (header, quoted) → back. props contains commas,
+    quotes and braces — quoting/escaping must survive the trip."""
+    return _roundtrip(spark, sf_dir, "csv", header="true", quote='"', escape='"')
+
+
+@register("source_orc_roundtrip", oracle=_ORACLE, section=SECTION)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → back (the other columnar format; typed, so the
+    schema read is exact)."""
+    return _roundtrip(spark, sf_dir, "orc")
