@@ -342,3 +342,32 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0))).alias("n_errors"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           bit_and(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_and,
+           bit_or(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_or,
+           bit_xor(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_xor
+    FROM events
+    GROUP BY user_bucket
+    """,
+    section=SECTION,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates (flag-set accumulation) — fully
+    associative/commutative, so shuffle order is irrelevant by
+    construction."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((F.col("user_id") % 10).alias("user_bucket"), k.alias("k"))
+        .groupBy("user_bucket")
+        .agg(
+            F.bit_and("k").alias("k_and"),
+            F.bit_or("k").alias("k_or"),
+            F.bit_xor("k").alias("k_xor"),
+        )
+    )

@@ -257,3 +257,71 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_order.join(o, per_order.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "o_orderstatus", "n_lines", "order_total"
     )
+
+
+@register(
+    "events_scd2_history",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    section=SECTION,
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history from the change feed: each event version of
+    a key gets [valid_from, valid_to) effectivity and an is_current
+    flag — the MERGE-INTO-free emulation (window lead over the
+    ordered feed; with Delta/Iceberg this is the MERGE path). The
+    other half of the SEP consumer story next to the latest-per-key
+    snapshot."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    lead_ts = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format(lead_ts, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        lead_ts.isNull().alias("is_current"),
+    )
+
+
+@register("sink_compaction", oracle=None, section=SECTION)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every
+    long-running CDC sink needs: a fragmented landing zone (40
+    per-batch files) is rewritten into a few right-sized files.
+    Returns before/after file counts + row totals (rows-only; the
+    invariant is rows_before == rows_after and files shrink)."""
+    import glob
+    import shutil
+
+    root = os.path.join(tempfile.gettempdir(), "sep_compaction")
+    shutil.rmtree(root, ignore_errors=True)
+    frag, compact = os.path.join(root, "frag"), os.path.join(root, "compact")
+
+    ev = t(spark, sf_dir, "events")
+    ev.repartition(40).write.mode("overwrite").parquet(frag)
+    fragmented = spark.read.parquet(frag)
+    n_files_before = len(glob.glob(f"{frag}/part-*.parquet"))
+    fragmented.coalesce(4).write.mode("overwrite").parquet(compact)
+    n_files_after = len(glob.glob(f"{compact}/part-*.parquet"))
+    compacted = spark.read.parquet(compact)
+    return spark.createDataFrame(
+        [
+            (
+                n_files_before,
+                n_files_after,
+                fragmented.count(),
+                compacted.count(),
+            )
+        ],
+        "files_before int, files_after int, rows_before long, rows_after long",
+    ).withColumn("lossless", F.col("rows_before") == F.col("rows_after"))

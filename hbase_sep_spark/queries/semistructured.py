@@ -223,3 +223,20 @@ def map_keys_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_values(m).alias("ctx_values"),
         m.getItem("etype").alias("etype_lookup"),
     )
+
+
+@register(
+    "arr_posexplode",
+    oracle="""
+    SELECT p_partkey,
+           CAST(unnest(range(0, len(ws))) AS INT) AS pos,
+           unnest(ws) AS word
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part WHERE p_partkey <= 300)
+    """,
+    section=SECTION,
+)
+def arr_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional unnest: (position, element) rows — the oracle zips
+    two parallel unnests (DuckDB 1.0 has no WITH ORDINALITY)."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return p.select("p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word"))
