@@ -76,3 +76,23 @@ def lsh_bucket(a, n_planes: int = 16, seed: int = 42) -> Column:
     for j in range(n_planes):
         bucket = bucket * 2 + projection_sign(j)
     return bucket
+
+
+def lsh_tables(a, n_tables: int = 8, n_planes: int = 4, seed: int = 42) -> Column:
+    """Multi-table LSH: array of (table, bucket) structs, one bucket
+    per independent hash table (planes seeded per table).
+
+    One k-plane table alone has near-zero recall on weakly-clustered
+    vectors (P(collide) = p^k with p barely above 1/2); L independent
+    tables lift it to 1-(1-p^k)^L — the standard LSH construction.
+    Explode this array and equi-join on (table, bucket): candidates =
+    union over tables, still never all-pairs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(a, n_planes=n_planes, seed=seed + 1000 * t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )

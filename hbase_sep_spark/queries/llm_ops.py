@@ -339,3 +339,111 @@ def multimodal_struct_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_meta.label").alias("label"),
         F.col("vec_meta.emb_norm").alias("emb_norm"),
     )
+
+
+@register("simsearch_lsh_bucketed", oracle=None, section=SECTION)
+def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via multi-table random-hyperplane LSH (8 tables × 4
+    planes): probes score only candidates sharing a (table, bucket)
+    key in ANY table — candidates = equi-join on the exploded key,
+    distinct-ed, never all-pairs. Recall vs brute force gated in
+    tests/test_ann.py. rows-only: xxhash64 plane family."""
+    e = t(spark, sf_dir, "embeddings")
+    keys = V.lsh_tables("embedding", n_tables=8, n_planes=4)
+    bucketed = e.select("vec_id", "embedding", F.explode(keys).alias("k")).select(
+        "vec_id", "embedding", F.col("k.table").alias("table"), F.col("k.bucket").alias("bucket")
+    )
+    probes = (
+        e.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_emb"),
+            F.explode(keys).alias("k"),
+        )
+        .select(
+            "probe_id", "probe_emb", F.col("k.table").alias("table"), F.col("k.bucket").alias("bucket")
+        )
+    )
+    candidates = (
+        bucketed.join(F.broadcast(probes), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "probe_emb", F.col("vec_id").alias("neighbor_id"), "embedding")
+        .distinct()
+    )
+    cos = V.dot("embedding", "probe_emb") / (V.l2_norm("embedding") * V.l2_norm("probe_emb"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        candidates.select("probe_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cos_sim"), "rank")
+    )
+
+
+@register("simsearch_ivf_coarse", oracle=None, section=SECTION)
+def simsearch_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF coarse quantization, fully declarative: centroids =
+    per-label mean embeddings (10 lists), every vector is assigned to
+    its nearest centroid, probes scan only the nprobe=5 nearest
+    inverted lists. The centroid table is a tiny broadcast; the list
+    scan is an equi-join on list id — the IVF shape at any corpus
+    size. rows-only (depends on float assignment order only through
+    deterministic expressions, but not SQL-oracle-expressible at
+    reasonable cost)."""
+    e = t(spark, sf_dir, "embeddings")
+    DIM = 64
+
+    # Coarse centroids: mean embedding per label (a stand-in for
+    # k-means iterations; the plan shape is identical).
+    sums = [F.sum(F.element_at("embedding", i + 1).cast("double")).alias(f"s{i}") for i in range(DIM)]
+    cent = (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), *sums)
+        .select(
+            F.col("label").alias("list_id"),
+            F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(DIM)]).alias("centroid"),
+        )
+    )
+
+    def nearest_lists(vec_col, k):
+        """Rank centroid lists by cosine to vec_col, keep top k."""
+        sim = V.dot(vec_col, F.col("centroid")) / (
+            V.l2_norm(vec_col) * V.l2_norm(F.col("centroid"))
+        )
+        return sim, k
+
+    # Assign vectors to their single nearest list.
+    assign_sim, _ = nearest_lists(F.col("embedding"), 1)
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), "list_id")
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "list_id", assign_sim.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "list_id")
+    )
+
+    # Probes scan their nprobe=3 nearest lists.
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    p_sim, _ = nearest_lists(F.col("probe_emb"), 3)
+    wp = Window.partitionBy("probe_id").orderBy(F.desc("p_sim"), "list_id")
+    probe_lists = (
+        probes.crossJoin(F.broadcast(cent))
+        .select("probe_id", "probe_emb", "list_id", p_sim.alias("p_sim"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "probe_emb", "list_id")
+    )
+
+    cos = V.dot("embedding", "probe_emb") / (V.l2_norm("embedding") * V.l2_norm("probe_emb"))
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        assigned.join(F.broadcast(probe_lists), "list_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cos_sim"), "rank")
+    )
