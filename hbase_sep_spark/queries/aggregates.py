@@ -371,3 +371,61 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("k").alias("k_xor"),
         )
     )
+
+
+@register(
+    "agg_regr_slope",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           round(regr_slope(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS slope,
+           round(regr_intercept(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS intercept,
+           count(*) AS n
+    FROM events
+    GROUP BY user_bucket
+    """,
+    section=SECTION,
+)
+def agg_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit (value ~ payload k) via the
+    built-in regression aggregates — the grouped-analytics primitive
+    (one pass, partial+final like any aggregate)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((F.col("user_id") % 10).alias("user_bucket"), F.col("value"), k.alias("k"))
+        .groupBy("user_bucket")
+        .agg(
+            F.round(F.regr_slope("value", "k"), 6).alias("slope"),
+            F.round(F.regr_intercept("value", "k"), 6).alias("intercept"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 500 THEN 11
+                     ELSE floor(value / 50) + 1 END AS INT) AS bin,
+           count(*) AS n_events,
+           round(min(value), 2) AS bin_min,
+           round(max(value), 2) AS bin_max
+    FROM events
+    GROUP BY bin
+    """,
+    section=SECTION,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the profiling
+    primitive; bin assignment is per-row, counts aggregate as usual."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(F.width_bucket("value", F.lit(0), F.lit(500), F.lit(10)).cast("int").alias("bin"), "value")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 2).alias("bin_min"),
+            F.round(F.max("value"), 2).alias("bin_max"),
+        )
+    )

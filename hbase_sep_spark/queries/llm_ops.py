@@ -447,3 +447,49 @@ def simsearch_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("probe_id", "neighbor_id", (F.round("cos_raw", 4) + F.lit(0.0)).alias("cos_sim"), "rank")
     )
+
+
+@register("vec_quantize_int8", oracle=None, section=SECTION)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column: per-dimension
+    global [min, max] (one tiny aggregate, broadcast back), x →
+    round(255·(x-min)/(max-min)), plus dequantize-and-measure — each
+    row reports the cosine between its original and dequantized
+    vector (fidelity ≥0.99 gated in tests/test_ann.py). This is the
+    4× storage / bandwidth cut a 100 TB embedding corpus takes before
+    ANN. rows-only: 64-dim piecewise arithmetic isn't worth a SQL
+    oracle."""
+    e = t(spark, sf_dir, "embeddings")
+    DIM = 64
+    mins = [F.min(F.element_at("embedding", i + 1).cast("double")).alias(f"mn{i}") for i in range(DIM)]
+    maxs = [F.max(F.element_at("embedding", i + 1).cast("double")).alias(f"mx{i}") for i in range(DIM)]
+    stats = e.agg(*mins, *maxs).select(
+        F.array(*[F.col(f"mn{i}") for i in range(DIM)]).alias("mins"),
+        F.array(*[F.col(f"mx{i}") for i in range(DIM)]).alias("maxs"),
+    )
+
+    idx = F.sequence(F.lit(1), F.lit(DIM))
+
+    def elem(arr, i):
+        return F.element_at(arr, i)
+
+    with_stats = e.join(F.broadcast(stats))
+    scale = lambda i: (elem(F.col("maxs"), i) - elem(F.col("mins"), i)) / 255.0  # noqa: E731
+    q = F.transform(
+        idx,
+        lambda i: F.round(
+            (elem(F.col("embedding"), i).cast("double") - elem(F.col("mins"), i)) / scale(i), 0
+        ).cast("int"),
+    )
+    quantized = with_stats.withColumn("q", q)
+    deq = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: elem(F.col("mins"), i) + elem(F.col("q"), i).cast("double") * scale(i),
+    )
+    out = quantized.withColumn("deq", deq)
+    cos = V.dot("embedding", "deq") / (V.l2_norm("embedding") * V.l2_norm("deq"))
+    return out.select(
+        "vec_id",
+        (F.round(cos, 6) + F.lit(0.0)).alias("fidelity_cos"),
+        F.slice("q", 1, 4).alias("q_head"),
+    )

@@ -146,3 +146,35 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL expand_region(r.r_name, r.r_regionkey) u
         """
     )
+
+
+@register(
+    "udf_pandas_vector_score",
+    oracle="""
+    SELECT vec_id,
+           round(1.0 / (1.0 + exp(-(
+               list_sum(list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) * (CAST((i - 1) * 37 % 101 AS DOUBLE) / 101.0 - 0.5)))
+           ))), 6) AS score
+    FROM embeddings
+    """,
+    section=SECTION,
+)
+def udf_pandas_vector_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scoring shape: a pandas UDF taking the embedding ARRAY
+    column through Arrow, dotting it with a fixed weight vector and
+    squashing — the batch-inference calling convention (vector in,
+    scalar out, numpy inside). Weights are derived arithmetically so
+    the oracle can reproduce them exactly."""
+    import numpy as np
+
+    weights = np.array([((i * 37) % 101) / 101.0 - 0.5 for i in range(64)], dtype=np.float64)
+
+    @pandas_udf("double")
+    def score(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        z = mat @ weights
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    e = t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.round(score("embedding"), 6).alias("score"))

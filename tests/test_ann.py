@@ -57,3 +57,12 @@ def test_lsh_recall(spark):
     ann = _pairs(REGISTRY["simsearch_lsh_bucketed"].fn(spark, SF_ORACLE))
     assert len(ann) > 0
     assert _recall(ann, exact) >= 0.3, f"LSH recall {_recall(ann, exact):.2f}"
+
+
+def test_int8_quantization_fidelity(spark):
+    """Dequantized int8 vectors must stay ≥0.995 cosine-faithful to
+    the originals for every row (scalar quantization at 8 bits over
+    a bounded range loses <0.5% angular fidelity)."""
+    out = REGISTRY["vec_quantize_int8"].fn(spark, SF_ORACLE)
+    worst = out.agg(F.min("fidelity_cos").alias("m")).collect()[0]["m"]
+    assert worst >= 0.995, f"worst-case quantization fidelity {worst}"
