@@ -186,3 +186,44 @@ def simhash_near_dup_pairs(df: DataFrame, id_col="doc_id", text_col="text", max_
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(pairs: DataFrame, ids: DataFrame, id_col="doc_id", max_iter: int = 10) -> DataFrame:
+    """Cluster near-dup pairs into groups: (id, cluster_id) where
+    cluster_id = min id reachable through the pair graph.
+
+    Label propagation: every node starts labeled with itself; each
+    round, a node adopts the smallest label among itself and its
+    neighbors; stop when no label changes (checked with one tiny
+    aggregate per round — near-dup graphs are shallow, so this
+    converges in a handful of rounds; each round is one shuffle on
+    id). This is the step that turns pairwise dedup output into
+    actionable keep/drop lists.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2"))
+            .select("src", "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))

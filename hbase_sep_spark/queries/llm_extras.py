@@ -309,3 +309,30 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return with_payload.mapInPandas(decode_batch, schema=out_schema)
+
+
+@register("dedup_clusters", oracle=None, section=SECTION)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS (connected components by
+    iterative min-label propagation, operators.dedup) → one keep/drop
+    decision per group: the final stage of a dedup pipeline. Output:
+    non-singleton clusters with canonical doc and member count."""
+    corpus = _docs_with_redelivered_ext(spark, sf_dir)
+    pairs = D.minhash_near_dup_pairs(corpus, threshold=0.5)
+    comps = D.connected_components(pairs, corpus.select("doc_id"))
+    return (
+        comps.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select("cluster_id", "canonical_doc_id", "n_members", "member_ids")
+    )
+
+
+def _docs_with_redelivered_ext(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    copies = d.filter(F.col("doc_id") % 7 == 0).withColumn("doc_id", F.col("doc_id") + 100000)
+    return d.unionByName(copies)

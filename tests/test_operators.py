@@ -120,3 +120,14 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     assert len(pairs) == 1
     est = pairs[0]["est_jaccard"]
     assert abs(est - exact) < 0.36, f"est {est} vs exact {exact}"
+
+
+def test_connected_components_hand_graph(spark):
+    """Label propagation on a known graph: {1-2, 2-3} ∪ {7-9} ∪ {5}:
+    two components plus a singleton, labels = component minima."""
+    from hbase_sep_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(2, 3), (1, 2), (7, 9)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], ["doc_id"])
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs, ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
