@@ -429,3 +429,32 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("bin_max"),
         )
     )
+
+
+@register(
+    "agg_argmax_misc",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, ts) AS latest_type,
+           arg_min(event_type, ts) AS first_type,
+           CAST(count(*) FILTER (WHERE value > 250) AS BIGINT) AS n_high,
+           bool_or(value > 480) AS any_extreme,
+           bool_and(value > 0) AS all_positive
+    FROM events
+    GROUP BY user_id
+    """,
+    section=SECTION,
+)
+def agg_argmax_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates), count_if, bool_and/bool_or —
+    the 'latest attribute per key' one-pass form that replaces a
+    window + filter when only the argmax is needed. Deterministic:
+    (user_id, ts) is unique in the feed (verified at every SF)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("latest_type"),
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.count_if(F.col("value") > 250).alias("n_high"),
+        F.bool_or(F.col("value") > 480).alias("any_extreme"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+    )
