@@ -107,6 +107,50 @@ class SepEventsDataSource(DataSource):
         return SepEventsStreamReader(self.options)
 
 
+def _ensure_package_on_workers(spark) -> None:
+    """Ship the hbase_sep_spark package to Spark's Python workers.
+
+    The DataSource class is pickled by reference; the worker (and the
+    driver-side python_streaming_source_runner subprocess) must be
+    able to import the module — which fails whenever the launching
+    process's cwd isn't the repo root. addPyFile of a package zip is
+    the standard fix and covers every future task."""
+    flag = "spark.hbase_sep_spark.pyfiles.added"
+    try:
+        if spark.conf.get(flag, "no") == "yes":
+            return
+    except Exception:  # noqa: BLE001 - conf.get w/ default varies by version
+        pass
+    import os
+    import tempfile
+    import zipfile
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    pkg_root = os.path.join(repo_root, "hbase_sep_spark")
+    zpath = os.path.join(tempfile.gettempdir(), "hbase_sep_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_root):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo_root))
+    spark.sparkContext.addPyFile(zpath)
+    spark.conf.set(flag, "yes")
+
+
 def register_sep_source(spark) -> None:
-    """Idempotent registration of the sep_events format."""
+    """Idempotent registration of the sep_events format.
+
+    The DataSource is unpickled inside Spark's
+    python_streaming_source_runner subprocess, which does NOT see
+    addPyFile-shipped modules (that mechanism only wraps task
+    execution). Registering this module for pickle-BY-VALUE makes the
+    class fully self-contained on the wire, so registration works no
+    matter what the launching process's cwd or sys.path is."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    _ensure_package_on_workers(spark)
     spark.dataSource.register(SepEventsDataSource)

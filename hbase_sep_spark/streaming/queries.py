@@ -43,23 +43,38 @@ def _events_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
     return reader.load()
 
 
-def _drive(start_query):
+def _drive(spark, start_query):
     """Start + drain a streaming query, retrying once if the Python
     worker for the datasource fails to spawn (a transient environment
-    failure under heavy session load, not a query error)."""
-    last_exc = None
-    for _attempt in range(3):
-        q = start_query()
-        try:
-            q.processAllAvailable()
-            return
-        except Exception as e:  # noqa: BLE001
-            last_exc = e
-            if "failed to connect back" not in str(e):
-                raise
-        finally:
-            q.stop()
-    raise last_exc
+    failure under heavy session load, not a query error).
+
+    Shuffle partitions are pinned to 8 for the query's lifetime (and
+    the caller's setting restored after): each stateful operator
+    keeps one state store PER shuffle partition per micro-batch, so a
+    session-default 200 turns a 10-batch replay into 2000 state-store
+    round trips — a 5-10× slowdown measured with a default-conf
+    session. Checkpoints are fresh per call, so the pinned value
+    never conflicts with a prior run's state layout.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        last_exc = None
+        for _attempt in range(3):
+            q = start_query()
+            try:
+                q.processAllAvailable()
+                return
+            except Exception as e:  # noqa: BLE001
+                last_exc = e
+                if "failed to connect back" not in str(e):
+                    raise
+            finally:
+                q.stop()
+        raise last_exc
+    finally:
+        spark.conf.set(key, old)
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
@@ -76,7 +91,7 @@ def _run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
             .start()
         )
 
-    _drive(start)
+    _drive(stream_df.sparkSession, start)
     return stream_df.sparkSession.table(name)
 
 
@@ -280,7 +295,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
 
-    _drive(start)
+    _drive(spark, start)
     return (
         spark.read.option("basePath", out_root)
         .parquet(out_root + "/epoch=*")
@@ -383,5 +398,5 @@ def stream_incremental_upsert_view(spark: SparkSession, sf_dir: str) -> DataFram
             .start()
         )
 
-    _drive(start)
+    _drive(spark, start)
     return spark.read.parquet(os.path.join(state_dir, "current"))
