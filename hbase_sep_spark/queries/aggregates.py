@@ -458,3 +458,25 @@ def agg_argmax_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 480).alias("any_extreme"),
         F.bool_and(F.col("value") > 0).alias("all_positive"),
     )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           count(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    section=SECTION,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg): per-region
+    CSV of nation names — sorted inside the group so the collect is
+    deterministic (SURVEY §2 rule)."""
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations_csv"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )

@@ -250,3 +250,37 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
         dsum_window("o_totalprice", w).alias("sum_similar_cheaper"),
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_order_key
+    FROM orders
+    WHERE o_custkey <= 300
+    """,
+    section=SECTION,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame: each customer's
+    second-ever order attached to every row (null for single-order
+    customers)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 300)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.nth_value("o_orderkey", 2).over(w).alias("second_order_key"),
+        )
+    )
