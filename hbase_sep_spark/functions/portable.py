@@ -19,6 +19,19 @@ SQL mirror (use verbatim in oracles):
   dsum  → round(sum(CAST(x AS DECIMAL(18,6))), 2)::DOUBLE
   davg  → round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x), 2)
   nz    → (expr) + 0.0                     -- normalizes -0.0 to 0.0
+
+ARRAY OUTPUTS ARE FORBIDDEN in sql-hash queries: the driver's
+canonicalizer calls pandas sort_values on the raw result frame, which
+raises `TypeError: unhashable type: 'list'` on any array/map column
+(proven by agg_collect_sorted's round-1 FAIL). Serialize instead with
+`arr_str` and mirror it in the oracle:
+  arr_str(a)          → array_to_string(a, ',')          -- int/str elems
+  arr_str(a, '%.4f')  → array_to_string(list_transform(a,
+                          x -> printf('%.4f', x)), ',')  -- double elems
+Doubles MUST be pre-rounded to the same scale as the format (the value
+is then ~1e-17 from a decimal grid point, so Java HALF_UP vs C
+half-even tie-breaking can never disagree) and nz()-ed if they can be
+a rounded negative zero.
 """
 
 from __future__ import annotations
@@ -57,3 +70,21 @@ def nz(col) -> Column:
 def round_nz(col, scale: int) -> Column:
     """round() that can never emit -0.0."""
     return F.round(_c(col), scale) + F.lit(0.0)
+
+
+def arr_str(arr, fmt: str | None = None, sep: str = ",") -> Column:
+    """Serialize an array column to a delimited string so the result
+    never carries a list cell past the driver's canonicalizer.
+
+    fmt=None casts each element to string (exact for int/string
+    elements); fmt='%.4f' printf-formats doubles — pre-round the
+    elements to the same scale so both engines land on the same grid
+    point. DuckDB mirror: array_to_string(a, sep) /
+    array_to_string(list_transform(a, x -> printf(fmt, x)), sep).
+    """
+    a = _c(arr)
+    if fmt is None:
+        elems = F.transform(a, lambda x: x.cast("string"))
+    else:
+        elems = F.transform(a, lambda x: F.format_string(fmt, x))
+    return F.array_join(elems, sep)

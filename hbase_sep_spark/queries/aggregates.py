@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from hbase_sep_spark.functions import davg, dsum
+from hbase_sep_spark.functions import arr_str, davg, dsum
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -296,7 +296,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS line_numbers,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_orderkey <= 100
@@ -306,13 +306,14 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group sorted value list (array_sort makes the collect
-    deterministic per SURVEY §2)."""
+    deterministic per SURVEY §2), serialized to a CSV string — the
+    driver canonicalizer cannot sort list cells (round-1 FAIL)."""
     return (
         t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") <= 100)
         .groupBy("l_orderkey")
         .agg(
-            F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+            arr_str(F.array_sort(F.collect_list("l_linenumber"))).alias("line_numbers"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

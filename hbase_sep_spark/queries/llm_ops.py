@@ -11,6 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hbase_sep_spark.functions import arr_str
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import dedup as D
 from hbase_sep_spark.operators import text as T
@@ -160,20 +161,22 @@ def simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            label,
            round({_DUCK_NORM.format(a='embeddings')}, 6) AS l2_norm,
-           list_transform(embeddings.embedding,
-                          x -> round(CAST(x AS DOUBLE) / {_DUCK_NORM.format(a='embeddings')}, 4) + 0.0)
+           array_to_string(list_transform(embeddings.embedding,
+               x -> printf('%.4f', round(CAST(x AS DOUBLE) / {_DUCK_NORM.format(a='embeddings')}, 4) + 0.0)), ',')
                AS unit_vec
     FROM embeddings
     """,
     section=SECTION,
 )
 def vec_normalize_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit vector serialized %.4f per element — array outputs crash
+    the driver canonicalizer (portable.arr_str)."""
     e = t(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         "label",
         F.round(V.l2_norm("embedding"), 6).alias("l2_norm"),
-        V.unit_normalize("embedding", 4).alias("unit_vec"),
+        arr_str(V.unit_normalize("embedding", 4), "%.4f").alias("unit_vec"),
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from hbase_sep_spark.functions import arr_str
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -74,7 +75,7 @@ def str_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_split_pad",
     oracle="""
     SELECT p_partkey,
-           string_split(p_name, ' ') AS name_words,
+           array_to_string(string_split(p_name, ' '), ',') AS name_words,
            CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
            lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
            replace(p_brand, 'Brand#', 'B') AS brand_short,
@@ -90,7 +91,7 @@ def str_split_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.split("p_name", " ").alias("name_words"),
+        arr_str(F.split("p_name", " ")).alias("name_words"),
         F.size(F.split("p_name", " ")).alias("n_words"),
         F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
         F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),

@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from hbase_sep_spark.functions import dsum
+from hbase_sep_spark.functions import arr_str, dsum
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -58,8 +58,8 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_to_map",
     oracle="""
     SELECT event_id,
-           ['k'] AS prop_keys,
-           [CAST(json_extract(props, '$.k') AS INTEGER)] AS prop_values,
+           'k' AS prop_keys,
+           CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS VARCHAR) AS prop_values,
            CAST(json_extract(props, '$.k') AS INTEGER) AS k_from_map
     FROM events
     WHERE event_id <= 3000
@@ -69,13 +69,14 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload → MapType, access by key. The map itself can't cross
     the oracle boundary (engines render maps differently), so the
-    output projects map_keys/map_values arrays and a by-key lookup."""
+    output projects map_keys/map_values serialized to CSV strings
+    (driver-safe, see portable.arr_str) and a by-key lookup."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 3000)
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
-        F.map_values(m).alias("prop_values"),
+        arr_str(F.map_keys(m)).alias("prop_keys"),
+        arr_str(F.map_values(m)).alias("prop_values"),
         m.getItem("k").alias("k_from_map"),
     )
 
@@ -85,7 +86,8 @@ def json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey,
            l_linenumber,
-           [l_quantity, l_discount, l_tax] AS metrics,
+           array_to_string(list_transform([l_quantity, l_discount, l_tax],
+                                          x -> printf('%.2f', x)), ',') AS metrics,
            CAST(len([l_quantity, l_discount, l_tax]) AS INT) AS n_metrics,
            list_contains([l_returnflag, l_linestatus], 'F') AS has_f_flag
     FROM lineitem
@@ -99,7 +101,7 @@ def arr_construct_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        metrics.alias("metrics"),
+        arr_str(metrics, "%.2f").alias("metrics"),
         F.size(metrics).alias("n_metrics"),
         F.array_contains(F.array("l_returnflag", "l_linestatus"), "F").alias("has_f_flag"),
     )
@@ -125,8 +127,8 @@ def arr_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arr_sort_distinct_slice",
     oracle="""
     SELECT p_partkey,
-           list_sort(list_distinct(string_split(p_name, ' '))) AS uniq_words,
-           list_slice(list_sort(string_split(p_name, ' ')), 1, 2) AS first_two_sorted,
+           array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS uniq_words,
+           array_to_string(list_slice(list_sort(string_split(p_name, ' ')), 1, 2), ',') AS first_two_sorted,
            list_sort(string_split(p_name, ' '))[1] AS first_word
     FROM part
     WHERE p_partkey <= 300
@@ -138,8 +140,8 @@ def arr_sort_distinct_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
     return p.select(
         "p_partkey",
-        F.array_sort(F.array_distinct(words)).alias("uniq_words"),
-        F.slice(F.array_sort(words), 1, 2).alias("first_two_sorted"),
+        arr_str(F.array_sort(F.array_distinct(words))).alias("uniq_words"),
+        arr_str(F.slice(F.array_sort(words), 1, 2)).alias("first_two_sorted"),
         F.element_at(F.array_sort(words), 1).alias("first_word"),
     )
 
@@ -148,7 +150,8 @@ def arr_sort_distinct_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arr_lambda_transform",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 2, 4) + 0.0) AS doubled,
+           array_to_string(list_transform(embedding,
+               x -> printf('%.4f', round(CAST(x AS DOUBLE) * 2, 4) + 0.0)), ',') AS doubled,
            round(CAST(embedding[1] AS DOUBLE) * 2, 4) + 0.0 AS first_doubled
     FROM embeddings
     """,
@@ -157,11 +160,13 @@ def arr_sort_distinct_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 def arr_lambda_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order transform over the embedding vector. Elements are
     cast float→double BEFORE arithmetic on both sides (float32 math
-    would diverge between engines)."""
+    would diverge between engines); the rounded result is serialized
+    %.4f per element (driver-safe, see portable.arr_str)."""
     e = t(spark, sf_dir, "embeddings")
+    doubled = F.transform("embedding", lambda x: F.round(x.cast("double") * 2, 4) + F.lit(0.0))
     return e.select(
         "vec_id",
-        F.transform("embedding", lambda x: F.round(x.cast("double") * 2, 4) + F.lit(0.0)).alias("doubled"),
+        arr_str(doubled, "%.4f").alias("doubled"),
         (F.round(F.element_at("embedding", 1).cast("double") * 2, 4) + F.lit(0.0)).alias("first_doubled"),
     )
 
@@ -200,8 +205,8 @@ def arr_lambda_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_keys_values",
     oracle="""
     SELECT event_id,
-           ['etype', 'uid'] AS ctx_keys,
-           [event_type, CAST(user_id AS VARCHAR)] AS ctx_values,
+           'etype,uid' AS ctx_keys,
+           concat(event_type, ',', CAST(user_id AS VARCHAR)) AS ctx_values,
            event_type AS etype_lookup
     FROM events
     WHERE event_id <= 3000
@@ -211,7 +216,8 @@ def arr_lambda_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def map_keys_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Construct a map from columns (the dynamic-column cell bag of
     SURVEY §1.1), then read it back via map_keys/map_values/lookup.
-    Oracle sees only arrays — map literals aren't portable."""
+    Oracle sees only CSV-serialized arrays — map literals aren't
+    portable and list cells crash the driver canonicalizer."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 3000)
     m = F.map_from_arrays(
         F.array(F.lit("etype"), F.lit("uid")),
@@ -219,8 +225,8 @@ def map_keys_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("ctx_keys"),
-        F.map_values(m).alias("ctx_values"),
+        arr_str(F.map_keys(m)).alias("ctx_keys"),
+        arr_str(F.map_values(m)).alias("ctx_values"),
         m.getItem("etype").alias("etype_lookup"),
     )
 

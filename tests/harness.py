@@ -64,12 +64,41 @@ def _canon(v):
     return v
 
 
+def _driver_canon_probe(df_pandas, side):
+    """Replica of the driver canonicalizer's first move: pandas
+    sort_values over the raw frame. It raises `TypeError: unhashable
+    type: 'list'` on any array/map output column (agg_collect_sorted's
+    round-1 driver FAIL) — surface that locally so local green
+    predicts driver green."""
+    cols = sorted(df_pandas.columns)
+    try:
+        df_pandas[cols].sort_values(by=cols, kind="stable")
+    except TypeError as e:
+        raise TypeError(
+            f"{side} result would crash the driver canonicalizer "
+            f"(array/map output column?): {e}"
+        ) from e
+
+
+def _sort_key(row):
+    """Order rows with non-float cells first and floats by a rounded
+    key, so sub-tolerance float differences between engines can't
+    reorder the two sides differently (fail-closed flakiness)."""
+    nonfloat, floats = [], []
+    for v in row:
+        if isinstance(v, float):
+            floats.append(round(v, 6))
+        else:
+            nonfloat.append(repr(v))
+    return (nonfloat, floats, repr(row))
+
+
 def _rows(df_pandas):
     cols = sorted(df_pandas.columns)
     out = []
     for tup in df_pandas[cols].itertuples(index=False, name=None):
         out.append(tuple(_canon(v) for v in tup))
-    out.sort(key=repr)
+    out.sort(key=_sort_key)
     return cols, out
 
 
@@ -105,6 +134,12 @@ def check_query(name, query, spark, con, sf_dir):
         odf = con.execute(query.oracle).fetchdf()
     except Exception as e:  # noqa: BLE001
         return {"status": "error", "detail": f"duckdb: {type(e).__name__}: {e}", "sec": time.time() - t0}
+
+    try:
+        _driver_canon_probe(spdf, "spark")
+        _driver_canon_probe(odf, "oracle")
+    except TypeError as e:
+        return {"status": "error", "detail": str(e), "sec": time.time() - t0}
 
     if len(spdf) != len(odf):
         return {
