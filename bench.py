@@ -5,9 +5,11 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Protocol (BASELINE.md): one shared SparkSession, 1 warm-up + 3 timed
-runs per query, median recorded; timing covers full materialization
-(toPandas via Arrow); JVM/session startup excluded.
+Protocol (BASELINE.md): one shared SparkSession; the WHOLE suite is
+warmed twice up front (plan analysis, codegen, Arrow Python workers,
+JIT), then each query gets 3 timed runs, median recorded; timing
+covers full materialization (df.toArrow()); JVM/session startup
+excluded.
 
   --duckdb   also time the DuckDB oracle per query (baseline capture)
   --runs N   timed runs per query (default 3)
@@ -99,9 +101,17 @@ def main() -> None:
     # cluster conf, not from here.
     spark = get_spark("bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")))
 
+    # Warm the whole suite twice before any timing: first pass pays
+    # Catalyst analysis + Janino codegen + Arrow Python worker spawn,
+    # second pass lets the JVM JIT the generated code. Interleaving
+    # warm-up with timing (the old protocol) let late queries get
+    # timed while the JVM was still compiling earlier ones.
+    for _ in range(2):
+        for name in names:
+            registry[name].fn(spark, sf_dir).toArrow()
+
     for name in names:
         fn = registry[name].fn
-        fn(spark, sf_dir).toArrow()  # warm (also JIT/codegen cache)
         samples = []
         for _ in range(args.runs):
             t0 = time.perf_counter()

@@ -35,6 +35,24 @@ TABLES = (
 _SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def scratch_dir(spark: SparkSession, *parts: str) -> str:
+    """Session-scoped scratch path for sink/roundtrip artifacts:
+    <tmp>/hbase_sep_spark/<applicationId>/<parts...>.
+
+    Scoping by applicationId keeps concurrent harness/driver runs (or
+    other users on a shared machine) from clobbering each other's
+    files between an eager write and a lazy read-back — the same
+    reason the streaming checkpoints already use mkdtemp."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), "hbase_sep_spark", spark.sparkContext.applicationId, *parts
+    )
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table. At cluster scale these would be
     partitioned/bucketed catalog tables; the reader API is identical.
@@ -43,6 +61,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; we read it as nanos-since-epoch long and rebuild a
     TimestampType column (lossless here — the generator emits
     microsecond precision; verified sub-us component is always 0).
+
+    NOTE: this flips `spark.sql.legacy.parquet.nanosAsLong` for the
+    WHOLE session and deliberately does not restore it — the conf is
+    consulted at scan execution time, so restoring it after planning
+    would break re-execution of this very DataFrame. Consequence: any
+    OTHER nanos-timestamp parquet read in the same session also comes
+    back as longs (none of the driver tables besides events carries
+    nanos; documented in CLAUDE.md sharp edges).
     """
     path = f"{sf_dir}/{name}.parquet"
     key = (spark.sparkContext.applicationId, path)

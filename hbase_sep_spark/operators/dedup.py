@@ -45,11 +45,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash array<long>[n_hashes]) via explode + one groupBy.
 
-    Hash family: xxhash64(shingle, seed=i) — min per seed over the
-    doc's shingle set.
+    Hash family: the variable-length shingle string is hashed ONCE
+    (xxhash64), then the n-member family is derived by re-hashing the
+    resulting fixed-width long with the member index as a second
+    column — 1 string hash + n 12-byte hashes per shingle instead of
+    n string hashes (the string hashing dominated the operator's CPU
+    at 32 members). Statistically equivalent: xxhash64 over (h, i) is
+    an independent uniform family in i.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle"))
-    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}") for i in range(n_hashes)]
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")).select(
+        F.col(id_col), F.xxhash64("shingle").alias("h")
+    )
+    mins = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}") for i in range(n_hashes)]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("minhash"))
 
@@ -200,22 +207,39 @@ def connected_components(pairs: DataFrame, ids: DataFrame, id_col="doc_id", max_
     id). This is the step that turns pairwise dedup output into
     actionable keep/drop lists.
     """
+    import warnings
+
+    from pyspark import StorageLevel
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("label"))
+    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("label")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels.count()  # materialize so each round starts from stored data
+    converged = False
     for _ in range(max_iter):
         neighbor_labels = (
             edges.join(labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2"))
             .select("src", "label")
         )
+        # Persist + materialize each round's labels BEFORE probing for
+        # convergence: without this, round N's plan re-derives rounds
+        # 1..N-1 from the scans (O(rounds²) work and unbounded plan
+        # growth — a stack/codegen hazard at cluster scale). The count
+        # below is the materialization AND the convergence probe's
+        # scan target, so no extra job is paid.
         new_labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("src")
             .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        new_labels.count()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "src")
@@ -223,7 +247,17 @@ def connected_components(pairs: DataFrame, ids: DataFrame, id_col="doc_id", max_
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components stopped at max_iter={max_iter} before "
+            "convergence; cluster_ids may be inconsistent for components "
+            "with diameter > max_iter",
+            stacklevel=2,
+        )
     return labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))

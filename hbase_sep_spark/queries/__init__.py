@@ -13,6 +13,7 @@ prefix remains ungraded.
 """
 
 from hbase_sep_spark.queries import (  # noqa: F401
+    mutations,
     windows,
     sort_limit,
     sets,

@@ -184,13 +184,23 @@ def agg_min_max_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentile (Spark `percentile` == DuckDB
     `quantile_cont`). At 100 TB swap to `approx_percentile` — kept
-    exact here because the oracle hash requires it."""
+    exact here because the oracle hash requires it. Both quantiles
+    come from ONE percentile(array(...)) aggregate so the per-group
+    value buffer is built and sorted once, not once per quantile; the
+    salted repartition spreads buffer construction across cores (the
+    fixture is a single parquet row group → one input task otherwise)
+    — the same pattern that parallelizes heavy percentile buffers on
+    a cluster."""
+    ps = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
     return (
         t(spark, sf_dir, "lineitem")
+        .repartition(16, F.col("l_linestatus"), F.col("l_orderkey") % 16)
         .groupBy("l_linestatus")
-        .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+        .agg(ps.alias("ps"))
+        .select(
+            "l_linestatus",
+            F.round(F.element_at("ps", 1), 2).alias("median_price"),
+            F.round(F.element_at("ps", 2), 2).alias("p90_price"),
         )
     )
 

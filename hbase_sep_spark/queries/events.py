@@ -16,7 +16,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from hbase_sep_spark.io import t
+from hbase_sep_spark.io import scratch_dir, t
 from hbase_sep_spark.registry import register
 
 SECTION = "2.1"
@@ -185,7 +185,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trip). rows-only check: the artifact is the round trip
     itself. Writes under the system temp dir — never to the
     read-only testdata."""
-    out = os.path.join(tempfile.gettempdir(), "hbase_sep_spark_sink", "events_by_type")
+    out = os.path.join(scratch_dir(spark, "sink"), "events_by_type")
     agg = (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -303,7 +303,7 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import shutil
 
-    root = os.path.join(tempfile.gettempdir(), "sep_compaction")
+    root = os.path.join(scratch_dir(spark, "compaction"))
     shutil.rmtree(root, ignore_errors=True)
     frag, compact = os.path.join(root, "frag"), os.path.join(root, "compact")
 

@@ -32,7 +32,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     copies = d.filter(F.col("doc_id") % 7 == 0).withColumn("doc_id", F.col("doc_id") + 100000)
     corpus = d.unionByName(copies)
-    return D.simhash_near_dup_pairs(corpus).orderBy("id_a", "id_b")
+    # coalesce(1)+sortWithinPartitions: deterministic order on a tiny
+    # pair list without a global-sort range-sampling job.
+    return D.simhash_near_dup_pairs(corpus).coalesce(1).sortWithinPartitions("id_a", "id_b")
 
 
 @register(
@@ -267,12 +269,15 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing: an opaque `binary` payload column +
     typed metadata struct, pushed through a mapInPandas decode stage.
 
-    The decode itself is a STUB (this container has no image/audio
-    codecs): if PIL were importable it would decode real images; here
-    it emits deterministic fake features (byte length, head bytes,
-    fake dimensions derived from the payload hash). The Spark-side
-    plumbing — binary column, Arrow batch iteration, schema, partition
-    behavior — is real and is what this query verifies.
+    The decode is codec-gated per payload: when PIL is importable,
+    each payload is tried as a real image and yields its true
+    (width, height); payloads that aren't decodable images — all of
+    them in this container, where the payloads are UTF-8 text bytes
+    and no codecs are installed — fall back to deterministic fake
+    dimensions derived from the payload length, with `decoded=false`
+    flagging the fallback. The Spark-side plumbing — binary column,
+    Arrow batch iteration, schema, partition behavior — is real
+    either way and is what this query verifies.
     """
     d = t(spark, sf_dir, "documents")
     with_payload = d.select(
@@ -282,28 +287,45 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out_schema = (
-        "doc_id long, n_bytes long, head_hex string, fake_width int, fake_height int, lang string"
+        "doc_id long, n_bytes long, head_hex string, width int, height int, "
+        "decoded boolean, lang string"
     )
 
     def decode_batch(batches):
         try:
-            from PIL import Image  # noqa: F401
+            import io as _io
 
-            raise NotImplementedError(
-                "real image decode not exercised in this container; "
-                "deterministic fake features are the contract under test"
-            )
+            from PIL import Image
+
+            def dims(b):
+                try:
+                    with Image.open(_io.BytesIO(bytes(b))) as im:
+                        return im.size
+                except Exception:  # noqa: BLE001 - not an image: fall back
+                    return None
+
         except ImportError:
-            pass
+
+            def dims(b):
+                return None
+
         for pdf in batches:
             payloads = pdf["payload"]
+            real = payloads.map(dims)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": payloads.map(len),
                     "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
-                    "fake_width": payloads.map(lambda b: 1 + (len(b) * 31) % 1024),
-                    "fake_height": payloads.map(lambda b: 1 + (len(b) * 17) % 768),
+                    "width": [
+                        r[0] if r else 1 + (len(b) * 31) % 1024
+                        for r, b in zip(real, payloads)
+                    ],
+                    "height": [
+                        r[1] if r else 1 + (len(b) * 17) % 768
+                        for r, b in zip(real, payloads)
+                    ],
+                    "decoded": real.map(lambda r: r is not None),
                     "lang": pdf["meta"].map(lambda m: m["lang"]),
                 }
             )

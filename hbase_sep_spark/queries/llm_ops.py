@@ -76,7 +76,9 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible in the oracle engine. Injected exact copies guarantee
     a non-trivial result (est_jaccard = 1.0 pairs)."""
     corpus = _docs_with_redelivered(spark, sf_dir)
-    return D.minhash_near_dup_pairs(corpus).orderBy("id_a", "id_b")
+    # coalesce(1)+sortWithinPartitions: deterministic output order on a
+    # ~1k-row candidate list without a global-sort range-sampling job.
+    return D.minhash_near_dup_pairs(corpus).coalesce(1).sortWithinPartitions("id_a", "id_b")
 
 
 @register(

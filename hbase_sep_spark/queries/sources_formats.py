@@ -10,13 +10,10 @@ native timestamp; the explicit schema + format pin the semantics).
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from hbase_sep_spark.io import t
+from hbase_sep_spark.io import scratch_dir, t
 from hbase_sep_spark.registry import register
 
 SECTION = "2.1-ext"
@@ -48,7 +45,7 @@ def _events_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **writer_opts) -> DataFrame:
-    out = os.path.join(tempfile.gettempdir(), "sep_fmt_roundtrip", fmt)
+    out = scratch_dir(spark, "fmt_roundtrip", fmt)
     df = _events_slice(spark, sf_dir)
     writer = df.write.mode("overwrite").format(fmt)
     for k, v in writer_opts.items():

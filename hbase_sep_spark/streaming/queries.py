@@ -240,6 +240,66 @@ def stream_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_latest_op_wins", oracle=None, section=SECTION)
+def stream_latest_op_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware stateful consumer: the streaming form of
+    events_latest_op_wins. Mutation type derives from the event class
+    (`error` ⇒ row tombstone, matching queries/mutations.py); per-key
+    state tracks the newest mutation across micro-batches, and a key
+    whose final mutation is a delete is ABSENT from the snapshot —
+    the HBase tombstone masking a CDC consumer must implement.
+    Asserted equal to the batch query in tests/test_mutations.py."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "op", F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(F.lit("put"))
+    )
+
+    out_schema = "user_id long, last_event_id long, last_op string, last_value double, n_seen long"
+    state_schema = "last_ts double, last_event_id long, last_op string, last_value double, n_seen long"
+
+    def op_wins(key, pdfs, state: GroupState):
+        last_ts, last_eid, last_op, last_val, n_seen = (
+            state.get if state.exists else (float("-inf"), -1, "none", 0.0, 0)
+        )
+        for pdf in pdfs:
+            for ts, eid, val, op in zip(
+                pdf["ts"].astype("int64") / 1e9, pdf["event_id"], pdf["value"], pdf["op"]
+            ):
+                n_seen += 1
+                if (ts, eid) > (last_ts, last_eid):
+                    last_ts, last_eid, last_op, last_val = float(ts), int(eid), str(op), float(val)
+        state.update((last_ts, last_eid, last_op, last_val, n_seen))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_event_id": [last_eid],
+                "last_op": [last_op],
+                "last_value": [last_val],
+                "n_seen": [n_seen],
+            }
+        )
+
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        op_wins,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(updated, mode="update")
+    # Keep each key's final state (max n_seen), then apply the
+    # tombstone: deleted keys drop out of the snapshot.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"), F.desc("last_event_id"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("last_op") == "put"))
+        .select("user_id", "last_event_id", "last_value")
+    )
+
+
 @register("stream_static_join", oracle=None, section=SECTION)
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream⋈static enrichment: the event stream joined to a static
@@ -271,7 +331,9 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch lands in a deterministic epoch-keyed parquet dir
     (overwrite ⇒ redelivered batches are idempotent), then the union
     of all epochs is read back."""
-    out_root = os.path.join(tempfile.gettempdir(), "sep_foreach_sink")
+    from hbase_sep_spark.io import scratch_dir
+
+    out_root = scratch_dir(spark, "foreach_sink")
     import shutil
 
     shutil.rmtree(out_root, ignore_errors=True)
@@ -361,7 +423,9 @@ def stream_incremental_upsert_view(spark: SparkSession, sf_dir: str) -> DataFram
     """
     import shutil
 
-    state_dir = os.path.join(tempfile.gettempdir(), "sep_upsert_view")
+    from hbase_sep_spark.io import scratch_dir
+
+    state_dir = scratch_dir(spark, "upsert_view")
     shutil.rmtree(state_dir, ignore_errors=True)
 
     from pyspark.sql import Window

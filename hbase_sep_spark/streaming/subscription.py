@@ -18,8 +18,10 @@ query over the sep_events source —
 
 from __future__ import annotations
 
+import getpass
 import os
 import shutil
+import tempfile
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -35,7 +37,14 @@ class SepSubscription:
     spark: SparkSession
     name: str
     feed_path: str
-    root: str = field(default="/tmp/sep_subscriptions")
+    # Per-user, NOT per-application: a subscription's cursor must
+    # survive session restarts (that's the whole point), but a fixed
+    # world-shared path would let two users clobber each other.
+    root: str = field(
+        default_factory=lambda: os.path.join(
+            tempfile.gettempdir(), f"sep_subscriptions-{getpass.getuser()}"
+        )
+    )
     batch_size: int = 2500
 
     @property
