@@ -6,26 +6,34 @@ SepModelImpl.java — UNVERIFIED], SURVEY §1.1):
 - a *subscription* is a durable named consumer → here the streaming
   query's checkpointLocation (offsets = the replication position);
 - delivery is *batched* and *ordered per row key* → micro-batches are
-  cut from the feed sorted by (ts, event_id), so any single key's
-  events always arrive in order;
+  cut from the feed in (ts, event_id) order (the generator writes the
+  feed ts-sorted; asserted in tests), so any single key's events
+  always arrive in order;
 - delivery is *at-least-once* → the `redeliver_every` option re-emits
-  every Nth event in the following batch (off by default), letting
-  downstream `dropDuplicatesWithinWatermark` prove the
-  exactly-once recovery that SEP demands of its listeners
+  every Nth event of the previous batch (off by default), letting
+  downstream `dropDuplicatesWithinWatermark` prove the exactly-once
+  recovery that SEP demands of its listeners
   ([R: sep-api/.../EventListener.java — UNVERIFIED]).
 
 Implementation: Spark 4 Python DataSource (pyspark.sql.datasource)
-with a SimpleDataSourceStreamReader. The prefetch/replay machinery
-(readBetweenOffsets) comes from the Simple reader wrapper; offsets
-are row positions in the ts-ordered feed. The feed file is read once
-per reader via pyarrow and kept as arrow data on the driver-side
-reader (fine for the replay source; the batch path reads the same
-parquet distributed).
+with a partition-based DataSourceStreamReader — the 100 TB shape:
+- offsets are row positions in the ts-ordered feed; the DRIVER only
+  ever touches the parquet FOOTER (row count) and arithmetic — the
+  feed itself is never materialized driver-side;
+- `partitions(start, end)` splits each micro-batch into row ranges;
+- `read(partition)` runs on the WORKERS, reading only the parquet
+  row groups overlapping its range (row-group pruning + slicing).
+A 100 TB feed replays with driver state = one integer per batch and
+per-worker IO = its own row-group slice. (The previous implementation
+used SimpleDataSourceStreamReader, which is driver-side by contract —
+it loaded the whole feed into a Python list on the driver.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -47,50 +55,105 @@ EVENT_SCHEMA = StructType(
 )
 
 
-class SepEventsStreamReader(SimpleDataSourceStreamReader):
+@dataclass
+class SepRange(InputPartition):
+    """One worker's slice of a micro-batch: feed rows [lo, hi),
+    optionally strided (redelivery partitions re-emit every `step`-th
+    row of the previous batch)."""
+
+    lo: int
+    hi: int
+    step: int = 1
+
+
+def _read_rows(path: str, lo: int, hi: int, step: int = 1):
+    """Worker-side range read: only row groups overlapping [lo, hi)
+    are fetched; the slice is exact within them. Returns an iterator
+    of tuples in EVENT_SCHEMA order with tz-aware timestamps (the
+    arrow converter on the Spark side requires tz-aware; feed is UTC).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    chunks = []
+    g0 = 0
+    for i in range(f.metadata.num_row_groups):
+        n = f.metadata.row_group(i).num_rows
+        g1 = g0 + n
+        if g1 > lo and g0 < hi:
+            s = max(lo - g0, 0)
+            e = min(hi - g0, n)
+            chunks.append(f.read_row_group(i).slice(s, e - s))
+        g0 = g1
+    if not chunks:
+        return iter(())
+    df = pa.concat_tables(chunks).to_pandas()
+    df = df[[fld.name for fld in EVENT_SCHEMA.fields]]
+    df["ts"] = df["ts"].dt.tz_localize("UTC")
+    if step > 1:
+        df = df.iloc[::step]
+    return iter(df.itertuples(index=False, name=None))
+
+
+class SepEventsStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.batch_size = int(options.get("batch_size", "2500"))
         self.redeliver_every = int(options.get("redeliver_every", "0"))
-        self._rows = None  # lazy: loaded on first read
+        # Rows per worker partition within one micro-batch (the
+        # parallelism knob; at cluster scale this tracks row-group
+        # granularity instead).
+        self.rows_per_partition = int(options.get("rows_per_partition", "1250"))
+        self._n_rows: int | None = None
+        self._pos = 0
 
-    def _load(self):
-        if self._rows is None:
+    # -- driver-side: offset arithmetic only ---------------------------
+    def _total(self) -> int:
+        if self._n_rows is None:
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(self.path)
-            df = tbl.to_pandas()
-            # ts arrives as datetime64[ns]; per-key order == global
-            # (ts, event_id) order.
-            df = df.sort_values(["ts", "event_id"]).reset_index(drop=True)
-            # The arrow converter on the Spark side requires tz-aware
-            # timestamps (it normalizes via astimezone); the feed is UTC.
-            df["ts"] = df["ts"].dt.tz_localize("UTC")
-            self._rows = list(df.itertuples(index=False, name=None))
-        return self._rows
+            # Footer-only read: no feed data touches the driver.
+            self._n_rows = pq.ParquetFile(self.path).metadata.num_rows
+        return self._n_rows
 
     def initialOffset(self) -> dict:
         return {"row": 0}
 
-    def read(self, start: dict):
-        rows = self._load()
-        lo = start["row"]
-        hi = min(lo + self.batch_size, len(rows))
-        if hi == lo:
-            # Feed exhausted: the offset must not advance and no rows
-            # (not even redeliveries) may be emitted.
-            return iter(()), {"row": hi}
-        batch = list(rows[lo:hi])
+    def latestOffset(self) -> dict:
+        # Advance at most one batch per trigger (the rate limit that
+        # makes the finite replay multi-batch, which the watermark /
+        # late-data queries depend on). After a checkpoint restart
+        # _pos re-syncs from partitions()/commit(); until then the
+        # returned offset may trail the restored position, which Spark
+        # treats as "no new data" — it catches up within a few
+        # triggers because _pos still advances per call.
+        self._pos = min(self._pos + self.batch_size, self._total())
+        return {"row": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        self._pos = max(self._pos, hi)
+        parts = [
+            SepRange(lo=p, hi=min(p + self.rows_per_partition, hi))
+            for p in range(lo, hi, self.rows_per_partition)
+        ]
         if self.redeliver_every and lo > 0:
-            # At-least-once: re-emit a sample of the PREVIOUS batch.
-            prev = rows[max(0, lo - self.batch_size) : lo]
-            batch.extend(prev[:: self.redeliver_every])
-        return iter(batch), {"row": hi}
+            # At-least-once: one extra partition re-emitting a sample
+            # of the PREVIOUS batch.
+            parts.append(
+                SepRange(lo=max(0, lo - self.batch_size), hi=lo, step=self.redeliver_every)
+            )
+        return parts or [SepRange(lo=lo, hi=lo)]
 
     def commit(self, end: dict) -> None:
         # The durable position lives in the query checkpoint (Spark
-        # persists offsets); nothing to clean up source-side.
-        pass
+        # persists offsets); re-sync the rate limiter on restart.
+        self._pos = max(self._pos, end["row"])
+
+    # -- worker-side ----------------------------------------------------
+    def read(self, partition: SepRange):
+        return _read_rows(self.path, partition.lo, partition.hi, partition.step)
 
 
 class SepEventsDataSource(DataSource):
@@ -103,7 +166,7 @@ class SepEventsDataSource(DataSource):
     def schema(self):
         return EVENT_SCHEMA
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
         return SepEventsStreamReader(self.options)
 
 
@@ -127,7 +190,9 @@ def _ensure_package_on_workers(spark) -> None:
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     pkg_root = os.path.join(repo_root, "hbase_sep_spark")
-    zpath = os.path.join(tempfile.gettempdir(), "hbase_sep_spark_pkg.zip")
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"hbase_sep_spark_pkg_{os.getpid()}.zip"
+    )
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _dirs, files in os.walk(pkg_root):
             for f in files:

@@ -97,3 +97,47 @@ def test_incremental_upsert_view_equals_batch_latest(spark):
     got = {r["user_id"]: (r["event_id"], r["value"]) for r in view.collect()}
     want = {r["user_id"]: (r["event_id"], r["value"]) for r in batch.collect()}
     assert got == want
+
+
+def test_feed_is_ts_sorted_on_disk():
+    """Precondition of the partition-based source: stream offsets are
+    file row positions, which is only per-key-ordered because the
+    generator writes the feed sorted by (ts, event_id)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.ParquetFile(f"{SF_UNIT}/events.parquet").read(columns=["ts", "event_id"])
+    ts = tbl.column("ts").to_pylist()
+    eid = tbl.column("event_id").to_pylist()
+    keys = list(zip(ts, eid))
+    assert keys == sorted(keys)
+
+
+def test_source_range_read_prunes_and_strides():
+    """Worker-side range read: exact [lo, hi) slicing and redelivery
+    striding, straight off the parquet file (no driver state)."""
+    from hbase_sep_spark.sources.sep_events import _read_rows
+
+    path = f"{SF_UNIT}/events.parquet"
+    full = list(_read_rows(path, 0, 10**9))
+    assert len(full) == 1000
+    mid = list(_read_rows(path, 100, 250))
+    assert mid == full[100:250]
+    strided = list(_read_rows(path, 100, 250, step=5))
+    assert strided == full[100:250:5]
+    assert list(_read_rows(path, 500, 500)) == []
+
+
+def test_source_offsets_are_driver_light():
+    """The reader's driver half never materializes the feed: offset
+    arithmetic needs only the footer row count, and each batch's
+    partitions tile [start, end) exactly."""
+    from hbase_sep_spark.sources.sep_events import SepEventsStreamReader
+
+    r = SepEventsStreamReader({"path": f"{SF_UNIT}/events.parquet", "batch_size": "300"})
+    assert r.initialOffset() == {"row": 0}
+    ends = [r.latestOffset()["row"] for _ in range(5)]
+    assert ends == [300, 600, 900, 1000, 1000]
+    parts = r.partitions({"row": 300}, {"row": 600})
+    spans = sorted((p.lo, p.hi) for p in parts if p.step == 1)
+    assert spans[0][0] == 300 and spans[-1][1] == 600
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
