@@ -205,6 +205,28 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_percentile", oracle=None, section=SECTION)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: approx_percentile (KLL-style
+    mergeable sketch — bounded memory per group, partial-aggregates
+    merge associatively, no per-group value buffer). rows-only: the
+    sketch's answers are accuracy-bounded, not value-identical across
+    engines; tests/test_operators.py gates it against the exact
+    percentile within the sketch's rank-error bound."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)).alias("ps")
+        )
+        .select(
+            "l_linestatus",
+            F.round(F.element_at("ps", 1), 2).alias("median_price_approx"),
+            F.round(F.element_at("ps", 2), 2).alias("p90_price_approx"),
+        )
+    )
+
+
 @register(
     "agg_corr",
     oracle="""

@@ -13,7 +13,7 @@ from __future__ import annotations
 import pandas as pd
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import dedup as D
@@ -358,3 +358,97 @@ def _docs_with_redelivered_ext(spark: SparkSession, sf_dir: str):
     d = t(spark, sf_dir, "documents")
     copies = d.filter(F.col("doc_id") % 7 == 0).withColumn("doc_id", F.col("doc_id") + 100000)
     return d.unionByName(copies)
+
+
+_DUCK_LANG_PRED = """
+    CASE WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+         WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+         WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+         WHEN hits_fr >= hits_zh THEN 'fr'
+         ELSE 'zh' END
+"""
+
+_DUCK_QUALITY = f"""
+    round(
+      (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.4
+    + (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)
+                 BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END) * 0.4
+    + (CASE WHEN len(list_intersect(string_split(text, ' '),
+          [{", ".join(f"'{s}'" for lst in T.STOPWORDS.values() for s in lst)}])) > 0
+       THEN 1.0 ELSE 0.7 END) * 0.2, 4)
+"""
+
+
+@register(
+    "pipeline_training_prep",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT * FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    scored AS (
+        SELECT doc_id,
+               sha256(lower(trim(text))) AS digest,
+               {_DUCK_QUALITY} AS quality,
+               len(string_split(text, ' ')) AS n_tokens,
+               {_DUCK_LANGID}
+        FROM corpus
+    ),
+    kept AS (
+        SELECT doc_id, digest, quality, n_tokens,
+               {_DUCK_LANG_PRED} AS lang_pred,
+               row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM scored
+        WHERE quality >= 0.8
+    )
+    SELECT lang_pred,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_dropped,
+           CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_quality
+    FROM kept
+    GROUP BY lang_pred
+    """,
+    section=SECTION,
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep — the composition the individual
+    operators exist for: language-ID → quality gate → exact dedup →
+    per-language corpus stats, in ONE declarative plan (Catalyst fuses
+    the scoring stages into the scan; the only shuffles are the dedup
+    window on the 32-byte digest and the final tiny aggregate — the
+    text column is dropped before anything shuffles).
+
+    Output per predicted language: docs surviving the quality gate,
+    duplicates dropped, total whitespace tokens of the deduped corpus,
+    mean quality (decimal-exact avg)."""
+    corpus = _docs_with_redelivered_ext(spark, sf_dir)
+    scores = T.langid_scores()
+    langs = ["de", "en", "es", "fr", "zh"]
+    pred = F.lit("zh")
+    for i in range(len(langs) - 2, -1, -1):
+        lang = langs[i]
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+
+    scored = corpus.select(
+        "doc_id",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("digest"),
+        T.quality_score().alias("quality"),
+        T.token_count_ws().cast("long").alias("n_tokens"),
+        pred.alias("lang_pred"),
+    ).filter(F.col("quality") >= 0.8)
+
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    kept = scored.withColumn("rn", F.row_number().over(w))
+    return kept.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dups_dropped"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(F.lit(0))).alias("total_tokens"),
+        F.round(F.sum(F.col("quality").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4).alias("avg_quality"),
+    )

@@ -11,6 +11,7 @@ import math
 import pyspark.sql.functions as F
 
 from hbase_sep_spark.operators import vectors as V
+from tests.conftest import SF_UNIT
 from hbase_sep_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_near_dup_pairs,
@@ -131,3 +132,31 @@ def test_connected_components_hand_graph(spark):
     ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], ["doc_id"])
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs, ids).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """agg_approx_percentile (the 100 TB path) must track the exact
+    percentile: with accuracy=10000 the rank error is ~1e-4, so the
+    approx answer lands within 0.5% of the exact value on this data."""
+    from hbase_sep_spark.registry import load_all
+
+    reg = load_all()
+    exact = {r.l_linestatus: (r.median_price, r.p90_price)
+             for r in reg["agg_median_percentile"].fn(spark, SF_UNIT).collect()}
+    approx = {r.l_linestatus: (r.median_price_approx, r.p90_price_approx)
+              for r in reg["agg_approx_percentile"].fn(spark, SF_UNIT).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(e - a) / e < 0.005, (k, e, a)
+
+
+def test_pipeline_training_prep_invariants(spark):
+    """The end-to-end prep pipeline visibly dedups and counts: the
+    injected exact copies must be dropped, survivors carry tokens."""
+    from hbase_sep_spark.registry import load_all
+
+    rows = load_all()["pipeline_training_prep"].fn(spark, SF_UNIT).collect()
+    assert rows
+    assert sum(r.n_dups_dropped for r in rows) > 0
+    assert all(r.total_tokens > 0 and 0 < r.avg_quality <= 1.0 for r in rows)
