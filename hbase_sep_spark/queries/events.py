@@ -293,6 +293,41 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sink_partitioned_prune",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           strftime(ts, '%Y-%m-%d') AS event_date
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-05', '2024-01-06')
+    """,
+    section=SECTION,
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned sink + partition-pruned read — the standard
+    100 TB CDC landing layout: events written
+    `partitionBy(event_date)`, then a two-day query reads ONLY those
+    two directories (the plan's PartitionFilters prune the rest;
+    asserted in tests/test_plans.py). The oracle recomputes the same
+    slice from the original feed, proving the layout is lossless and
+    the pruned read complete."""
+    out = os.path.join(scratch_dir(spark, "sink"), "events_by_date")
+    ev = t(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    (
+        ev.select("event_id", "user_id", "event_type", "value", "event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_date").isin("2024-01-05", "2024-01-06"))
+        .select("event_id", "user_id", "event_type", "value", F.col("event_date").cast("string"))
+    )
+
+
 @register("sink_compaction", oracle=None, section=SECTION)
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the table-maintenance op every

@@ -121,3 +121,13 @@ def test_bucketed_table_join_skips_shuffle(spark):
     plan = plan_of(spark, "sink_bucketed_join")
     assert "Bucketed: true" in plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_partitioned_sink_read_prunes_partitions(spark):
+    """The date-partitioned layout must prune at the source: the
+    two-day read lists only the two matching event_date directories
+    (PartitionFilters on the scan, not a post-scan Filter over all
+    30 days)."""
+    plan = plan_of(spark, "sink_partitioned_prune")
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:400]
