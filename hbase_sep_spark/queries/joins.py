@@ -298,6 +298,62 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_range_binned",
+    oracle="""
+    SELECT a.p_partkey AS anchor_key,
+           b.p_partkey AS similar_key,
+           a.p_retailprice AS anchor_price,
+           b.p_retailprice AS similar_price
+    FROM (SELECT * FROM part WHERE p_size = 1) a
+    JOIN (SELECT * FROM part WHERE p_size = 1) b
+      ON b.p_partkey <> a.p_partkey
+     AND b.p_retailprice >= a.p_retailprice * 0.95
+     AND b.p_retailprice <= a.p_retailprice * 1.05
+    """,
+    section=SECTION,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join made equi: the large×large form of join_theta_range
+    (which broadcasts a tiny anchor side and nested-loops — fine there,
+    fatal when both sides are big; vanilla Spark has no native range
+    join optimization). Build side bins by floor(price/W); probe side
+    explodes the ≤2 bins its [0.95p, 1.05p] band can touch (W ≥ the
+    widest band); the join is then a plain shuffled EQUI join on the
+    bin key with the exact range predicate as a post-filter — no
+    nested loop anywhere (asserted in tests/test_plans.py). Same
+    pattern as the LSH band join: candidates from buckets, exactness
+    from a cheap filter."""
+    W = 120.0  # ≥ widest band: 0.10 × max(p_retailprice) ≈ 105
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
+        "p_partkey", "p_retailprice"
+    )
+    probe = p.select(
+        F.col("p_partkey").alias("anchor_key"),
+        F.col("p_retailprice").alias("anchor_price"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col("p_retailprice") * 0.95 / W),
+                F.floor(F.col("p_retailprice") * 1.05 / W),
+            )
+        ).alias("bin"),
+    )
+    build = p.select(
+        F.col("p_partkey").alias("similar_key"),
+        F.col("p_retailprice").alias("similar_price"),
+        F.floor(F.col("p_retailprice") / W).alias("bin"),
+    )
+    return (
+        probe.join(build, "bin")
+        .filter(
+            (F.col("similar_key") != F.col("anchor_key"))
+            & (F.col("similar_price") >= F.col("anchor_price") * 0.95)
+            & (F.col("similar_price") <= F.col("anchor_price") * 1.05)
+        )
+        .select("anchor_key", "similar_key", "anchor_price", "similar_price")
+    )
+
+
+@register(
     "join_interval_events",
     oracle="""
     SELECT e1.user_id,

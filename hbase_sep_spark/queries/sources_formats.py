@@ -78,3 +78,38 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → ORC → back (the other columnar format; typed, so the
     schema read is exact)."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CASE WHEN event_id > 3000 THEN value END AS value
+    FROM events
+    WHERE event_id <= 6000
+    """,
+    section=SECTION,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across CDC batches — every long-lived feed
+    grows columns: batch 1 lands without `value`, batch 2 adds it;
+    `mergeSchema` reads the union schema and back-fills NULL for the
+    old files. The oracle recomputes the same shape from the original
+    feed. (At 100 TB the merged schema comes from the table catalog,
+    not per-read footer merging — the read semantics are identical.)"""
+    from hbase_sep_spark.io import scratch_dir
+
+    out = scratch_dir(spark, "schema_evolution")
+    ev = t(spark, sf_dir, "events")
+    v1 = ev.filter(F.col("event_id") <= 3000).select("event_id", "user_id", "event_type")
+    v2 = (
+        ev.filter((F.col("event_id") > 3000) & (F.col("event_id") <= 6000))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/batch=1")
+    v2.write.mode("overwrite").parquet(f"{out}/batch=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{out}/batch=1", f"{out}/batch=2")
+        .select("event_id", "user_id", "event_type", "value")
+    )

@@ -131,3 +131,12 @@ def test_partitioned_sink_read_prunes_partitions(spark):
     plan = plan_of(spark, "sink_partitioned_prune")
     assert "PartitionFilters" in plan
     assert "event_date" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_range_binned_join_is_equi(spark):
+    """The binned range join must plan as an equi join on the bin key
+    (hash or sort-merge) — never a nested loop: that's the whole point
+    of the binning."""
+    plan = plan_of(spark, "join_range_binned")
+    assert "NestedLoop" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
