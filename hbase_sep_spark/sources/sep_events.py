@@ -105,8 +105,12 @@ class SepEventsStreamReader(DataSourceStreamReader):
         # parallelism knob; at cluster scale this tracks row-group
         # granularity instead).
         self.rows_per_partition = int(options.get("rows_per_partition", "1250"))
+        # Non-zero start_row = the late-subscriber bootstrap seam: a
+        # batch snapshot covers [0, start_row), the stream tails from
+        # there (see stream_bootstrap_then_tail).
+        self.start_row = int(options.get("start_row", "0"))
         self._n_rows: int | None = None
-        self._pos = 0
+        self._pos = self.start_row
 
     # -- driver-side: offset arithmetic only ---------------------------
     def _total(self) -> int:
@@ -118,7 +122,7 @@ class SepEventsStreamReader(DataSourceStreamReader):
         return self._n_rows
 
     def initialOffset(self) -> dict:
-        return {"row": 0}
+        return {"row": self.start_row}
 
     def latestOffset(self) -> dict:
         # Advance at most one batch per trigger (the rate limit that

@@ -240,6 +240,38 @@ def stream_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_bootstrap_then_tail", oracle=None, section=SECTION)
+def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-subscriber bootstrap — the CDC pattern every late joiner
+    needs: a BATCH snapshot of the feed up to position K (cheap bulk
+    parquet read, no replay) plus a STREAMING tail from offset K
+    onward (the sep_events source started at a non-zero initial
+    offset). The union must equal the full feed exactly — no gap, no
+    overlap at the seam. Asserted against the batch table here (the
+    returned frame aggregates both phases with a phase tag)."""
+    from hbase_sep_spark.io import t as _t
+
+    total = _t(spark, sf_dir, "events").count()
+    k = total // 2
+
+    # Phase 1: bulk snapshot of rows [0, k) in feed (ts, event_id)
+    # order — a plain pushed-down batch scan, not a replay.
+    w_all = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value", "props")
+    snapshot = (
+        w_all.orderBy("ts", "event_id").limit(k).withColumn("phase", F.lit("snapshot"))
+    )
+
+    # Phase 2: stream the tail starting at offset k.
+    tail_stream = _events_stream(spark, sf_dir, start_row=k)
+    tail = _run_to_memory(tail_stream).withColumn("phase", F.lit("tail"))
+
+    return snapshot.unionByName(tail).groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
 @register("stream_latest_op_wins", oracle=None, section=SECTION)
 def stream_latest_op_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-aware stateful consumer: the streaming form of

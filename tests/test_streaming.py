@@ -141,3 +141,15 @@ def test_source_offsets_are_driver_light():
     spans = sorted((p.lo, p.hi) for p in parts if p.step == 1)
     assert spans[0][0] == 300 and spans[-1][1] == 600
     assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_bootstrap_then_tail_no_gap_no_overlap(spark):
+    """Late-subscriber bootstrap: batch snapshot [0, K) + stream tail
+    [K, end) must tile the feed exactly — the seam loses nothing and
+    duplicates nothing."""
+    res = {r.phase: r for r in REGISTRY["stream_bootstrap_then_tail"].fn(spark, SF_UNIT).collect()}
+    total = t(spark, SF_UNIT, "events").count()
+    assert res["snapshot"].n_events + res["tail"].n_events == total
+    # event_id is feed-ordered in the fixture, so the seam is clean in
+    # id space too: snapshot covers the low half, tail the high half.
+    assert res["snapshot"].max_event_id < res["tail"].min_event_id
