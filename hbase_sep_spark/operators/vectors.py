@@ -96,3 +96,23 @@ def lsh_tables(a, n_tables: int = 8, n_planes: int = 4, seed: int = 42) -> Colum
             for t in range(n_tables)
         ]
     )
+
+
+def lsh_multiprobe_tables(a, n_tables: int = 8, n_planes: int = 4, seed: int = 42) -> Column:
+    """PROBE-side multi-probe LSH keys: for each table, the exact
+    bucket plus every Hamming-distance-1 neighbor (one plane's sign
+    flipped). A query vector near a plane boundary mostly misses its
+    true neighbors' bucket by exactly one sign — probing the flipped
+    buckets recovers those at (1 + n_planes)× probe keys and ZERO
+    index-side cost (the indexed corpus still stores one bucket per
+    table). Standard multi-probe LSH; recall gate in tests/test_ann.py.
+    """
+    entries = []
+    for t in range(n_tables):
+        b = lsh_bucket(a, n_planes=n_planes, seed=seed + 1000 * t)
+        entries.append(F.struct(F.lit(t).alias("table"), b.alias("bucket")))
+        for p in range(n_planes):
+            entries.append(
+                F.struct(F.lit(t).alias("table"), b.bitwiseXOR(F.lit(1 << p)).alias("bucket"))
+            )
+    return F.array(*entries)

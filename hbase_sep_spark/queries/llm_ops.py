@@ -349,12 +349,16 @@ def multimodal_struct_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("simsearch_lsh_bucketed", oracle=None, section=SECTION)
 def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH (8 tables × 4
-    planes): probes score only candidates sharing a (table, bucket)
-    key in ANY table — candidates = equi-join on the exploded key,
-    distinct-ed, never all-pairs. Recall vs brute force gated in
-    tests/test_ann.py. rows-only: xxhash64 plane family."""
+    planes) with probe-side MULTI-PROBE (each probe also checks every
+    Hamming-1 neighbor bucket): probes score only candidates sharing
+    a (table, bucket) key in ANY table — candidates = equi-join on
+    the exploded key, distinct-ed, never all-pairs; the index side
+    still stores ONE bucket per table per vector. Recall vs brute
+    force gated in tests/test_ann.py. rows-only: xxhash64 plane
+    family."""
     e = t(spark, sf_dir, "embeddings")
     keys = V.lsh_tables("embedding", n_tables=8, n_planes=4)
+    probe_keys = V.lsh_multiprobe_tables("embedding", n_tables=8, n_planes=4)
     bucketed = e.select("vec_id", "embedding", F.explode(keys).alias("k")).select(
         "vec_id", "embedding", F.col("k.table").alias("table"), F.col("k.bucket").alias("bucket")
     )
@@ -363,7 +367,7 @@ def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("probe_emb"),
-            F.explode(keys).alias("k"),
+            F.explode(probe_keys).alias("k"),
         )
         .select(
             "probe_id", "probe_emb", F.col("k.table").alias("table"), F.col("k.bucket").alias("bucket")

@@ -49,14 +49,15 @@ def test_ivf_recall(spark):
 
 
 def test_lsh_recall(spark):
-    """Multi-table LSH (8×4 planes): near-uniform embeddings are
-    LSH's worst case, yet the L-table construction must still recover
-    a substantial share of true top-5 neighbors (measured 0.64 at
-    sf0.01; asserted with margin for other corpora)."""
+    """Multi-table LSH (8×4 planes) with probe-side multi-probe
+    (Hamming-1 neighbor buckets): near-uniform embeddings are LSH's
+    worst case, yet multi-probe must recover nearly all true top-5
+    neighbors (measured 0.97 at sf0.01, up from 0.64 single-probe;
+    asserted with margin for other corpora)."""
     exact = _pairs(_brute_force_top5(spark))
     ann = _pairs(REGISTRY["simsearch_lsh_bucketed"].fn(spark, SF_ORACLE))
     assert len(ann) > 0
-    assert _recall(ann, exact) >= 0.3, f"LSH recall {_recall(ann, exact):.2f}"
+    assert _recall(ann, exact) >= 0.8, f"LSH recall {_recall(ann, exact):.2f}"
 
 
 def test_int8_quantization_fidelity(spark):
