@@ -179,19 +179,32 @@ def events_per_key_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_parquet_roundtrip", oracle=None, section=SECTION)
+@register(
+    "sink_parquet_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    section=SECTION,
+)
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write an aggregate to parquet and read it back (sink + source
-    round trip). rows-only check: the artifact is the round trip
-    itself. Writes under the system temp dir — never to the
+    round trip). The oracle recomputes the aggregate from the source
+    feed — proving the sink round trip is lossless, not merely that
+    it runs. Writes under the session scratch dir — never to the
     read-only testdata."""
+    from hbase_sep_spark.functions import dsum
+
     out = os.path.join(scratch_dir(spark, "sink"), "events_by_type")
     agg = (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum("value").alias("sum_value"),
         )
     )
     agg.write.mode("overwrite").parquet(out)
@@ -219,14 +232,27 @@ def events_sep_cell_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_bucketed_join", oracle=None, section=SECTION)
+@register(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT l.l_orderkey,
+           o.o_orderstatus,
+           count(*) AS n_lines,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS order_total
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey, o.o_orderstatus
+    """,
+    section=SECTION,
+)
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-table co-located join — the 100 TB shuffle-elimination
     story made concrete: lineitem is written once bucketed by
     l_orderkey (`bucketBy(8)` + saveAsTable), after which every join
     or aggregation on l_orderkey reads pre-partitioned buckets and
     skips its shuffle entirely (the plan shows no Exchange on the
-    bucketed side). rows-only: the artifact is the bucketed layout."""
+    bucketed side). The oracle recomputes the same join+aggregate from
+    the original tables — the bucketed path must be value-identical."""
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     table_name = "lineitem_bucketed"
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
