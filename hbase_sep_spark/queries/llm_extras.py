@@ -264,7 +264,20 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_stub", oracle=None, section=SECTION)
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower(hex(encode(substring(text, 1, 8)))) AS head_hex,
+           CAST(1 + (octet_length(encode(text)) * 31) % 1024 AS INT) AS width,
+           CAST(1 + (octet_length(encode(text)) * 17) % 768 AS INT) AS height,
+           false AS decoded,
+           lang
+    FROM documents
+    """,
+    section=SECTION,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing: an opaque `binary` payload column +
     typed metadata struct, pushed through a mapInPandas decode stage.
@@ -277,7 +290,11 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions derived from the payload length, with `decoded=false`
     flagging the fallback. The Spark-side plumbing — binary column,
     Arrow batch iteration, schema, partition behavior — is real
-    either way and is what this query verifies.
+    either way, and the ORACLE recomputes the fallback features from
+    the source text, so the mapInPandas path is value-checked, not
+    just executed. (The oracle's char-prefix == byte-prefix equality
+    relies on the fixture corpus being ASCII — verified; a multibyte
+    corpus would need blob slicing on the oracle side.)
     """
     d = t(spark, sf_dir, "documents")
     with_payload = d.select(
