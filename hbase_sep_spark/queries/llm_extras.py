@@ -15,6 +15,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hbase_sep_spark.functions import arr_str
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import dedup as D
 from hbase_sep_spark.operators import text as T
@@ -364,7 +365,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.min("doc_id").alias("canonical_doc_id"),
-            F.array_sort(F.collect_list("doc_id")).alias("member_ids"),
+            arr_str(F.array_sort(F.collect_list("doc_id"))).alias("member_ids"),
         )
         .filter(F.col("n_members") > 1)
         .select("cluster_id", "canonical_doc_id", "n_members", "member_ids")

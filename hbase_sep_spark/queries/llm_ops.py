@@ -458,7 +458,39 @@ def simsearch_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vec_quantize_int8", oracle=None, section=SECTION)
+_DUCK_Q_MINS = "[" + ", ".join(f"min(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, 65)) + "]"
+_DUCK_Q_MAXS = "[" + ", ".join(f"max(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, 65)) + "]"
+
+
+@register(
+    "vec_quantize_int8",
+    oracle=f"""
+    WITH stats AS (
+        SELECT {_DUCK_Q_MINS} AS mins, {_DUCK_Q_MAXS} AS maxs FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, embedding, mins, maxs,
+               list_transform(range(1, 65),
+                   i -> CAST(round((CAST(embedding[i] AS DOUBLE) - mins[i])
+                                   / ((maxs[i] - mins[i]) / 255.0), 0) AS INT)) AS qv
+        FROM embeddings, stats
+    ),
+    d AS (
+        SELECT vec_id, embedding, qv,
+               list_transform(range(1, 65),
+                   i -> mins[i] + CAST(qv[i] AS DOUBLE) * ((maxs[i] - mins[i]) / 255.0)) AS deq
+        FROM q
+    )
+    SELECT vec_id,
+           round(list_sum(list_transform(range(1, 65),
+                     i -> CAST(embedding[i] AS DOUBLE) * deq[i]))
+                 / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(deq, x -> x * x)))), 6) + 0.0 AS fidelity_cos,
+           array_to_string(list_slice(qv, 1, 4), ',') AS q_head
+    FROM d
+    """,
+    section=SECTION,
+)
 def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column: per-dimension
     global [min, max] (one tiny aggregate, broadcast back), x →
@@ -466,8 +498,10 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     row reports the cosine between its original and dequantized
     vector (fidelity ≥0.99 gated in tests/test_ann.py). This is the
     4× storage / bandwidth cut a 100 TB embedding corpus takes before
-    ANN. rows-only: 64-dim piecewise arithmetic isn't worth a SQL
-    oracle."""
+    ANN. The oracle replays the identical per-row IEEE arithmetic
+    (bitwise-deterministic across engines; min/max aggregates are
+    order-independent exactly), so the whole quantize→dequantize path
+    is value-checked."""
     e = t(spark, sf_dir, "embeddings")
     DIM = 64
     mins = [F.min(F.element_at("embedding", i + 1).cast("double")).alias(f"mn{i}") for i in range(DIM)]
@@ -500,5 +534,5 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id",
         (F.round(cos, 6) + F.lit(0.0)).alias("fidelity_cos"),
-        F.slice("q", 1, 4).alias("q_head"),
+        arr_str(F.slice("q", 1, 4)).alias("q_head"),
     )
