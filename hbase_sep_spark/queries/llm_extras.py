@@ -378,6 +378,64 @@ def _docs_with_redelivered_ext(spark: SparkSession, sf_dir: str):
     return d.unionByName(copies)
 
 
+@register(
+    "text_chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(s // 150 AS INT) AS chunk_idx,
+           CAST(s AS INT) AS chunk_start,
+           CAST(len(substring(text, s + 1, 200)) AS INT) AS chunk_len,
+           substring(text, s + 1, 20) AS chunk_head
+    FROM (SELECT doc_id, text, unnest(range(0, greatest(n_chars, 1), 150)) AS s
+          FROM documents)
+    """,
+    section=SECTION,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (200-char chunks, 50-char
+    overlap → stride 150) — the context-window prep every training /
+    RAG pipeline runs. Chunk starts come from a generated sequence
+    exploded per doc (generate-side, no shuffle at all); the chunk
+    text itself stays a substring expression so only the projected
+    head/length leave the scan."""
+    d = t(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(0), F.greatest(F.col("n_chars"), F.lit(1)) - 1, F.lit(150))
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / 150).cast("int").alias("chunk_idx"),
+            F.col("s").cast("int").alias("chunk_start"),
+            F.length(F.substring(F.col("text"), F.col("s") + 1, 200)).alias("chunk_len"),
+            F.substring(F.col("text"), F.col("s") + 1, 20).alias("chunk_head"),
+        )
+    )
+
+
+@register(
+    "text_redact_numbers",
+    oracle=r"""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redacted
+    FROM events
+    WHERE event_id <= 5000
+    """,
+    section=SECTION,
+)
+def text_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbing pass over the opaque payload — the PII-redaction
+    shape (here: every digit run → '<NUM>', with a per-row count of
+    redactions). Pure codegen regexp over the scan; at 100 TB this is
+    exactly how a redaction pass runs — no shuffle, no Python."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 5000)
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("props_redacted"),
+        F.regexp_count("props", F.lit("[0-9]+")).cast("int").alias("n_redacted"),
+    )
+
+
 _DUCK_LANG_PRED = """
     CASE WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
          WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'

@@ -284,3 +284,57 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nth_value("o_orderkey", 2).over(w).alias("second_order_key"),
         )
     )
+
+
+@register(
+    "win_sessionize_batch",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS INT) AS session_seq,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    section=SECTION,
+)
+def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gaps-and-islands twin of the
+    streaming session window (stream_session_window): a 30-minute
+    inactivity gap starts a new session; session id = running count
+    of gap flags. Both windows and the final aggregate share the
+    user_id partitioning, so the whole query is ONE shuffle — the
+    at-scale shape for sessionizing a 100 TB event log."""
+    ev = t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(wo)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)).alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+    )

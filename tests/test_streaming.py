@@ -153,3 +153,14 @@ def test_bootstrap_then_tail_no_gap_no_overlap(spark):
     # event_id is feed-ordered in the fixture, so the seam is clean in
     # id space too: snapshot covers the low half, tail the high half.
     assert res["snapshot"].max_event_id < res["tail"].min_event_id
+
+
+def test_batch_sessionize_matches_stream_session_window(spark):
+    """Gaps-and-islands batch sessionization and the streaming
+    session_window operator implement the same 30-minute-gap
+    semantics: same session count per user, same total."""
+    batch = REGISTRY["win_sessionize_batch"].fn(spark, SF_UNIT)
+    stream = REGISTRY["stream_session_window"].fn(spark, SF_UNIT)
+    b = {(r.user_id, r.session_seq) for r in batch.collect()}
+    s = stream.count()
+    assert len(b) == s
