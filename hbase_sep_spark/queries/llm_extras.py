@@ -379,6 +379,35 @@ def _docs_with_redelivered_ext(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "sample_stratified_docs",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_sampled,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM documents
+    WHERE lang <> 'en' OR doc_id % 10 = 0
+    GROUP BY lang
+    """,
+    section=SECTION,
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified class rebalancing — the majority class (en) is
+    deterministically downsampled to ~10% (doc_id mod 10; in
+    production the mod runs on a hash of a stable id, same shape),
+    minority classes kept whole. The sample is a pure scan predicate:
+    no shuffle, no RNG state, reproducible across runs and engines —
+    the property a training-data sampling step must have."""
+    d = t(spark, sf_dir, "documents")
+    sampled = d.filter((F.col("lang") != "en") | (F.col("doc_id") % 10 == 0))
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@register(
     "text_chunk_documents",
     oracle="""
     SELECT doc_id,
