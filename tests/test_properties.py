@@ -115,3 +115,54 @@ def test_minhash_identical_docs_identical_signatures(spark, texts):
     by_id = {r["doc_id"]: tuple(r["minhash"]) for r in sig.collect()}
     for i in range(len(texts)):
         assert by_id[i] == by_id[1000 + i]
+
+
+@given(
+    ops=st.lists(
+        st.tuples(st.integers(0, 4), st.sampled_from(["put", "delete_family"])),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_latest_op_wins_matches_sequential_replay(spark, ops):
+    """latest_op_wins == replaying the mutation log in order into a
+    dict and dropping tombstoned keys — for ANY interleaving of puts
+    and deletes."""
+    import datetime as dt
+
+    from hbase_sep_spark.operators.sep_model import latest_op_wins
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), key, op, float(i))
+        for i, (key, op) in enumerate(ops)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, op string, value double"
+    )
+    got = {r.user_id: r.value for r in latest_op_wins(df).collect()}
+
+    state = {}
+    for i, (key, op) in enumerate(ops):
+        if op == "put":
+            state[key] = float(i)
+        else:
+            state.pop(key, None)
+    assert got == state
+
+
+@given(n_chars=st.integers(1, 2000))
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_tiles_every_document(spark, n_chars):
+    """Chunk starts (stride 150, size 200) must cover every character:
+    chunk i covers [150i, 150i+200), consecutive chunks overlap 50,
+    and the last chunk reaches the end of the doc."""
+    starts = list(range(0, max(n_chars, 1), 150))
+    assert starts[0] == 0
+    covered_to = 0
+    for s in starts:
+        assert s <= covered_to  # no gap
+        covered_to = max(covered_to, min(s + 200, n_chars))
+    assert covered_to == min(n_chars, starts[-1] + 200)
+    assert covered_to >= n_chars or starts[-1] + 200 >= n_chars
