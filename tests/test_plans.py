@@ -140,3 +140,28 @@ def test_range_binned_join_is_equi(spark):
     plan = plan_of(spark, "join_range_binned")
     assert "NestedLoop" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_sessionize_is_single_shuffle(spark):
+    """Batch sessionization: both windows and the final aggregate
+    share the user_id partitioning — exactly ONE Exchange in the
+    plan. A second shuffle here would double the cost of sessionizing
+    a 100 TB event log."""
+    import re
+
+    plan = plan_of(spark, "win_sessionize_batch")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_training_prep_never_shuffles_text(spark):
+    """The prep pipeline drops the text column before anything
+    shuffles: every Exchange's input schema must be text-free (only
+    the 32-byte digest and the small scored columns move)."""
+    import re
+
+    plan = plan_of(spark, "pipeline_training_prep")
+    blocks = re.split(r"\(\d+\) ", plan)
+    exchange_blocks = [b for b in blocks if b.startswith("Exchange")]
+    assert exchange_blocks
+    for b in exchange_blocks:
+        assert "text#" not in b, b[:300]
