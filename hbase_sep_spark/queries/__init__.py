@@ -3,13 +3,14 @@
 Importing this package registers every batch query into
 `hbase_sep_spark.registry.REGISTRY`.
 
-Import order IS registration order IS the driver's grading order, and
-the driver grades a bounded prefix (round 1: the first 50 entries).
-Round 1 graded aggregates/events/filters/joins, so round 2 registers
-the previously-ungraded modules FIRST (windows, sort/limit, sets,
-scalars, semi-structured, UDFs, LLM ops, extensions, streaming) and
-the already-confirmed modules last. Re-order again next round if a
-prefix remains ungraded.
+Registration order IS the driver's grading order, and the driver
+grades a bounded prefix (~50 entries per round). Rounds 1+2 together
+graded 100 of the 146 names; round 3 therefore pins an EXPLICIT
+prefix: the 46 never-driver-graded queries first, then the two
+round-1 blemishes whose fixes have never been re-graded
+(`agg_collect_sorted`, `sink_parquet_roundtrip`), then everything
+already driver-green in registration order.  The module import order
+below no longer determines grading order — `_GRADE_FIRST` does.
 """
 
 from hbase_sep_spark.queries import (  # noqa: F401
@@ -24,15 +25,87 @@ from hbase_sep_spark.queries import (  # noqa: F401
     llm_extras,
     relational_ext,
     sources_formats,
-)
-
-# Streaming queries are rows-only but also driver-ungraded in round 1:
-# register them ahead of the round-1-confirmed batch modules.
-from hbase_sep_spark.streaming import queries as _streaming_queries  # noqa: F401
-
-from hbase_sep_spark.queries import (  # noqa: F401
     aggregates,
     events,
     filters,
     joins,
 )
+
+from hbase_sep_spark.streaming import queries as _streaming_queries  # noqa: F401
+
+from hbase_sep_spark import registry as _registry
+
+# Driver-grading prefix for round 3: every name CORRECTNESS_r01+r02
+# never covered (46), then the two fixed-but-ungraded round-1
+# blemishes.  Names added later in round 3 should be inserted at the
+# end of this list (slots 49+) so they get graded too.
+_GRADE_FIRST = [
+    # llm_ops tail (§2.11) — never graded
+    "text_tokenize_wordcount",
+    "text_ngrams",
+    "text_tfidf",
+    "text_lang_filter_stats",
+    "multimodal_struct_cols",
+    "simsearch_lsh_bucketed",
+    "simsearch_ivf_coarse",
+    "vec_quantize_int8",
+    # llm_extras — never graded
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_langid_heuristic",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "multimodal_decode_stub",
+    "dedup_clusters",
+    "sample_stratified_docs",
+    "text_chunk_documents",
+    "text_redact_numbers",
+    "pipeline_training_prep",
+    # relational extensions — never graded
+    "reshape_pivot",
+    "reshape_unpivot",
+    "subq_scalar_correlated",
+    "subq_in_uncorrelated",
+    "agg_approx_percentile",
+    "sink_partitioned_prune",
+    "join_range_binned",
+    "join_skew_salted",
+    # sources/formats — never graded
+    "source_json_roundtrip",
+    "source_csv_roundtrip",
+    "source_orc_roundtrip",
+    "source_schema_evolution",
+    # streaming (§2.10 + extensions) — never graded, rows-only
+    "stream_sep_source",
+    "stream_tumbling_count",
+    "stream_sliding_avg",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_dedup_watermark",
+    "stream_stateful_latest",
+    "stream_bootstrap_then_tail",
+    "stream_latest_op_wins",
+    "stream_static_join",
+    "stream_foreach_batch_sink",
+    "stream_stream_interval_join",
+    "stream_incremental_upsert_view",
+    # round-1 blemishes, fixed in round 2, never re-graded
+    "agg_collect_sorted",
+    "sink_parquet_roundtrip",
+]
+
+
+def _reorder() -> None:
+    reg = _registry.REGISTRY
+    missing = [n for n in _GRADE_FIRST if n not in reg]
+    if missing:  # fail loudly at import — a typo here silently ungrades a query
+        raise RuntimeError(f"_GRADE_FIRST names not registered: {missing}")
+    ordered = {n: reg[n] for n in _GRADE_FIRST}
+    ordered.update((n, q) for n, q in reg.items() if n not in ordered)
+    reg.clear()
+    reg.update(ordered)
+
+
+_reorder()

@@ -111,6 +111,13 @@ class SepEventsStreamReader(DataSourceStreamReader):
         self.start_row = int(options.get("start_row", "0"))
         self._n_rows: int | None = None
         self._pos = self.start_row
+        # Delivered high-water mark: the max feed position ever seen in
+        # a planned batch or commit. Guards the restart edge where a
+        # fresh reader's first latestOffset() trails the restored
+        # committed offset (Spark compares offsets as opaque JSON, so a
+        # trailing offset still gets logged as a batch END and the
+        # next batch would otherwise re-emit acked rows).
+        self._hwm = self.start_row
 
     # -- driver-side: offset arithmetic only ---------------------------
     def _total(self) -> int:
@@ -127,33 +134,63 @@ class SepEventsStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # Advance at most one batch per trigger (the rate limit that
         # makes the finite replay multi-batch, which the watermark /
-        # late-data queries depend on). After a checkpoint restart
-        # _pos re-syncs from partitions()/commit(); until then the
-        # returned offset may trail the restored position, which Spark
-        # treats as "no new data" — it catches up within a few
-        # triggers because _pos still advances per call.
+        # late-data queries depend on).
+        #
+        # Restart semantics: a restarted query constructs a FRESH
+        # reader (_pos = start_row) and Spark offers no restore
+        # callback before the first latestOffset(), so the first
+        # returned offset after a restart can trail the restored
+        # committed offset. Spark compares offsets as opaque JSON, so
+        # it plans one (committed -> trailing) batch; partitions()
+        # clamps that to an EMPTY range (hi < lo emits nothing) and
+        # re-syncs _pos from the batch START — the restored committed
+        # position — so the very next trigger resumes exactly at the
+        # checkpoint with no redelivery of acked rows.
         self._pos = min(self._pos + self.batch_size, self._total())
         return {"row": self._pos}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["row"], end["row"]
-        self._pos = max(self._pos, hi)
+        hwm = self._hwm
+        # Re-sync the rate limiter and high-water mark from BOTH ends:
+        # `lo` carries the restored checkpoint position on the first
+        # post-restart batch (where hi may trail it — see
+        # latestOffset()).
+        self._hwm = max(hwm, lo, hi)
+        self._pos = max(self._pos, lo, hi)
+        # Suppress rows this reader instance already planned: after a
+        # backward-offset episode the engine's next batch start is the
+        # trailing END, so [lo, hwm) duplicates acked rows. In healthy
+        # operation hwm == lo (each batch starts where the last ended)
+        # and this is the identity. An uncommitted last batch replayed
+        # on restart has hwm == start_row <= lo, so replay (the
+        # at-least-once path Spark itself drives) is unaffected.
+        lo_eff = max(lo, hwm)
+        if hi <= lo_eff:
+            # Post-restart trailing batch (hi < lo) or fully-acked
+            # range: nothing new to read.
+            return [SepRange(lo=hi, hi=hi)]
         parts = [
             SepRange(lo=p, hi=min(p + self.rows_per_partition, hi))
-            for p in range(lo, hi, self.rows_per_partition)
+            for p in range(lo_eff, hi, self.rows_per_partition)
         ]
-        if self.redeliver_every and lo > 0:
+        if self.redeliver_every and lo_eff > 0:
             # At-least-once: one extra partition re-emitting a sample
             # of the PREVIOUS batch.
             parts.append(
-                SepRange(lo=max(0, lo - self.batch_size), hi=lo, step=self.redeliver_every)
+                SepRange(
+                    lo=max(0, lo_eff - self.batch_size),
+                    hi=lo_eff,
+                    step=self.redeliver_every,
+                )
             )
-        return parts or [SepRange(lo=lo, hi=lo)]
+        return parts
 
     def commit(self, end: dict) -> None:
         # The durable position lives in the query checkpoint (Spark
         # persists offsets); re-sync the rate limiter on restart.
         self._pos = max(self._pos, end["row"])
+        self._hwm = max(self._hwm, end["row"])
 
     # -- worker-side ----------------------------------------------------
     def read(self, partition: SepRange):
@@ -188,6 +225,7 @@ def _ensure_package_on_workers(spark) -> None:
             return
     except Exception:  # noqa: BLE001 - conf.get w/ default varies by version
         pass
+    import atexit
     import os
     import tempfile
     import zipfile
@@ -204,7 +242,19 @@ def _ensure_package_on_workers(spark) -> None:
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, repo_root))
     spark.sparkContext.addPyFile(zpath)
+    # addPyFile copies the zip into Spark's own file-server dir, so the
+    # temp copy is disposable — reap it at interpreter exit rather than
+    # leaking one zip per process (they accumulate across runs).
+    atexit.register(_rm, zpath)
     spark.conf.set(flag, "yes")
+
+
+def _rm(path: str) -> None:
+    import contextlib
+    import os
+
+    with contextlib.suppress(OSError):
+        os.remove(path)
 
 
 def register_sep_source(spark) -> None:

@@ -143,6 +143,106 @@ def test_source_offsets_are_driver_light():
     assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
 
 
+def _emitted(reader, parts):
+    """Rows a set of planned partitions would deliver (worker-side)."""
+    from hbase_sep_spark.sources.sep_events import _read_rows
+
+    out = []
+    for p in parts:
+        out.extend(_read_rows(reader.path, p.lo, p.hi, p.step))
+    return out
+
+
+def test_source_restart_no_redelivery_of_acked():
+    """ADVICE r2 (medium): a restarted query builds a FRESH reader, so
+    its first latestOffset() can trail the restored committed offset;
+    the engine (comparing offsets as opaque JSON) logs the trailing
+    offset as a batch END and derives the NEXT batch's start from it.
+    The delivered high-water mark must suppress re-emission of every
+    row acked before the restart."""
+    from hbase_sep_spark.sources.sep_events import SepEventsStreamReader
+
+    path = f"{SF_UNIT}/events.parquet"
+    opts = {"path": path, "batch_size": "400"}
+
+    # Session 1: deliver the full 1000-row feed, all batches committed.
+    r1 = SepEventsStreamReader(opts)
+    prev = r1.initialOffset()
+    seen = 0
+    while True:
+        end = r1.latestOffset()
+        if end == prev:
+            break
+        seen += len(_emitted(r1, r1.partitions(prev, end)))
+        r1.commit(end)
+        prev = end
+    assert seen == 1000 and prev == {"row": 1000}
+
+    # Session 2 (restart, last batch committed at row=1000): fresh
+    # reader, engine's first poll trails the checkpoint.
+    r2 = SepEventsStreamReader(opts)
+    trailing = r2.latestOffset()  # {"row": 400} — behind committed
+    assert trailing["row"] < 1000
+    # Engine plans (committed -> trailing): must emit nothing.
+    assert _emitted(r2, r2.partitions({"row": 1000}, trailing)) == []
+    # Engine's next batch starts at the trailing END: still nothing —
+    # rows [400, 1000) were acked pre-restart.
+    nxt = r2.latestOffset()
+    redelivered = _emitted(r2, r2.partitions(trailing, nxt))
+    assert redelivered == []
+    # And the stream stays live past the checkpoint: append rows would
+    # flow (here the feed is finite, so it simply parks at the end).
+    assert r2.latestOffset() == {"row": 1000}
+
+
+def test_source_restart_replays_uncommitted_batch():
+    """The at-least-once path Spark itself drives: an UNCOMMITTED last
+    batch is re-planned verbatim on restart and must re-emit exactly
+    its own rows (the hwm guard must not swallow it)."""
+    from hbase_sep_spark.sources.sep_events import SepEventsStreamReader, _read_rows
+
+    path = f"{SF_UNIT}/events.parquet"
+    r = SepEventsStreamReader({"path": path, "batch_size": "400"})
+    replay = _emitted(r, r.partitions({"row": 400}, {"row": 800}))
+    assert replay == list(_read_rows(path, 400, 800))
+    # After the replay the reader resumes forward without a gap.
+    end = r.latestOffset()
+    assert end == {"row": 1000}
+    tail = _emitted(r, r.partitions({"row": 800}, end))
+    assert tail == list(_read_rows(path, 800, 1000))
+
+
+def test_source_batches_bounded_at_bench_sf():
+    """Offset math at the bench scale factor: every planned batch's
+    partitions tile [start, end) with per-partition row counts bounded
+    by rows_per_partition — the per-worker memory contract that makes
+    the replay safe at 100 TB."""
+    import os
+
+    from hbase_sep_spark.sources.sep_events import SepEventsStreamReader
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    r = SepEventsStreamReader(
+        {"path": f"{sf_dir}/events.parquet", "batch_size": "40000", "rows_per_partition": "5000"}
+    )
+    total = r._total()
+    prev = r.initialOffset()
+    covered = 0
+    while True:
+        end = r.latestOffset()
+        if end == prev:
+            break
+        parts = r.partitions(prev, end)
+        assert all(p.hi - p.lo <= 5000 for p in parts)
+        spans = sorted((p.lo, p.hi) for p in parts)
+        assert spans[0][0] == prev["row"] and spans[-1][1] == end["row"]
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+        covered += sum(p.hi - p.lo for p in parts)
+        r.commit(end)
+        prev = end
+    assert covered == total
+
+
 def test_bootstrap_then_tail_no_gap_no_overlap(spark):
     """Late-subscriber bootstrap: batch snapshot [0, K) + stream tail
     [K, end) must tile the feed exactly — the seam loses nothing and
