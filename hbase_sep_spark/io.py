@@ -76,12 +76,32 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        raw = spark.read.parquet(path)
+        raw = events_raw(spark, sf_dir)
         df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(path)
+    _SCAN_CACHE[key] = df
+    return df
+
+
+def events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events scan with `ts` left as raw int64 nanos-since-epoch.
+
+    This is the pushdown-friendly form: `t()`'s TimestampType `ts` is
+    a PROJECTION over this column (`timestamp_micros(ts div 1000)`),
+    and Catalyst does not rewrite predicates through it — a filter on
+    the converted column never reaches the parquet scan. Time-range
+    scans that must prune at the source (e.g. a CDC bootstrap
+    snapshot below a seam offset) filter HERE on int64 ns, then
+    convert."""
+    path = f"{sf_dir}/events.parquet"
+    key = (spark.sparkContext.applicationId, path + "#raw")
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     _SCAN_CACHE[key] = df
     return df

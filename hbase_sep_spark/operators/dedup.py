@@ -260,4 +260,16 @@ def connected_components(pairs: DataFrame, ids: DataFrame, id_col="doc_id", max_
             "with diameter > max_iter",
             stacklevel=2,
         )
-    return labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))
+    # Hand back an UNCACHED result: localCheckpoint materializes the
+    # (id, cluster) projection into executor blocks with lineage
+    # truncated, so the loop's last persist can be released here
+    # instead of leaking one pinned label set per call (persisted
+    # DataFrames are held by the CacheManager forever; checkpoint
+    # blocks are reaped by the ContextCleaner once the result is
+    # GC'd). Callers needing executor-loss fault tolerance at cluster
+    # scale should write the labels table out instead.
+    result = labels.select(
+        F.col("src").alias(id_col), F.col("label").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return result

@@ -199,19 +199,27 @@ def stream_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
 
     out_schema = "user_id long, last_event_id long, last_value double, n_seen long"
-    state_schema = "last_ts double, last_event_id long, last_value double, n_seen long"
+    # last_ts is INTEGER ticks (astype('int64') of the arrow datetime),
+    # never float seconds: at 2026 epochs (~1.7e18 ns) float64
+    # quantizes to ~256 ns and distinct timestamps would collapse.
+    state_schema = "last_ts long, last_event_id long, last_value double, n_seen long"
 
     def latest_per_key(key, pdfs, state: GroupState):
         last_ts, last_eid, last_val, n_seen = (
-            state.get if state.exists else (float("-inf"), -1, 0.0, 0)
+            state.get if state.exists else (-(1 << 62), -1, 0.0, 0)
         )
         for pdf in pdfs:
-            for ts, eid, val in zip(
-                pdf["ts"].astype("int64") / 1e9, pdf["event_id"], pdf["value"]
-            ):
-                n_seen += 1
-                if (ts, eid) > (last_ts, last_eid):
-                    last_ts, last_eid, last_val = float(ts), int(eid), float(val)
+            if len(pdf) == 0:
+                continue
+            n_seen += len(pdf)
+            ts = pdf["ts"].astype("int64")
+            # Vectorized argmax of (ts, event_id): rows at the max ts,
+            # tie-broken by the largest event_id among them.
+            i = pdf["event_id"][ts == ts.max()].idxmax()
+            cand = (int(ts[i]), int(pdf["event_id"][i]))
+            if cand > (last_ts, last_eid):
+                last_ts, last_eid = cand
+                last_val = float(pdf["value"][i])
         state.update((last_ts, last_eid, last_val, n_seen))
         yield pd.DataFrame(
             {
@@ -248,17 +256,40 @@ def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     onward (the sep_events source started at a non-zero initial
     offset). The union must equal the full feed exactly — no gap, no
     overlap at the seam. Asserted against the batch table here (the
-    returned frame aggregates both phases with a phase tag)."""
-    from hbase_sep_spark.io import t as _t
+    returned frame aggregates both phases with a phase tag).
 
-    total = _t(spark, sf_dir, "events").count()
+    Scale shape: the seam is a PREDICATE, not an order statistic. The
+    boundary key — the (ts, event_id) at feed position K — comes from
+    one footer read plus one row-group-sliced single-row read (the
+    same arithmetic the source's offsets use; driver cost is O(1)
+    regardless of feed size), and the snapshot filters the RAW
+    int64-ns scan with `(ts, event_id) < boundary`, which reaches
+    parquet as PushedFilters and prunes row groups at the source. The
+    previous shape (`orderBy(ts, event_id).limit(K)`) was a global
+    sort plus a single-point limit — a non-starter at 100 TB."""
+    import pyarrow.parquet as pq
+
+    from hbase_sep_spark.io import events_raw
+    from hbase_sep_spark.sources.sep_events import _read_rows
+
+    path = f"{sf_dir}/events.parquet"
+    total = pq.ParquetFile(path).metadata.num_rows  # footer only
     k = total // 2
+    # Boundary = the first row of the tail. The feed is stored in
+    # (ts, event_id) order (asserted in tests), so "position < K" is
+    # exactly the tuple predicate "(ts, event_id) < boundary".
+    b_eid, b_ts = next(_read_rows(path, k, k + 1))[:2]
+    b_ns = int(b_ts.value)  # pandas Timestamp → int64 ns, lossless
 
-    # Phase 1: bulk snapshot of rows [0, k) in feed (ts, event_id)
-    # order — a plain pushed-down batch scan, not a replay.
-    w_all = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value", "props")
     snapshot = (
-        w_all.orderBy("ts", "event_id").limit(k).withColumn("phase", F.lit("snapshot"))
+        events_raw(spark, sf_dir)
+        .filter(
+            (F.col("ts") < F.lit(b_ns))
+            | ((F.col("ts") == F.lit(b_ns)) & (F.col("event_id") < F.lit(int(b_eid))))
+        )
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("phase", F.lit("snapshot"))
     )
 
     # Phase 2: stream the tail starting at offset k.
@@ -288,19 +319,24 @@ def stream_latest_op_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out_schema = "user_id long, last_event_id long, last_op string, last_value double, n_seen long"
-    state_schema = "last_ts double, last_event_id long, last_op string, last_value double, n_seen long"
+    # Integer-tick state key for the same reason as stream_stateful_latest.
+    state_schema = "last_ts long, last_event_id long, last_op string, last_value double, n_seen long"
 
     def op_wins(key, pdfs, state: GroupState):
         last_ts, last_eid, last_op, last_val, n_seen = (
-            state.get if state.exists else (float("-inf"), -1, "none", 0.0, 0)
+            state.get if state.exists else (-(1 << 62), -1, "none", 0.0, 0)
         )
         for pdf in pdfs:
-            for ts, eid, val, op in zip(
-                pdf["ts"].astype("int64") / 1e9, pdf["event_id"], pdf["value"], pdf["op"]
-            ):
-                n_seen += 1
-                if (ts, eid) > (last_ts, last_eid):
-                    last_ts, last_eid, last_op, last_val = float(ts), int(eid), str(op), float(val)
+            if len(pdf) == 0:
+                continue
+            n_seen += len(pdf)
+            ts = pdf["ts"].astype("int64")
+            i = pdf["event_id"][ts == ts.max()].idxmax()
+            cand = (int(ts[i]), int(pdf["event_id"][i]))
+            if cand > (last_ts, last_eid):
+                last_ts, last_eid = cand
+                last_op = str(pdf["op"][i])
+                last_val = float(pdf["value"][i])
         state.update((last_ts, last_eid, last_op, last_val, n_seen))
         yield pd.DataFrame(
             {

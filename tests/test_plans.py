@@ -142,6 +142,18 @@ def test_range_binned_join_is_equi(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 
+def test_bootstrap_snapshot_pushes_seam_predicate(spark):
+    """The late-joiner bootstrap snapshot must be a PREDICATE scan,
+    not a global sort+limit: the seam boundary (ts, event_id) tuple
+    reaches the parquet source as PushedFilters on the raw int64-ns
+    column, and no global Sort/Limit feeds the snapshot side."""
+    plan = plan_of(spark, "stream_bootstrap_then_tail")
+    pushed = [seg[:400] for seg in plan.split("PushedFilters: ")[1:]]
+    assert any("LessThan(ts," in seg and "LessThan(event_id," in seg for seg in pushed), pushed
+    assert "TakeOrderedAndProject" not in plan
+    assert "GlobalLimit" not in plan
+
+
 def test_sessionize_is_single_shuffle(spark):
     """Batch sessionization: both windows and the final aggregate
     share the user_id partitioning — exactly ONE Exchange in the
