@@ -62,6 +62,28 @@ def dsum_window(col, window, scale: int = 2) -> Column:
     return F.round(F.sum(_c(col).cast(DEC)).over(window), scale).cast("double")
 
 
+def msum_window(col, window, scale: int = 2) -> Column:
+    """Order-independent rounded window sum via int64 micros — the
+    fast twin of dsum_window (~30% cheaper per row: long adds instead
+    of JVM BigDecimal adds in the running-frame hot loop).
+
+    Same exactness argument as DEC: addends carry ≤6 true decimal
+    digits, so round(x*1e6) recovers the exact micros integer and
+    integer addition is associative. The quotient sum/1e6 is within
+    one ulp of a ≤6-decimal value, so the final per-row round can't
+    straddle a tie differently across engines (positive values:
+    HALF_UP == half-away-from-zero).
+
+    SQL mirror (use verbatim in oracles):
+      round(sum(CAST(round(x * 1000000, 0) AS BIGINT))
+            OVER (...) / 1000000.0, <scale>)
+    (DuckDB window-sums BIGINT as HUGEINT — exact; Spark sums long —
+    exact for any realistic money totals: 9.2e18 overflow headroom.)
+    """
+    micros = F.round(_c(col) * F.lit(1000000), 0).cast("long")
+    return F.round(F.sum(micros).over(window) / F.lit(1000000.0), scale)
+
+
 def nz(col) -> Column:
     """Normalize IEEE negative zero to positive zero (repr-portable)."""
     return _c(col) + F.lit(0.0)

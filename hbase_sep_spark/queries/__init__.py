@@ -94,6 +94,9 @@ _GRADE_FIRST = [
     # round-1 blemishes, fixed in round 2, never re-graded
     "agg_collect_sorted",
     "sink_parquet_roundtrip",
+    # new in round 3 — never graded
+    "join_dpp_partition_prune",
+    "pipeline_sequence_pack",
 ]
 
 

@@ -557,3 +557,59 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(F.lit(0))).alias("total_tokens"),
         F.round(F.sum(F.col("quality").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4).alias("avg_quality"),
     )
+
+
+@register(
+    "pipeline_sequence_pack",
+    oracle="""
+    WITH tokd AS (
+        SELECT doc_id,
+               lang || '/' || CAST(doc_id % 8 AS VARCHAR) AS shard,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS token_offset,
+           CAST((sum(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS pack_id
+    FROM tokd
+    WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    section="2.11-ext",
+)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): assign every doc
+    the index of the 512-token training sequence where its first
+    token lands, per shard — the standard LLM-pretraining packing
+    where shard token streams are concatenated in a deterministic
+    order (doc_id) and sliced into fixed-length sequences.
+
+    Scale shape: packing is per-(lang, doc_id%8) shard, so the only
+    shuffle is a window partitioned by shard — embarrassingly
+    parallel, no global order. At 100 TB the bucket count is the
+    parallelism knob (here 8 per lang; a cluster run would use
+    O(total_tokens / 10^9) buckets). Token counts use the BPE-ish
+    word regex ([A-Za-z0-9]+ runs), identical in the oracle."""
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
+    shard = F.concat_ws("/", F.col("lang"), (F.col("doc_id") % 8).cast("string"))
+    tokd = docs.select(
+        "doc_id", shard.alias("shard"), n_tokens.cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return tokd.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        off.alias("token_offset"),
+        # floor of a long/512 double division is exact far beyond any
+        # realistic shard token count (2^53), and matches BIGINT `//`.
+        F.floor(off / F.lit(512)).cast("long").alias("pack_id"),
+    )

@@ -134,3 +134,79 @@ def subq_in_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "join_dpp_partition_prune",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-05', '2024-01-06', '2024-01-07')
+    GROUP BY 1
+    """,
+    section=SECTION,
+)
+def join_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the 100 TB fact⋈dim pattern where
+    the dates to scan are only known after FILTERING the dim: the
+    fact lands date-partitioned, the dim is a parquet date table with
+    a selective predicate, and Catalyst injects the dim's surviving
+    keys into the fact scan's PartitionFilters at RUNTIME
+    (`dynamicpruning#` subquery — asserted in tests/test_plans.py).
+    Static pruning (sink_partitioned_prune) covers literal predicates;
+    this covers the join-driven case, which is how virtually every
+    date-dim warehouse query prunes. The oracle recomputes the slice
+    from the raw feed, proving the pruned scan is complete."""
+    import os
+
+    from hbase_sep_spark.io import scratch_dir
+
+    root = scratch_dir(spark, "dpp")
+    fact_dir = os.path.join(root, "events_by_date")
+    dim_dir = os.path.join(root, "date_dim")
+    ev = t(spark, sf_dir, "events")
+    (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(fact_dir)
+    )
+    # Dim: every feed date, tagged; the query filters on the tag so
+    # the surviving dates are NOT statically derivable from the fact's
+    # own predicates — exactly the DPP shape. The tag filter is a
+    # string EQUALITY on purpose: the PartitionPruning rule only
+    # injects the runtime subquery when the dim side carries a
+    # "likely selective" predicate (EqualTo/In/comparison — a bare
+    # boolean attribute does not qualify, verified empirically).
+    (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .distinct()
+        .withColumn(
+            "tag",
+            F.when(
+                F.col("d").isin("2024-01-05", "2024-01-06", "2024-01-07"),
+                F.lit("focus"),
+            ).otherwise(F.lit("rest")),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("tag") == "focus")
+    return (
+        fact.join(F.broadcast(dim), fact.event_date == dim.d)
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from hbase_sep_spark.functions import dsum_window
+from hbase_sep_spark.functions import msum_window
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -127,10 +127,10 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            o_orderkey,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
-                      OVER (PARTITION BY o_custkey
-                            ORDER BY o_orderdate, o_orderkey
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+           round(sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0, 2)
                AS running_spend
     FROM orders
     """,
@@ -145,7 +145,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        dsum_window("o_totalprice", w).alias("running_spend"),
+        msum_window("o_totalprice", w).alias("running_spend"),
     )
 
 
@@ -231,9 +231,9 @@ def win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
                AS n_similar_cheaper,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
-                      OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-                            RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+           round(sum(CAST(round(o_totalprice * 1000000, 0) AS BIGINT))
+                 OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                       RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) / 1000000.0, 2)
                AS sum_similar_cheaper
     FROM orders
     """,
@@ -248,7 +248,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
         F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
-        dsum_window("o_totalprice", w).alias("sum_similar_cheaper"),
+        msum_window("o_totalprice", w).alias("sum_similar_cheaper"),
     )
 
 

@@ -142,6 +142,17 @@ def test_range_binned_join_is_equi(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 
+def test_dpp_join_prunes_fact_partitions(spark):
+    """The date-dim join must prune the partitioned fact at RUNTIME:
+    Catalyst injects the filtered dim's keys as a dynamicpruning
+    subquery in the fact scan's PartitionFilters. Without it the scan
+    reads all 30 day-directories to answer a 3-day question."""
+    plan = plan_of(spark, "join_dpp_partition_prune")
+    assert "dynamicpruning" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "dynamicpruning" in seg
+
+
 def test_bootstrap_snapshot_pushes_seam_predicate(spark):
     """The late-joiner bootstrap snapshot must be a PREDICATE scan,
     not a global sort+limit: the seam boundary (ts, event_id) tuple
