@@ -513,3 +513,35 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations_csv"),
         F.count(F.lit(1)).alias("n_nations"),
     )
+
+
+@register("agg_hll_sketch_union", oracle=None, section=SECTION)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — THE 100 TB distinct-user
+    pattern: per-(event_type, day) HLL sketches (Apache DataSketches
+    via hll_sketch_agg), then a second aggregation UNIONS the binary
+    sketches across days and estimates distinct users per type. The
+    two-level shape is what makes it scale: daily sketches are tiny
+    (~KB), pre-computable, and re-aggregatable to ANY rollup (weekly,
+    all-time) without touching raw data again — unlike exact
+    count_distinct, whose partials are the full value sets.
+
+    rows-only: sketch estimates are implementation-defined (DuckDB's
+    approx_count_distinct uses a different HLL); the estimate is
+    gated against exact distinct counts in tests/test_operators.py."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+        )
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

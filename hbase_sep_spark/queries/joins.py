@@ -512,3 +512,85 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("sum_value"),
         F.max("n_user_events").alias("dim_attr"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT user_id, ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_id END
+               AS click_id_within_1h
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    section=SECTION,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas merge_asof's
+    `tolerance=`): each purchase takes the user's latest click at or
+    before it ONLY if that click is within the preceding hour,
+    else NULL — the feature-store freshness rule ("use the feature
+    snapshot unless it's stale").
+
+    Same single-shuffle union+window construction as
+    join_asof_latest_event; the tolerance is a post-window mask on
+    the prevailing click's timestamp (carried by a second
+    last(ignorenulls) over the same frame — no extra shuffle,
+    Catalyst evaluates both lasts in one window pass)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("purchase_id"),
+            "click_id",
+            F.col("ts").alias("click_ts"),
+            F.lit(0).alias("marker"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("marker"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "marker", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = clicks.unionByName(purchases)
+    prevailing_id = F.last("click_id", ignorenulls=True).over(w)
+    prevailing_ts = F.last("click_ts", ignorenulls=True).over(w)
+    fresh = F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return (
+        unioned.select(
+            "user_id",
+            "ts",
+            "purchase_id",
+            prevailing_id.alias("last_click_id"),
+            prevailing_ts.alias("last_click_ts"),
+            "marker",
+        )
+        .filter(F.col("marker") == 1)
+        .select(
+            "user_id",
+            "purchase_id",
+            F.when(fresh, F.col("last_click_id")).alias("click_id_within_1h"),
+        )
+    )

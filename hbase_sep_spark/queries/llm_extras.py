@@ -613,3 +613,74 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         # realistic shard token count (2^53), and matches BIGINT `//`.
         F.floor(off / F.lit(512)).cast("long").alias("pack_id"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_bytes,
+               unnest(range(0, 1 + n_bytes % 64, 5)) AS frame_idx
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 4096 AS BIGINT) AS frame_offset,
+           CAST((doc_id * 1000003 + frame_idx * 97) % 2147483647 AS BIGINT)
+               AS frame_sig
+    FROM s
+    """,
+    section=SECTION,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over an opaque binary payload — the
+    fan-out half of the multimodal story (decode_stub is 1:1; this is
+    1:N): mapInPandas turns each payload row into one row per sampled
+    frame (every 5th of the payload's frame count), with the decode
+    itself stubbed deterministically (frame count/offsets derived
+    from byte length; no video codecs in this container — a real
+    deployment swaps `fake_frames` for pyav/ffmpeg frame extraction
+    with the SAME schema and batch shape).
+
+    Scale shape: pure mapInPandas — no shuffle at all; fan-out
+    happens inside each Arrow batch, and a 100 TB video corpus
+    parallelizes by input split. The oracle recomputes the stub
+    arithmetic in SQL, so the fan-out path is value-checked."""
+    d = t(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    out_schema = (
+        "doc_id long, n_bytes long, frame_idx int, frame_offset long, frame_sig long"
+    )
+
+    def sample_frames(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len).to_numpy(dtype="int64")
+            doc_ids = pdf["doc_id"].to_numpy(dtype="int64")
+            n_frames = 1 + n_bytes % 64
+            reps = (n_frames + 4) // 5  # frames 0,5,10,... < n_frames
+            doc_rep = np.repeat(doc_ids, reps)
+            bytes_rep = np.repeat(n_bytes, reps)
+            # per-row ramp: 0,1,2,... within each doc's repeat block
+            ramp = np.arange(reps.sum()) - np.repeat(
+                np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+            )
+            frame_idx = (ramp * 5).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_rep,
+                    "n_bytes": bytes_rep,
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_offset": frame_idx * 4096,
+                    "frame_sig": (doc_rep * 1000003 + frame_idx * 97) % 2147483647,
+                }
+            )
+
+    return with_payload.mapInPandas(sample_frames, schema=out_schema)

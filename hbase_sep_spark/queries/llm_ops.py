@@ -536,3 +536,72 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(cos, 6) + F.lit(0.0)).alias("fidelity_cos"),
         arr_str(F.slice("q", 1, 4)).alias("q_head"),
     )
+
+
+@register("vec_pca_project", oracle=None, section=SECTION)
+def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-2 principal
+    components — the dimensionality-reduction step before
+    visualization / coarse clustering of a 100 TB embedding table.
+
+    Scale shape (the MLlib RowMatrix pattern): workers compute
+    per-batch PARTIAL MOMENTS (n, Σx, Σxxᵀ) via mapInPandas — one
+    4161-float row per Arrow batch, regardless of batch row count —
+    a posexplode+sum reduces them, and ONLY the d×(d+1) moment matrix
+    (64×65 floats) ever reaches the driver, where numpy's eigh runs
+    on the d×d covariance. The projection itself is a distributed
+    64-term codegen expression with the components folded in as
+    literals. Driver state is O(d²) — independent of corpus size.
+    rows-only: eigenvector arithmetic is float-order sensitive at the
+    last ulp; statistical gates (variance ordering, decorrelation)
+    run in tests/test_operators.py."""
+    import numpy as np
+
+    e = t(spark, sf_dir, "embeddings")
+    DIM = 64
+
+    def partial_moments(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            row = np.concatenate(
+                ([float(len(X))], X.sum(axis=0), (X.T @ X).ravel())
+            )
+            yield pd.DataFrame({"moments": [row.tolist()]})
+
+    flat = (
+        e.select("embedding")
+        .mapInPandas(partial_moments, schema="moments array<double>")
+        .select(F.posexplode("moments").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+    )
+    vals = {r["i"]: r["v"] for r in flat.collect()}  # 4161 scalars: O(d²) driver state
+    n = vals[0]
+    s = np.array([vals[1 + i] for i in range(DIM)])
+    m = np.array([vals[1 + DIM + i] for i in range(DIM * DIM)]).reshape(DIM, DIM)
+    mean = s / n
+    cov = m / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    comps = []
+    for k in (DIM - 1, DIM - 2):  # top-2 by eigenvalue (eigh is ascending)
+        c = eigvecs[:, k]
+        if c[int(np.argmax(np.abs(c)))] < 0:  # deterministic sign convention
+            c = -c
+        comps.append(c)
+
+    def proj(comp):
+        return sum(
+            (F.element_at("embedding", i + 1).cast("double") - F.lit(float(mean[i])))
+            * F.lit(float(comp[i]))
+            for i in range(DIM)
+        )
+
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(proj(comps[0]), 4).alias("pc1"),
+        F.round(proj(comps[1]), 4).alias("pc2"),
+    )

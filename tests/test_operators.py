@@ -160,3 +160,46 @@ def test_pipeline_training_prep_invariants(spark):
     assert rows
     assert sum(r.n_dups_dropped for r in rows) > 0
     assert all(r.total_tokens > 0 and 0 < r.avg_quality <= 1.0 for r in rows)
+
+
+def test_hll_sketch_union_matches_exact_within_bound(spark):
+    """The two-level sketch rollup (daily hll_sketch_agg → hll_union_agg)
+    must estimate per-type distinct users within HLL's error envelope
+    (lgK=12 → ~1.6% std error; gate at 5%)."""
+    import pyspark.sql.functions as F
+
+    from hbase_sep_spark.io import t
+    from hbase_sep_spark.registry import REGISTRY
+
+    est = {
+        r["event_type"]: r["est_distinct_users"]
+        for r in REGISTRY["agg_hll_sketch_union"].fn(spark, SF_UNIT).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in t(spark, SF_UNIT, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for et, n in exact.items():
+        assert abs(est[et] - n) / n <= 0.05, (et, est[et], n)
+
+
+def test_pca_projection_statistics(spark):
+    """PCA gates: pc1 captures at least as much variance as pc2, both
+    capture real signal, and the two projections are decorrelated
+    (orthogonal components ⇒ |corr| near 0)."""
+    import pyspark.sql.functions as F
+
+    from hbase_sep_spark.registry import REGISTRY
+
+    df = REGISTRY["vec_pca_project"].fn(spark, SF_UNIT)
+    row = df.agg(
+        F.var_samp("pc1").alias("v1"),
+        F.var_samp("pc2").alias("v2"),
+        F.corr("pc1", "pc2").alias("c"),
+    ).collect()[0]
+    assert row["v1"] >= row["v2"] > 0
+    assert abs(row["c"]) < 0.05
