@@ -684,3 +684,70 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return with_payload.mapInPandas(sample_frames, schema=out_schema)
+
+
+@register(
+    "text_contamination_check",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= 3
+                           THEN list_transform(range(1, len(ws) - 1),
+                                i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+                           ELSE [array_to_string(ws, ' ')] END) AS shingle
+        FROM w
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+    corpus AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 13 <> 0),
+    totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_contaminated
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(h.n_contaminated AS BIGINT) AS n_contaminated,
+           round(CAST(h.n_contaminated AS DOUBLE) / t.n_shingles, 4)
+               AS contamination_ratio
+    FROM totals t JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    section=SECTION,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-hygiene pass every LLM
+    training corpus needs: flag corpus documents sharing any word
+    3-shingle with a held-out benchmark set (here doc_id % 13 == 0
+    stands in for the benchmark), reporting the contaminated-shingle
+    fraction per document.
+
+    Scale shape: the benchmark shingle set is tiny next to the corpus
+    → distinct + broadcast; the corpus side is one explode + distinct
+    (shuffle carries shingle strings once — at 100 TB you'd join on
+    xxhash64 digests instead, same plan, 8-byte keys; kept as strings
+    here so the DuckDB oracle can replay the join exactly)."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(T.shingles("text", 3)).alias("shingle"))
+    bench = (
+        sh.filter(F.col("doc_id") % 13 == 0).select("shingle").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 13 != 0).distinct()
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    ratio = F.col("n_contaminated").cast("double") / F.col("n_shingles")
+    return (
+        totals.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(ratio, 4).alias("contamination_ratio"),
+        )
+    )

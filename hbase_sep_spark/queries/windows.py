@@ -338,3 +338,91 @@ def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
     )
+
+
+@register(
+    "win_funnel_conversion",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts, event_type,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    ),
+    stages AS (
+        SELECT user_id, session_seq,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM sessions
+        GROUP BY user_id, session_seq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_viewed,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                              AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           round(CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                                    AND t_purchase > t_click
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END), 4)
+               AS view_to_purchase_rate
+    FROM stages
+    """,
+    section=SECTION,
+)
+def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over sessionized events — the conversion metric
+    every event-analytics engine ships: within each 30-minute-gap
+    session, did the user view, then click AFTER the view, then
+    purchase AFTER the click? Stage timestamps are per-session
+    conditional minima, so the ordering test is a pure aggregate
+    comparison — no pattern-matching joins, no row explosion.
+
+    Scale shape: same single-shuffle profile as win_sessionize_batch
+    (both windows and the stage aggregate share the user_id
+    partitioning); the funnel rollup then reduces to one tiny global
+    aggregate."""
+    ev = t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(wo)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)).alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    stages = sess.groupBy("user_id", "session_seq").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    converted = clicked & (F.col("t_purchase") > F.col("t_click"))
+    b2l = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        b2l(viewed).alias("n_viewed"),
+        b2l(clicked).alias("n_clicked_after_view"),
+        b2l(converted).alias("n_converted"),
+        F.round(
+            b2l(converted).cast("double") / b2l(viewed), 4
+        ).alias("view_to_purchase_rate"),
+    )
