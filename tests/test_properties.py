@@ -166,3 +166,71 @@ def test_chunking_tiles_every_document(spark, n_chars):
         covered_to = max(covered_to, min(s + 200, n_chars))
     assert covered_to == min(n_chars, starts[-1] + 200)
     assert covered_to >= n_chars or starts[-1] + 200 >= n_chars
+
+
+def test_funnel_stages_are_monotone(spark):
+    """Funnel counts must shrink (or hold) down the funnel, and the
+    conversion ratio must be consistent with the stage counts."""
+    from hbase_sep_spark.registry import load_all
+    from tests.conftest import SF_UNIT
+
+    REGISTRY = load_all()
+
+    r = REGISTRY["win_funnel_conversion"].fn(spark, SF_UNIT).collect()[0]
+    assert r.n_sessions >= r.n_viewed >= r.n_clicked_after_view >= r.n_converted >= 0
+    assert abs(r.view_to_purchase_rate - round(r.n_converted / r.n_viewed, 4)) < 1e-9
+
+
+def test_asof_tolerance_is_subset_of_asof(spark):
+    """Every tolerance-bounded match must equal the unbounded as-of
+    match for that purchase; tolerance can only null matches out,
+    never invent or change one."""
+    from hbase_sep_spark.registry import load_all
+    from tests.conftest import SF_UNIT
+
+    REGISTRY = load_all()
+
+    base = {
+        r.purchase_id: r.last_click_id
+        for r in REGISTRY["join_asof_latest_event"].fn(spark, SF_UNIT).collect()
+    }
+    tol = {
+        r.purchase_id: r.click_id_within_1h
+        for r in REGISTRY["join_asof_tolerance"].fn(spark, SF_UNIT).collect()
+    }
+    assert set(tol) == set(base)
+    n_nulled = 0
+    for pid, cid in tol.items():
+        if cid is None:
+            n_nulled += 1  # stale or absent — either way null is legal
+        else:
+            assert cid == base[pid]  # fresh match == unbounded match
+    assert 0 < n_nulled < len(tol)  # the bound actually bites, but not everywhere
+
+
+def test_sequence_pack_is_contiguous_per_shard(spark):
+    """Within every shard, token offsets must tile the concatenated
+    token belt exactly (offset_{i+1} = offset_i + n_tokens_i) and
+    pack_ids must be non-decreasing with bounded width."""
+    from collections import defaultdict
+
+    from hbase_sep_spark.registry import load_all
+    from tests.conftest import SF_UNIT
+
+    REGISTRY = load_all()
+
+    rows = REGISTRY["pipeline_sequence_pack"].fn(spark, SF_UNIT).collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    assert len(by_shard) > 1
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        prev_pack = 0
+        for r in rs:
+            assert r.token_offset == off, (shard, r.doc_id)
+            assert r.pack_id == off // 512
+            assert r.pack_id >= prev_pack
+            off += r.n_tokens
+            prev_pack = r.pack_id
