@@ -132,7 +132,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct", oracle=None, section=SECTION)
+@register("agg_approx_count_distinct", oracle=None, memoize=True, section=SECTION)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct estimate — the 100 TB path where exact distinct
     would shuffle every key. rows-only check (estimates differ across
@@ -205,7 +205,7 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile", oracle=None, section=SECTION)
+@register("agg_approx_percentile", oracle=None, memoize=True, section=SECTION)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path: approx_percentile (KLL-style
     mergeable sketch — bounded memory per group, partial-aggregates
@@ -515,7 +515,7 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch_union", oracle=None, section=SECTION)
+@register("agg_hll_sketch_union", oracle=None, memoize=True, section=SECTION)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches — THE 100 TB distinct-user
     pattern: per-(event_type, day) HLL sketches (Apache DataSketches

@@ -24,7 +24,7 @@ from hbase_sep_spark.registry import register
 SECTION = "2.11-ext"
 
 
-@register("dedup_simhash", oracle=None, section=SECTION)
+@register("dedup_simhash", oracle=None, memoize=True, section=SECTION)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs within hamming distance ≤ 3,
     candidates via 16-bit band pigeonhole join. rows-only (xxhash64
@@ -351,7 +351,7 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(decode_batch, schema=out_schema)
 
 
-@register("dedup_clusters", oracle=None, section=SECTION)
+@register("dedup_clusters", oracle=None, memoize=True, section=SECTION)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS (connected components by
     iterative min-label propagation, operators.dedup) → one keep/drop

@@ -69,7 +69,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(corpus).select("canonical_doc_id", "n_copies")
 
 
-@register("dedup_minhash_near", oracle=None, section=SECTION)
+@register("dedup_minhash_near", oracle=None, memoize=True, section=SECTION)
 def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes) + LSH(8 bands × 4) near-dup candidate pairs
     with est. Jaccard ≥ 0.5. rows-only: the xxhash64 family isn't
@@ -346,7 +346,7 @@ def multimodal_struct_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simsearch_lsh_bucketed", oracle=None, section=SECTION)
+@register("simsearch_lsh_bucketed", oracle=None, memoize=True, section=SECTION)
 def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH (8 tables × 4
     planes) with probe-side MULTI-PROBE (each probe also checks every
@@ -389,7 +389,7 @@ def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simsearch_ivf_coarse", oracle=None, section=SECTION)
+@register("simsearch_ivf_coarse", oracle=None, memoize=True, section=SECTION)
 def simsearch_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF coarse quantization, fully declarative: centroids =
     per-label mean embeddings (10 lists), every vector is assigned to
@@ -538,7 +538,7 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vec_pca_project", oracle=None, section=SECTION)
+@register("vec_pca_project", oracle=None, memoize=True, section=SECTION)
 def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus onto its top-2 principal
     components — the dimensionality-reduction step before

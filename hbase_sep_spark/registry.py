@@ -52,13 +52,27 @@ def _memoized(fn: QueryFn) -> QueryFn:
     return wrapper
 
 
-def register(name: str, oracle: Optional[str] = None, section: str = ""):
+def register(
+    name: str,
+    oracle: Optional[str] = None,
+    section: str = "",
+    memoize: Optional[bool] = None,
+):
+    """memoize=None (default): sql-hash queries are plan-memoized,
+    rows-only queries are not (streaming runs and sink writes have
+    side effects per invocation). PURE batch rows-only queries
+    (estimate/hash-family ops) pass memoize=True explicitly — without
+    it every invocation rebuilds the DataFrame, and any persist()
+    inside the operator pins a NEW cache entry per call (a session
+    cache leak: the bench's repeated fn() calls were re-persisting
+    the MinHash signature table every run, turning a 0.1 s query into
+    0.6 s of cold recompute)."""
+
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        # rows-only ops (streaming runs, sink writes) have side effects
-        # per invocation and stay uncached.
-        wrapped = _memoized(fn) if oracle is not None else fn
+        do_memo = (oracle is not None) if memoize is None else memoize
+        wrapped = _memoized(fn) if do_memo else fn
         REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, section=section)
         return fn
 
