@@ -188,3 +188,41 @@ def test_training_prep_never_shuffles_text(spark):
     assert exchange_blocks
     for b in exchange_blocks:
         assert "text#" not in b, b[:300]
+
+
+def test_sequence_pack_is_single_shuffle(spark):
+    """Packing shuffles exactly once (the per-shard window); token
+    counting and pack arithmetic stay in the scan pipeline."""
+    import re
+
+    plan = plan_of(spark, "pipeline_sequence_pack")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_funnel_shares_sessionize_partitioning(spark):
+    """Funnel = sessionize windows + stage aggregate on the same
+    user_id partitioning + one tiny global rollup: exactly 2
+    exchanges (user_id hash, then single-partition final agg)."""
+    import re
+
+    plan = plan_of(spark, "win_funnel_conversion")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_asof_tolerance_is_windowed_not_joined(spark):
+    """The tolerance as-of must keep the union+window shape: no join
+    operator at all, and only the dedup aggregate + window shuffles."""
+    import re
+
+    plan = plan_of(spark, "join_asof_tolerance")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast into the corpus scan —
+    never a shuffled or nested-loop join against the corpus."""
+    plan = plan_of(spark, "text_contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
