@@ -69,7 +69,13 @@ def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return 1.0 / (1.0 + np.exp(-(x / 100000.0)))
 
-    o = t(spark, sf_dir, "orders")
+    # The fixture is one parquet row group → one scan task → ONE
+    # Python worker fed serially; the repartition fans the Arrow
+    # boundary out across workers (0.19 → 0.14 s at sf0.1). A
+    # production multi-split input parallelizes at the scan and
+    # wouldn't need it — same mitigation as agg_median_percentile's
+    # salted repartition.
+    o = t(spark, sf_dir, "orders").repartition(8)
     return o.select("o_orderkey", F.round(sigmoid("o_totalprice"), 6).alias("price_sigmoid"))
 
 
