@@ -545,3 +545,40 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH counted AS (
+        SELECT user_id, event_type, count(*) AS n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type) AS rn
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           event_type AS modal_type,
+           CAST(n AS BIGINT) AS n_events
+    FROM counted WHERE rn = 1
+    """,
+    section=SECTION,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent event type per user) with a
+    DETERMINISTIC tie-break (smallest type name wins) — built as
+    count + window top-1 rather than the engines' mode() functions,
+    whose tie-breaking is implementation-defined and would never
+    hash-match across engines. Shape: partial+final count aggregate,
+    then a WindowGroupLimit top-1 on the (already small) per-group
+    count table — both shuffles on user_id, AQE-coalesced."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    counted = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"), "event_type")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n_events")
+    )
