@@ -107,6 +107,7 @@ _GRADE_FIRST = [
     "join_asof_tolerance",
     "agg_hll_sketch_union",
     "vec_pca_project",
+    "agg_mode_exact",
 ]
 
 
