@@ -108,6 +108,8 @@ _GRADE_FIRST = [
     "agg_hll_sketch_union",
     "vec_pca_project",
     "agg_mode_exact",
+    "join_nullsafe_eq",
+    "scalar_try_safe_arith",
 ]
 
 

@@ -594,3 +594,45 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, F.col("last_click_id")).alias("click_id_within_1h"),
         )
     )
+
+
+@register(
+    "join_nullsafe_eq",
+    oracle="""
+    WITH ev AS (
+        SELECT nullif(event_type, 'error') AS k, value FROM events
+    ),
+    d AS (
+        SELECT DISTINCT nullif(event_type, 'error') AS k FROM events
+    )
+    SELECT coalesce(d.k, '<null>') AS join_key,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(ev.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_value
+    FROM ev JOIN d ON ev.k IS NOT DISTINCT FROM d.k
+    GROUP BY 1
+    """,
+    section=SECTION,
+)
+def join_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    join keys MATCH each other instead of silently dropping — the
+    semantics a CDC pipeline needs when the join key itself can be a
+    deleted/absent attribute (here errors are mapped to NULL). A
+    plain equi-join would lose every error event; the null-safe join
+    keeps them under the '<null>' key. Catalyst still plans this as a
+    hash join (null-safe equality is a valid equi-key)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.nullif(F.col("event_type"), F.lit("error")).alias("k"), "value"
+    )
+    d = ev.select("k").distinct().select(F.col("k").alias("dk"))
+    return (
+        ev.join(F.broadcast(d), ev.k.eqNullSafe(F.col("dk")))
+        .groupBy(F.coalesce("dk", F.lit("<null>")).alias("join_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -284,3 +284,33 @@ def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.c_custkey").alias("key_b"),
         F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edit_dist"),
     )
+
+
+@register(
+    "scalar_try_safe_arith",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN (user_id % 3) <> 0
+                THEN value / CAST(user_id % 3 AS DOUBLE) END AS safe_ratio,
+           TRY_CAST(CASE WHEN user_id % 2 = 0
+                         THEN CAST(user_id AS VARCHAR)
+                         ELSE event_type END AS BIGINT) AS maybe_id
+    FROM events
+    """,
+    section=SECTION,
+)
+def scalar_try_safe_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic: Spark 4 runs under ANSI SQL where
+    division by zero and bad casts THROW; `try_divide` / `try_cast`
+    give NULL instead — the semantics a lossy-input pipeline needs to
+    keep one malformed row from killing a 100 TB job. The oracle
+    re-expresses both as the equivalent guarded CASE / TRY_CAST."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_divide("value", (F.col("user_id") % 3).cast("double")).alias("safe_ratio"),
+        F.expr(
+            "try_cast(CASE WHEN user_id % 2 = 0 THEN CAST(user_id AS STRING) "
+            "ELSE event_type END AS BIGINT)"
+        ).alias("maybe_id"),
+    )
