@@ -110,6 +110,8 @@ _GRADE_FIRST = [
     "agg_mode_exact",
     "join_nullsafe_eq",
     "scalar_try_safe_arith",
+    "events_compact_changelog",
+    "sample_bernoulli_hash",
 ]
 
 

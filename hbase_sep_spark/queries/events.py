@@ -386,3 +386,56 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "files_before int, files_after int, rows_before long, rows_after long",
     ).withColumn("lossless", F.col("rows_before") == F.col("rows_after"))
+
+
+@register(
+    "events_compact_changelog",
+    oracle="""
+    WITH states AS (
+        SELECT user_id, event_id, ts,
+               CAST(floor(value / 100) AS BIGINT) AS state
+        FROM events
+    ),
+    ordered AS (
+        SELECT user_id, event_id, ts, state,
+               lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_state
+        FROM states
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           state
+    FROM ordered
+    WHERE prev_state IS NULL OR state <> prev_state
+    """,
+    section=SECTION,
+)
+def events_compact_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — drop no-op updates: a CDC feed often
+    re-emits a row whose materialized cell did not actually change
+    (touch writes, full-row upserts); a consumer building history
+    only needs TRANSITIONS. The materialized cell here is the
+    value's century bucket (the fixture's raw doubles never repeat,
+    so the bucket stands in for a real row's coarse state — ~20% of
+    updates are no-ops at this granularity). Keep each key's first
+    version and every version whose state differs from its
+    predecessor — one window lag over the per-key order, no
+    self-join. (HBase itself drops identical cell versions at
+    compaction; this is that semantics over the feed.)"""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    state = F.floor(F.col("value") / 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_state = ev.select("user_id", "event_id", "ts", state.alias("state"))
+    prev = F.lag("state").over(w)
+    return (
+        with_state.withColumn("prev_state", prev)
+        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "state",
+        )
+    )

@@ -751,3 +751,27 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ratio, 4).alias("contamination_ratio"),
         )
     )
+
+
+@register(
+    "sample_bernoulli_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 < 0.2 * 4294967296
+    """,
+    section=SECTION,
+)
+def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sampling (p = 0.2) via a Knuth
+    multiplicative hash threshold — the reproducible row sample every
+    data pipeline needs (TABLESAMPLE and rand() are
+    nondeterministic across engines, runs, and partitionings; a pure
+    arithmetic hash on the key is identical everywhere and stable
+    under repartitioning, so the sample is auditable and re-joinable
+    at any later stage). Exact integer arithmetic: doc_id * knuth ≈
+    2.7e14 ≪ 2^63, portable across both engines. The filter is a
+    scan-level predicate — no shuffle, no state."""
+    d = t(spark, sf_dir, "documents")
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return d.filter(u < F.lit(0.2 * 4294967296)).select("doc_id", "lang", "n_chars")
