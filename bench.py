@@ -46,6 +46,9 @@ HEADLINE = [
     "dedup_minhash_near",     # MinHash+LSH (no oracle timing)
     "simsearch_cosine_topk",  # vector dot-product scan
     "udf_pandas_vectorized",  # Arrow UDF path
+    "simsearch_lsh_bucketed", # multi-table LSH ANN (no oracle timing)
+    "vec_pca_project",        # partial-moment PCA (no oracle timing)
+    "pipeline_training_prep", # end-to-end dedup+filter+shard pipeline
 ]
 
 

@@ -4,13 +4,13 @@ Importing this package registers every batch query into
 `hbase_sep_spark.registry.REGISTRY`.
 
 Registration order IS the driver's grading order, and the driver
-grades a bounded prefix (~50 entries per round). Rounds 1+2 together
-graded 100 of the 146 names; round 3 therefore pins an EXPLICIT
-prefix: the 46 never-driver-graded queries first, then the two
-round-1 blemishes whose fixes have never been re-graded
-(`agg_collect_sorted`, `sink_parquet_roundtrip`), then everything
-already driver-green in registration order.  The module import order
-below no longer determines grading order — `_GRADE_FIRST` does.
+grades a bounded prefix (~50 entries per round).  The EXPLICIT
+`_GRADE_FIRST` list below — not module import order — determines the
+prefix.  Policy each round: never-graded names first, then any
+sql-hash query whose implementation or oracle changed since its last
+green grade, then the stalest old greens for regression
+re-confirmation.  New queries added mid-round go after the ~50
+boundary and rotate to the front next round.
 """
 
 from hbase_sep_spark.queries import (  # noqa: F401
@@ -35,72 +35,18 @@ from hbase_sep_spark.streaming import queries as _streaming_queries  # noqa: F40
 
 from hbase_sep_spark import registry as _registry
 
-# Driver-grading prefix for round 3: every name CORRECTNESS_r01+r02
-# never covered (46), then the two fixed-but-ungraded round-1
-# blemishes.  Names added later in round 3 should be inserted at the
-# end of this list (slots 49+) so they get graded too.
+# Driver-grading prefix for round 4 (VERDICT r3 item 1 + ADVICE):
+# 1-11  = the 11 round-3 additions never driver-graded (were at 51-61),
+# 12-16 = sql-hash queries whose implementation OR oracle changed after
+#         their last green grade (must re-enter the prefix per the
+#         project invariant): win_running_sum / win_range_frame /
+#         agg_median_percentile (changed r3 after r2 grade, flagged by
+#         ADVICE), pipeline_sequence_pack + pipeline_training_prep
+#         (shard-key NULL fix this round),
+# 17-50 = oldest driver-greens (round-1 set) for regression
+#         re-confirmation of stale grades.
 _GRADE_FIRST = [
-    # llm_ops tail (§2.11) — never graded
-    "text_tokenize_wordcount",
-    "text_ngrams",
-    "text_tfidf",
-    "text_lang_filter_stats",
-    "multimodal_struct_cols",
-    "simsearch_lsh_bucketed",
-    "simsearch_ivf_coarse",
-    "vec_quantize_int8",
-    # llm_extras — never graded
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_langid_heuristic",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "multimodal_decode_stub",
-    "dedup_clusters",
-    "sample_stratified_docs",
-    "text_chunk_documents",
-    "text_redact_numbers",
-    "pipeline_training_prep",
-    # relational extensions — never graded
-    "reshape_pivot",
-    "reshape_unpivot",
-    "subq_scalar_correlated",
-    "subq_in_uncorrelated",
-    "agg_approx_percentile",
-    "sink_partitioned_prune",
-    "join_range_binned",
-    "join_skew_salted",
-    # sources/formats — never graded
-    "source_json_roundtrip",
-    "source_csv_roundtrip",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    # streaming (§2.10 + extensions) — never graded, rows-only
-    "stream_sep_source",
-    "stream_tumbling_count",
-    "stream_sliding_avg",
-    "stream_session_window",
-    "stream_watermark_late",
-    "stream_dedup_watermark",
-    "stream_stateful_latest",
-    "stream_bootstrap_then_tail",
-    "stream_latest_op_wins",
-    "stream_static_join",
-    "stream_foreach_batch_sink",
-    "stream_stream_interval_join",
-    "stream_incremental_upsert_view",
-    # round-1 blemishes, fixed in round 2, never re-graded
-    "agg_collect_sorted",
-    "sink_parquet_roundtrip",
-    # new in round 3 — never graded
-    "join_dpp_partition_prune",
-    "pipeline_sequence_pack",
-    # --- ~50-entry grading boundary (driver grades a bounded prefix).
-    # Positions 51+ cost nothing and pay off if the bound is larger:
-    # the remaining round-3 additions, then everything already
-    # driver-green in module order.
+    # never graded (round-3 additions)
     "text_contamination_check",
     "win_funnel_conversion",
     "multimodal_frame_sample",
@@ -112,6 +58,53 @@ _GRADE_FIRST = [
     "scalar_try_safe_arith",
     "events_compact_changelog",
     "sample_bernoulli_hash",
+    # changed since last green grade
+    "win_running_sum",
+    "win_range_frame",
+    "agg_median_percentile",
+    "pipeline_sequence_pack",
+    "pipeline_training_prep",
+    # stale round-1 greens, oldest grades first
+    "scan_parquet",
+    "scan_events_feed",
+    "events_payload_extract",
+    "events_table_filter",
+    "events_latest_per_key",
+    "events_dedup_redelivery",
+    "events_per_key_ordered",
+    "project_alias",
+    "filter_eq",
+    "filter_range_between",
+    "filter_in",
+    "filter_like",
+    "filter_null_handling",
+    "filter_boolean_combo",
+    "select_distinct",
+    "join_inner_broadcast",
+    "join_inner_shuffle",
+    "join_multiway_star",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_interval_events",
+    "join_asof_latest_event",
+    "agg_global",
+    "agg_groupby_basic",
+    "agg_having",
+    "agg_count_distinct",
+    "agg_min_max_stats",
+    "agg_corr",
+    "agg_rollup",
+    # --- ~50-entry grading boundary (driver grades a bounded prefix).
+    # Positions 51+ cost nothing and pay off if the bound is larger.
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_conditional",
+    "agg_approx_count_distinct",
 ]
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hbase_sep_spark.functions import arr_str, davg, dsum
 from hbase_sep_spark.io import t
+from hbase_sep_spark.operators import quantiles
 from hbase_sep_spark.registry import register
 
 SECTION = "2.4"
@@ -183,162 +184,38 @@ def agg_min_max_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT interpolated percentile (== DuckDB `quantile_cont`),
-    computed statistics-assisted — the at-scale shape for exact
-    quantiles, replacing the per-group sort buffer entirely:
-
-    1. A coarse equi-width histogram of the value column (1024 bins ×
-       group: tiny integer aggregates) is computed ONCE per (session,
-       table) and cached — the ANALYZE-statistics analog; every
-       percentile query against the table reuses it.
-    2. The histogram's cumulative counts locate, per group and
-       quantile, the BIN holding each needed order statistic and its
-       rank WITHIN that bin — driver state is O(bins × groups).
-    3. The only data-sized work is then a scan FILTERED to the few
-       needed price ranges (pushed down to parquet), a row_number
-       within (group, bin) over those ~few-thousand rows, and a
-       broadcast join against the (group, bin, rank, weight) spec.
-       Interpolation replicates quantile_cont's own formula
-       (v_lo + frac·(v_hi − v_lo), frac from the same IEEE ops).
-
-    Exactness: bin membership only ROUTES rows (counts and ranks are
-    integers); tied values land in the same bin and any within-tie
-    rank permutation selects the same value. The range pre-filter is
-    widened by one bin on each side so FP boundary effects can never
-    exclude a member row — exact membership is re-decided by the same
-    bin expression. No per-group value buffer ever exists, so memory
-    per task is O(1) at any scale; `agg_approx_percentile` remains
-    the one-pass sketch alternative."""
-    stats = _lineitem_price_stats(spark, sf_dir)
-    mn, w, hist = stats["mn"], stats["w"], stats["hist"]
-
-    # Driver-side rank arithmetic per (group, quantile): bin + local
-    # rank of the two order statistics around pos = 1 + q(n-1).
-    spec_rows = []  # (status, bin, local_rank, qname, kind, frac)
-    needed_bins: dict[str, set] = {}
-    for status, bins in hist.items():
-        n = sum(bins.values())
-        cum = []
-        total = 0
-        for b in range(_PCTL_BINS):
-            total += bins.get(b, 0)
-            cum.append(total)
-
-        def bin_of_rank(r):
-            import bisect
-
-            b = bisect.bisect_left(cum, r)
-            before = cum[b - 1] if b else 0
-            return b, r - before
-
-        for q, qname in ((0.5, "median"), (0.9, "p90")):
-            pos = 1 + q * (n - 1)
-            k_lo = int(pos)
-            frac = pos - k_lo
-            b, lr = bin_of_rank(k_lo)
-            spec_rows.append((status, b, lr, qname, "lo", frac))
-            needed_bins.setdefault(status, set()).add(b)
-            if frac > 0 and k_lo + 1 <= n:
-                b2, lr2 = bin_of_rank(k_lo + 1)
-                spec_rows.append((status, b2, lr2, qname, "hi", frac))
-                needed_bins[status].add(b2)
-
-    # Pushed-down pre-filter: the union of needed price ranges,
-    # widened one bin each side (superset; exact bin expr decides).
-    pred = None
-    for status, bs in needed_bins.items():
-        for b in bs:
-            lo_p = mn + (b - 1) * w
-            hi_p = mn + (b + 2) * w
-            c = (F.col("l_linestatus") == status) & F.col("l_extendedprice").between(lo_p, hi_p)
-            pred = c if pred is None else (pred | c)
-
-    spec = spark.createDataFrame(
-        spec_rows,
-        "l_linestatus string, bin int, local_rank int, qname string, kind string, frac double",
-    )
-    from pyspark.sql import Window
-
-    li = t(spark, sf_dir, "lineitem").filter(pred)
-    binned = li.select(
-        "l_linestatus", "l_extendedprice", _pctl_bin_expr(mn, w).alias("bin")
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("l_linestatus", "bin").orderBy("l_extendedprice")
-    )
-    picked = (
-        binned.withColumn("rn", rn)
-        .alias("d")
-        .join(
-            F.broadcast(spec).alias("s"),
-            (F.col("d.bin") == F.col("s.bin"))
-            & (F.col("d.rn") == F.col("s.local_rank"))
-            & (F.col("d.l_linestatus") == F.col("s.l_linestatus")),
-        )
-        .select(
-            F.col("d.l_linestatus").alias("status"),
-            "d.l_extendedprice",
-            "s.qname",
-            "s.kind",
-            "s.frac",
-        )
-    )
-    per_q = picked.groupBy("status", "qname").agg(
-        F.max(F.when(F.col("kind") == "lo", F.col("l_extendedprice"))).alias("v_lo"),
-        F.max(F.when(F.col("kind") == "hi", F.col("l_extendedprice"))).alias("v_hi"),
-        F.max("frac").alias("frac"),
-    )
-    val = F.round(
-        F.col("v_lo") + F.col("frac") * (F.coalesce("v_hi", "v_lo") - F.col("v_lo")), 2
-    )
-    return (
-        per_q.withColumn("val", val)
-        .groupBy(F.col("status").alias("l_linestatus"))
-        .agg(
-            F.max(F.when(F.col("qname") == "median", F.col("val"))).alias("median_price"),
-            F.max(F.when(F.col("qname") == "p90", F.col("val"))).alias("p90_price"),
-        )
-    )
-
-
-_PCTL_BINS = 1024
-_PCTL_STATS_CACHE: dict[tuple[str, str], dict] = {}
-
-
-def _pctl_bin_expr(mn: float, w: float):
-    """Equi-width bin of l_extendedprice — shared verbatim by the
-    stats pass and the selection pass so routing is self-consistent."""
-    return F.least(
-        F.floor((F.col("l_extendedprice") - F.lit(mn)) / F.lit(w)).cast("int"),
-        F.lit(_PCTL_BINS - 1),
-    )
-
-
-def _lineitem_price_stats(spark: SparkSession, sf_dir: str) -> dict:
-    """Coarse per-(l_linestatus, bin) histogram of l_extendedprice,
-    cached per (session, table) — table statistics, not row data:
-    O(bins × groups) integers on the driver regardless of table size.
-    """
+    computed statistics-assisted via operators/quantiles.py — the
+    at-scale shape for exact quantiles, replacing the per-group sort
+    buffer entirely.  See that module's docstring for the full
+    histogram → locate → (skew-refine) → bounded-sort design; the
+    per-(session, table) histogram is cached here so every percentile
+    query against the table reuses it.  `agg_approx_percentile`
+    remains the one-pass sketch alternative."""
+    li = t(spark, sf_dir, "lineitem")
     key = (spark.sparkContext.applicationId, sf_dir)
     st = _PCTL_STATS_CACHE.get(key)
-    if st is not None:
-        return st
-    li = t(spark, sf_dir, "lineitem")
-    g = li.agg(
-        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
-    ).collect()[0]
-    mn, mx = float(g["mn"]), float(g["mx"])
-    w = (mx - mn) / _PCTL_BINS or 1.0
-    rows = (
-        li.groupBy("l_linestatus", _pctl_bin_expr(mn, w).alias("bin"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
+    if st is None:
+        st = quantiles.compute_stats(li, "l_extendedprice", "l_linestatus")
+        _PCTL_STATS_CACHE[key] = st
+    pq = quantiles.exact_percentiles(
+        spark,
+        li,
+        "l_extendedprice",
+        "l_linestatus",
+        {"median": 0.5, "p90": 0.9},
+        stats=st,
     )
-    hist: dict[str, dict[int, int]] = {}
-    for r in rows:
-        hist.setdefault(r["l_linestatus"], {})[r["bin"]] = r["c"]
-    st = {"mn": mn, "w": w, "hist": hist}
-    _PCTL_STATS_CACHE[key] = st
-    return st
+    return pq.groupBy("l_linestatus").agg(
+        F.round(
+            F.max(F.when(F.col("qname") == "median", F.col("value"))), 2
+        ).alias("median_price"),
+        F.round(
+            F.max(F.when(F.col("qname") == "p90", F.col("value"))), 2
+        ).alias("p90_price"),
+    )
+
+
+_PCTL_STATS_CACHE: dict[tuple[str, str], dict] = {}
 
 
 @register("agg_approx_percentile", oracle=None, memoize=True, section=SECTION)

@@ -564,7 +564,7 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tokd AS (
         SELECT doc_id,
-               lang || '/' || CAST(doc_id % 8 AS VARCHAR) AS shard,
+               coalesce(lang, '??') || '/' || CAST(doc_id % 8 AS VARCHAR) AS shard,
                len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
         FROM documents
     )
@@ -594,7 +594,12 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     word regex ([A-Za-z0-9]+ runs), identical in the oracle."""
     docs = t(spark, sf_dir, "documents")
     n_tokens = F.size(F.expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)"))
-    shard = F.concat_ws("/", F.col("lang"), (F.col("doc_id") % 8).cast("string"))
+    # coalesce on BOTH sides: concat_ws silently drops NULLs while the
+    # oracle's `||` propagates them — a NULL lang must shard the same way
+    # in both engines (portable.py NULL-key rule).
+    shard = F.concat_ws(
+        "/", F.coalesce(F.col("lang"), F.lit("??")), (F.col("doc_id") % 8).cast("string")
+    )
     tokd = docs.select(
         "doc_id", shard.alias("shard"), n_tokens.cast("long").alias("n_tokens")
     )

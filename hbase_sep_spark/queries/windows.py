@@ -357,27 +357,41 @@ def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ROWS UNBOUNDED PRECEDING) AS session_seq
         FROM flagged
     ),
+    s1 AS (
+        SELECT user_id, session_seq, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id, session_seq) AS t_view
+        FROM sessions
+    ),
+    s2 AS (
+        SELECT user_id, session_seq, event_type, ts, t_view,
+               min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                   OVER (PARTITION BY user_id, session_seq) AS t_click
+        FROM s1
+    ),
     stages AS (
         SELECT user_id, session_seq,
-               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-        FROM sessions
+               min(t_view) AS t_view,
+               min(t_click) AS t_click,
+               min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                        THEN ts END) AS t_purchase
+        FROM s2
         GROUP BY user_id, session_seq
     )
     SELECT CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_viewed,
-           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
-           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                              AND t_purchase > t_click
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
-           round(CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                                    AND t_purchase > t_click
-                               THEN 1 ELSE 0 END) AS DOUBLE)
-                 / sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END), 4)
-               AS view_to_purchase_rate
+           CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clicked_after_view,
+           CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+           CASE WHEN sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) = 0
+                THEN NULL
+                ELSE round(CAST(sum(CASE WHEN t_purchase IS NOT NULL
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           / sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END),
+                           4)
+           END AS view_to_purchase_rate
     FROM stages
     """,
     section=SECTION,
@@ -385,15 +399,18 @@ def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel over sessionized events — the conversion metric
     every event-analytics engine ships: within each 30-minute-gap
-    session, did the user view, then click AFTER the view, then
-    purchase AFTER the click? Stage timestamps are per-session
-    conditional minima, so the ordering test is a pure aggregate
-    comparison — no pattern-matching joins, no row explosion.
+    session, did the user view, then click strictly AFTER the view,
+    then purchase strictly AFTER that click? Stage timestamps chain:
+    t_view is the first view, t_click the first click after t_view,
+    t_purchase the first purchase after t_click — so a click that
+    precedes the view never counts, and a purchase between view and
+    click never counts.
 
-    Scale shape: same single-shuffle profile as win_sessionize_batch
-    (both windows and the stage aggregate share the user_id
-    partitioning); the funnel rollup then reduces to one tiny global
-    aggregate."""
+    Scale shape: same single-shuffle profile as win_sessionize_batch —
+    the sessionize windows, both per-session stage windows, and the
+    stage aggregate all share the user_id(-prefixed) partitioning, so
+    Catalyst plans one exchange; the funnel rollup then reduces to one
+    tiny global aggregate."""
     ev = t(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(wo)
@@ -408,21 +425,33 @@ def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_seq",
         F.sum("new_session").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
     )
-    stages = sess.groupBy("user_id", "session_seq").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    wsess = Window.partitionBy("user_id", "session_seq")
+    is_type = lambda ty: F.col("event_type") == ty  # noqa: E731
+    s1 = sess.withColumn(
+        "t_view", F.min(F.when(is_type("view"), F.col("ts"))).over(wsess)
     )
-    viewed = F.col("t_view").isNotNull()
-    clicked = viewed & (F.col("t_click") > F.col("t_view"))
-    converted = clicked & (F.col("t_purchase") > F.col("t_click"))
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(is_type("click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+        ).over(wsess),
+    )
+    stages = s2.groupBy("user_id", "session_seq").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min(
+            F.when(is_type("purchase") & (F.col("ts") > F.col("t_click")), F.col("ts"))
+        ).alias("t_purchase"),
+    )
     b2l = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    n_viewed = b2l(F.col("t_view").isNotNull())
+    n_converted = b2l(F.col("t_purchase").isNotNull())
     return stages.agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        b2l(viewed).alias("n_viewed"),
-        b2l(clicked).alias("n_clicked_after_view"),
-        b2l(converted).alias("n_converted"),
-        F.round(
-            b2l(converted).cast("double") / b2l(viewed), 4
-        ).alias("view_to_purchase_rate"),
+        n_viewed.alias("n_viewed"),
+        b2l(F.col("t_click").isNotNull()).alias("n_clicked_after_view"),
+        n_converted.alias("n_converted"),
+        F.when(n_viewed == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(n_converted.cast("double") / n_viewed, 4))
+        .alias("view_to_purchase_rate"),
     )

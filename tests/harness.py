@@ -121,7 +121,10 @@ def _exact(a, b):
 
 def check_query(name, query, spark, con, sf_dir):
     """Returns dict(status, detail). status ∈ ok | ok-rows-only |
-    mismatch | error | warn-float."""
+    mismatch | error | warn-float | warn-realigned (the last counts
+    as FAILING in the CLI: rows matched only after multiset
+    realignment, which the real driver's rank-aligned compare would
+    not do)."""
     t0 = time.time()
     try:
         sdf = query.fn(spark, sf_dir)
@@ -165,6 +168,7 @@ def check_query(name, query, spark, con, sf_dir):
             n_float_warn += 1
             if n_float_warn <= 1:
                 first_warn = f"row {i}: spark={sr!r} oracle={orow!r}"
+    n_realigned = 0
     if misaligned:
         # Two cross-engine floats that differ sub-tolerance can still
         # straddle a rounding boundary of _sort_key's quantized float
@@ -172,7 +176,11 @@ def check_query(name, query, spark, con, sf_dir):
         # between them. Before failing, re-match the pairwise failures
         # as a multiset with the same cell tolerance (greedy is fine —
         # tolerance classes are tiny); anything left unmatched is a
-        # real mismatch, so the check stays fail-closed.
+        # real mismatch, so the check stays fail-closed.  Realignment
+        # is surfaced as its OWN status (warn-realigned, counted as a
+        # failure by the CLI): the real driver compares rank-aligned
+        # rows, so a query that needs realignment locally is at hash
+        # risk there and must get harder sort keys, not a pass.
         leftover = [orow for _, _, orow in misaligned]
         for i, sr, _ in misaligned:
             hit = next((j for j, orow in enumerate(leftover) if _cells_equal(sr, orow)), None)
@@ -183,9 +191,19 @@ def check_query(name, query, spark, con, sf_dir):
                     "sec": time.time() - t0,
                 }
             leftover.pop(hit)
-            n_float_warn += 1
-            if n_float_warn <= 1:
-                first_warn = f"row {i} (realigned): spark={sr!r}"
+            n_realigned += 1
+            if n_realigned <= 1:
+                first_realign = f"row {i}: spark={sr!r}"
+    if n_realigned:
+        return {
+            "status": "warn-realigned",
+            "detail": (
+                f"{n_realigned}/{len(srows)} rows only match after multiset "
+                f"realignment (driver rank-compare may fail — harden sort "
+                f"keys): {first_realign}"
+            ),
+            "sec": time.time() - t0,
+        }
     if n_float_warn:
         return {
             "status": "warn-float",
@@ -221,6 +239,8 @@ def main():
     for name in names:
         res = check_query(name, registry[name], spark, con, args.sf)
         flag = "✓" if res["status"].startswith("ok") else ("~" if res["status"] == "warn-float" else "✗")
+        # warn-realigned falls through to ✗: realignment-only matches
+        # are a driver hash risk, not a pass.
         if flag == "✗":
             n_bad += 1
         print(f"{flag} {name:32s} {res['status']:14s} {res['sec']:6.2f}s  {res['detail']}")
