@@ -57,18 +57,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table. At cluster scale these would be
     partitioned/bucketed catalog tables; the reader API is identical.
 
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as nanos-since-epoch long and rebuild a
-    TimestampType column (lossless here — the generator emits
-    microsecond precision; verified sub-us component is always 0).
+    `events.ts` has changed physical type across testdata generations
+    (TIMESTAMP(NANOS) in rounds 1-3, TIMESTAMP(MICROS) since round 4),
+    so the events branch dispatches on the scanned dtype instead of
+    assuming one encoding:
 
-    NOTE: this flips `spark.sql.legacy.parquet.nanosAsLong` for the
-    WHOLE session and deliberately does not restore it — the conf is
-    consulted at scan execution time, so restoring it after planning
-    would break re-execution of this very DataFrame. Consequence: any
-    OTHER nanos-timestamp parquet read in the same session also comes
-    back as longs (none of the driver tables besides events carries
-    nanos; documented in CLAUDE.md sharp edges).
+    - `bigint`        → nanos file read under `nanosAsLong` (see
+      events_raw): rebuild TimestampType via timestamp_micros(ns/1000)
+      (lossless — nanos generators emitted whole microseconds).
+    - `timestamp_ntz` → micros file read natively: cast to the session
+      TimestampType (value-preserving under the UTC session timezone)
+      so every downstream query sees the same type as before.
+    - `timestamp`     → pass through.
     """
     path = f"{sf_dir}/{name}.parquet"
     key = (spark.sparkContext.applicationId, path)
@@ -79,7 +79,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         raw = events_raw(spark, sf_dir)
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        else:
+            df = raw
     else:
         df = spark.read.parquet(path)
     _SCAN_CACHE[key] = df
@@ -87,15 +93,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events scan with `ts` left as raw int64 nanos-since-epoch.
+    """The events scan with `ts` in its PHYSICAL form — int64
+    nanos-since-epoch for a TIMESTAMP(NANOS) file (read under
+    `nanosAsLong`), `timestamp_ntz` for a TIMESTAMP(MICROS) file.
 
-    This is the pushdown-friendly form: `t()`'s TimestampType `ts` is
-    a PROJECTION over this column (`timestamp_micros(ts div 1000)`),
-    and Catalyst does not rewrite predicates through it — a filter on
-    the converted column never reaches the parquet scan. Time-range
-    scans that must prune at the source (e.g. a CDC bootstrap
-    snapshot below a seam offset) filter HERE on int64 ns, then
-    convert."""
+    This is the pushdown-friendly form: for the nanos encoding `t()`'s
+    TimestampType `ts` is a PROJECTION over this column, and Catalyst
+    does not rewrite predicates through it — a filter on the converted
+    column never reaches the parquet scan. Time-range scans that must
+    prune at the source (e.g. a CDC bootstrap snapshot below a seam
+    offset) filter HERE on the physical column, then convert. Callers
+    must dispatch on `dict(df.dtypes)["ts"]` (see
+    stream_bootstrap_then_tail for the pattern).
+
+    NOTE: this flips `spark.sql.legacy.parquet.nanosAsLong` for the
+    WHOLE session and deliberately does not restore it — the conf is
+    consulted at scan execution time, so restoring it after planning
+    would break re-execution of this very DataFrame. It is a no-op for
+    micros files."""
     path = f"{sf_dir}/events.parquet"
     key = (spark.sparkContext.applicationId, path + "#raw")
     cached = _SCAN_CACHE.get(key)

@@ -23,6 +23,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     udfs,
     llm_ops,
     llm_extras,
+    advanced_analytics,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -115,6 +116,14 @@ _GRADE_FIRST = [
     "agg_grouping_sets",
     "agg_conditional",
     "agg_approx_count_distinct",
+    # round-4 batch #2 additions (advanced_analytics) — rotate to the
+    # front next round
+    "graph_pagerank",
+    "ts_daily_gapfill_ffill",
+    "ts_linear_interpolate",
+    "agg_cms_freq_sketch",
+    "pipeline_dataset_split",
+    "dedup_containment_ngram",
 ]
 
 

@@ -1,0 +1,481 @@
+"""Round-4 batch #2: graph, time-series, sketch, and pipeline ops.
+
+Six sql-hash operators extending the graded surface into territory a
+100 TB analytics engine is asked for daily but classic TPC-H-style
+suites skip: fixed-point graph iteration (PageRank), time-series
+regularization (calendar gap-fill with forward-fill, linear
+interpolation), a fully-declarative count-min sketch whose integer
+hash arithmetic replays EXACTLY in the DuckDB oracle (the mergeable
+frequency-sketch companion to agg_hll_sketch_union), deterministic
+train/val/test splitting, and asymmetric n-gram containment dedup
+(catches subset-duplication that symmetric Jaccard under-scores).
+
+All six follow functions/portable.py's portability rules: integer or
+hash-deterministic keys, aggregate-side rounding only, no DATE or
+array/map output columns, identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hbase_sep_spark.io import t
+from hbase_sep_spark.operators import text as T
+from hbase_sep_spark.registry import register
+
+_DAMP = 0.85
+_PR_ITERS = 3
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+        FROM lineitem
+        UNION
+        SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst FROM lineitem
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+    r1 AS (
+        SELECT e.dst AS node,
+               (1 - {_DAMP}) / max(nn.n) + {_DAMP} * sum(r.pr / d.deg) AS pr
+        FROM edges e
+        JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src, nn
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT e.dst AS node,
+               (1 - {_DAMP}) / max(nn.n) + {_DAMP} * sum(r.pr / d.deg) AS pr
+        FROM edges e
+        JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src, nn
+        GROUP BY e.dst
+    ),
+    r3 AS (
+        SELECT e.dst AS node,
+               (1 - {_DAMP}) / max(nn.n) + {_DAMP} * sum(r.pr / d.deg) AS pr
+        FROM edges e
+        JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src, nn
+        GROUP BY e.dst
+    )
+    SELECT node AS node_id,
+           CAST(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END AS INT) AS is_part,
+           round(pr, 8) AS pagerank
+    FROM r3
+    """,
+    section="2.3",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 fixed power iterations, over the bipartite
+    part↔supplier co-occurrence graph derived from lineitem (edges in
+    both directions, so every node has out- and in-degree ≥ 1 — no
+    dangling-mass term needed). The fixed-point iteration pattern is
+    the one every graph measure (centrality, label propagation,
+    connected components) reduces to on Spark.
+
+    Scale shape: the edge list is built once and every iteration is
+    edges ⋈ ranks on src (node-keyed) + a map-side-combinable sum on
+    dst — Catalyst reuses one hash partitioning of the edge table
+    across all three iterations; the per-node rank state is
+    node-cardinality (≪ edges); the graph-size scalar n rides as a
+    broadcast 1-row crossJoin, never a driver collect. At 100 TB you
+    would persist ranks + localCheckpoint each iteration to cut plan
+    growth exactly as operators/dedup.py's CC loop does — 3 lazy
+    iterations here keep the whole computation one Spark action."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    e1 = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    e2 = li.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("l_partkey") * 2).alias("dst"),
+    )
+    edges = e1.union(e2).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ew = edges.join(deg, "src")  # (src, dst, deg)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        ranks = contrib.crossJoin(F.broadcast(nn)).select(
+            F.col("dst").alias("node"),
+            ((1 - _DAMP) / F.col("n") + _DAMP * F.col("c")).alias("pr"),
+        )
+    return ranks.select(
+        F.col("node").alias("node_id"),
+        F.when(F.col("node") % 2 == 0, 1).otherwise(0).cast("int").alias("is_part"),
+        F.round("pr", 8).alias("pagerank"),
+    )
+
+
+@register(
+    "ts_daily_gapfill_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(value) AS v, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    cal AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+    ),
+    j AS (
+        SELECT c.user_id, c.day, d.v, d.n
+        FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           round(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) + 0.0
+               AS value_filled,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+    FROM j
+    """,
+    section="2.5",
+)
+def ts_daily_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar regularization + forward fill — the time-series
+    primitive behind every daily-active dashboard and feature-store
+    backfill: densify each user's activity onto a contiguous daily
+    calendar (their own [first, last] active span) and carry the last
+    observed daily value across gap days.
+
+    Scale shape: the calendar is GENERATED per user with
+    sequence()+explode — span-sized, no driver loop, no global
+    calendar broadcast; daily agg, span agg, the left join, and the
+    forward-fill window all key on user_id so one hash partitioning
+    serves all four; the fill itself is last(ignorenulls) over a
+    running frame — O(1) state per row."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    j = cal.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        (F.round(F.last("v", ignorenulls=True).over(w), 2) + F.lit(0.0)).alias(
+            "value_filled"
+        ),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+    )
+
+
+@register(
+    "ts_linear_interpolate",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    cal AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+    ),
+    j AS (
+        SELECT c.user_id, c.day, d.v
+        FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+    ),
+    ctx AS (
+        SELECT user_id, day, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+        FROM j
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS is_interpolated,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv)
+                           * date_diff('day', pd, day)
+                           / date_diff('day', pd, nd) END, 6) + 0.0 AS value_interp
+    FROM ctx
+    """,
+    section="2.5",
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across time-series gaps — the smoother
+    sibling of forward-fill: a missing day's value is the linear blend
+    of the nearest observed day on each side, weighted by distance.
+    Interior gaps only by construction (the per-user calendar spans
+    [first, last] observed day, so every gap has both neighbors).
+
+    Determinism note: the interpolated value is rounded at 6 dp, one
+    digit DEEPER than any exactly-representable result — daily sums
+    are exact 2-decimal values, and (Δv·d1)/d2 with d2 ≤ 31 either
+    terminates within 6 decimals (d2 = 2^a·5^b) or repeats infinitely
+    (never within an ulp of the 1e-6 grid), so Spark's HALF_UP and
+    DuckDB's half-even double rounding can never see a tie. Rounding
+    at 4 dp instead produces systematic .xxxx5 midpoint ties (a /2
+    gap halves a 4-decimal difference) and DID diverge in testing —
+    the concrete failure mode portable.py's "no per-row rounding of
+    short-decimal products" rule exists for.
+
+    Scale shape: same single user_id partitioning as the gap-fill op;
+    the four neighbor lookups are last/first(ignorenulls) over
+    one-sided frames — O(1) window state, no self-join against the
+    observed subset (the naive two-join formulation shuffles twice
+    and skews on gap-heavy users)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum("value").alias("v"))
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    j = cal.join(daily, ["user_id", "day"], "left")
+    past = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    future = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    pv = F.last("v", ignorenulls=True).over(past)
+    pd_ = F.last(obs_day, ignorenulls=True).over(past)
+    nv = F.first("v", ignorenulls=True).over(future)
+    nd = F.first(obs_day, ignorenulls=True).over(future)
+    interp = pv + (nv - pv) * F.datediff(F.col("day"), pd_) / F.datediff(nd, pd_)
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("is_interpolated"),
+        (
+            F.round(F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 6)
+            + F.lit(0.0)
+        ).alias("value_interp"),
+    )
+
+
+# Four independent integer hash rows (Knuth + xxhash-family odd
+# multipliers). (user_id+1)*K stays < 2^52 — exact in both engines'
+# int64 arithmetic, so the oracle replays the sketch bit-for-bit.
+_CMS_KS = (2654435761, 2246822519, 3266489917, 668265263)
+_CMS_W = 256
+_CMS_M = 4294967296
+
+
+def _cms_bucket_sql(i: int) -> str:
+    return f"(((user_id + 1) * {_CMS_KS[i]}) % {_CMS_M}) % {_CMS_W}"
+
+
+@register(
+    "agg_cms_freq_sketch",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT user_id, i,
+               CASE i WHEN 0 THEN {_cms_bucket_sql(0)}
+                      WHEN 1 THEN {_cms_bucket_sql(1)}
+                      WHEN 2 THEN {_cms_bucket_sql(2)}
+                      ELSE {_cms_bucket_sql(3)} END AS bucket
+        FROM events CROSS JOIN generate_series(0, 3) t(i)
+    ),
+    counters AS (SELECT i, bucket, count(*) AS cnt FROM hashed GROUP BY i, bucket),
+    keys AS (SELECT DISTINCT user_id, i, bucket FROM hashed),
+    est AS (
+        SELECT k.user_id, min(c.cnt) AS cms_est
+        FROM keys k JOIN counters c ON c.i = k.i AND c.bucket = k.bucket
+        GROUP BY k.user_id
+    ),
+    exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id)
+    SELECT e.user_id, CAST(x.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           CAST(e.cms_est - x.exact_cnt AS BIGINT) AS overcount
+    FROM est e JOIN exact x ON e.user_id = x.user_id
+    """,
+    section="2.4",
+)
+def agg_cms_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 × w=256), fully declarative: per-key
+    frequency estimates from a fixed-size counter grid, the mergeable
+    companion to agg_hll_sketch_union for the heavy-hitter side of
+    stream monitoring. CMS guarantees est ≥ exact (the `overcount`
+    column is the per-key witness), and the counter grid is additive —
+    shards union by summing counters, which is what makes it THE
+    frequency structure at 100 TB: the shuffle carries d×w=1024
+    integers per map task, never per-key state.
+
+    The hash rows use integer multiplicative hashing (odd constants,
+    mod 2^32) — exact int64 arithmetic, so the DuckDB oracle rebuilds
+    the identical sketch and the comparison is sql-hash, not
+    rows-only: a rare case of an ESTIMATE structure with an exact
+    oracle. Scale shape: one explode(×4) scan → 1024-cell aggregate;
+    the per-key estimate joins keys to counters on (i, bucket) — the
+    counter side is broadcast-sized by construction."""
+    ev = t(spark, sf_dir, "events")
+    hashed = ev.select(
+        "user_id",
+        F.posexplode(
+            F.array(
+                *[
+                    (((F.col("user_id") + 1) * F.lit(k)) % _CMS_M) % _CMS_W
+                    for k in _CMS_KS
+                ]
+            )
+        ).alias("i", "bucket"),
+    )
+    counters = hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    keys = hashed.distinct()
+    est = (
+        keys.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+    )
+
+
+@register(
+    "pipeline_dataset_split",
+    oracle="""
+    WITH s AS (
+        SELECT lang, n_chars, doc_id,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM s GROUP BY split, lang
+    """,
+    section="2.11",
+)
+def pipeline_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by Knuth
+    multiplicative hash of the stable doc id — reproducible across
+    runs, engines, partitionings, and incremental re-ingestion (a doc
+    never migrates between splits when the corpus grows), which is the
+    property rand()-based splitting cannot give an auditable training
+    pipeline. Report = per (split, lang) composition audit.
+
+    Scale shape: the split label is a scan-side codegen expression (no
+    shuffle, no salt); the audit is one map-side-combinable aggregate
+    on a 15-cell key space."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+    )
+
+
+@register(
+    "dedup_containment_ngram",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE doc_id <= 250
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_words FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.word = b.word AND a.source = b.source AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / sa.n_words, 4) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE CAST(n_common AS DOUBLE) / sa.n_words >= 0.8
+    """,
+    section="2.11",
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment |A∩B| / |A| ≥ 0.8 within source
+    blocks — the subset-duplication detector: a short doc wholly
+    quoted inside a long one scores containment ≈ 1 while symmetric
+    Jaccard (dedup_ngram_jaccard) divides by the union and misses it.
+    Ordered pairs, so each direction is scored by its own denominator.
+
+    Scale shape: identical to the Jaccard op — the source blocking key
+    bounds the candidate space (LSH buckets at full scale), the
+    intersection is a token-level equi-join carrying (doc_id, word)
+    pairs, and the sizes join is aggregate-sized. The `<>` (vs `<`)
+    pair predicate doubles candidates but stays within blocks."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 250)
+        .select("doc_id", "source", F.explode(F.array_distinct(T.words())).alias("word"))
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.col("n_words")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .filter(cont >= 0.8)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(cont, 4).alias("containment"),
+        )
+    )

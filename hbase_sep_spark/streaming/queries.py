@@ -279,15 +279,23 @@ def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ts, event_id) order (asserted in tests), so "position < K" is
     # exactly the tuple predicate "(ts, event_id) < boundary".
     b_eid, b_ts = next(_read_rows(path, k, k + 1))[:2]
-    b_ns = int(b_ts.value)  # pandas Timestamp → int64 ns, lossless
 
+    raw = events_raw(spark, sf_dir)
+    if dict(raw.dtypes)["ts"] == "bigint":
+        # TIMESTAMP(NANOS) file: physical column is int64 ns.
+        b_lit = F.lit(int(b_ts.value))  # pandas Timestamp → int64 ns, lossless
+        to_session_ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        # TIMESTAMP(MICROS) file: physical column is timestamp_ntz; a
+        # foldable ntz literal keeps the tuple predicate pushable.
+        b_lit = F.lit(b_ts.tz_localize(None).to_pydatetime()).cast("timestamp_ntz")
+        to_session_ts = F.col("ts").cast("timestamp")
     snapshot = (
-        events_raw(spark, sf_dir)
-        .filter(
-            (F.col("ts") < F.lit(b_ns))
-            | ((F.col("ts") == F.lit(b_ns)) & (F.col("event_id") < F.lit(int(b_eid))))
+        raw.filter(
+            (F.col("ts") < b_lit)
+            | ((F.col("ts") == b_lit) & (F.col("event_id") < F.lit(int(b_eid))))
         )
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", to_session_ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .withColumn("phase", F.lit("snapshot"))
     )
