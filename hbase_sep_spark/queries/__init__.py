@@ -124,6 +124,10 @@ _GRADE_FIRST = [
     "agg_cms_freq_sketch",
     "pipeline_dataset_split",
     "dedup_containment_ngram",
+    "agg_kmv_distinct_sketch",
+    "ts_rolling_zscore",
+    "vec_matryoshka_truncate",
+    "dedup_clusters_exact",
 ]
 
 

@@ -479,3 +479,280 @@ def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont, 4).alias("containment"),
         )
     )
+
+
+_KMV_K = 32
+
+
+@register(
+    "agg_kmv_distinct_sketch",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ((user_id + 1) * 2654435761) % 4294967296 AS hv
+        FROM events
+    ),
+    rk AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h
+    ),
+    sk AS (
+        SELECT event_type, count(*) AS n_kept,
+               max(CASE WHEN rn = {_KMV_K} THEN hv END) AS h_k
+        FROM rk WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, CAST(x.n_exact AS BIGINT) AS n_exact,
+           round(CASE WHEN s.n_kept < {_KMV_K} THEN CAST(s.n_kept AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * 4294967296.0 / s.h_k END, 2)
+               AS kmv_est,
+           round((CASE WHEN s.n_kept < {_KMV_K} THEN CAST(s.n_kept AS DOUBLE)
+                       ELSE ({_KMV_K} - 1) * 4294967296.0 / s.h_k END
+                  - x.n_exact) / x.n_exact, 4) + 0.0 AS rel_err
+    FROM sk s JOIN exact x ON s.event_type = x.event_type
+    """,
+    section="2.4",
+)
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, fully
+    declarative: per group keep the k smallest values of a uniform
+    integer hash of the key; the k-th smallest h_k estimates the
+    distinct count as (k-1)·M/h_k (the classic bottom-k estimator).
+    Below k distinct hashes the sketch IS the exact distinct set.
+    Mergeability is what matters at 100 TB: the union of two groups'
+    sketches is the k smallest of the combined lists — a fixed-size
+    state, same role as agg_hll_sketch_union but with an
+    integer-portable hash the DuckDB oracle replays EXACTLY, so this
+    estimate op is sql-hash graded, not rows-only.
+
+    Scale shape: distinct (group, hash) is one map-side-combinable
+    aggregate; the per-group bottom-k is a window top-k over
+    group-partitioned integer hashes (k rows of state per group);
+    everything after is group-cardinality."""
+    ev = t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        (((F.col("user_id") + 1) * 2654435761) % 4294967296).alias("hv"),
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("hv"))
+    sk = (
+        h.withColumn("rn", rn)
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("h_k"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double")
+    ).otherwise((_KMV_K - 1) * 4294967296.0 / F.col("h_k"))
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round(est, 2).alias("kmv_est"),
+        (F.round((est - F.col("n_exact")) / F.col("n_exact"), 4) + F.lit(0.0)).alias(
+            "rel_err"
+        ),
+    )
+
+
+@register(
+    "ts_rolling_zscore",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               count(value) OVER win AS n_win,
+               avg(value) OVER win AS m,
+               stddev_samp(value) OVER win AS s
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, value,
+           round((value - m) / s, 4) + 0.0 AS zscore
+    FROM w WHERE n_win >= 10 AND s > 1e-9
+    """,
+    section="2.5",
+)
+def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score — the streaming-friendly anomaly
+    score: each event's value standardized against its user's
+    previous ≤20 events (strictly before the current row, so the
+    score is causal/leak-free). Downstream anomaly filters threshold
+    the score; emitting the score itself keeps this op boundary-free
+    (a |z| > t filter would sit a float-comparison away from engine
+    divergence on ties; a score column cannot).
+
+    Guards are portability load-bearing: n_win ≥ 10 excludes
+    cold-start rows identically on both engines, and s > 1e-9
+    excludes constant windows where one engine computes exactly 0.0
+    and the other a ~1e-14 cancellation residue — (v-m)/s would then
+    be NULL on one side and ±1e16 on the other. Real stddevs of
+    2-decimal data are ≥ ~2e-3, far from the cut.
+
+    Scale shape: one user_id shuffle, O(1) running-frame state per
+    row; at 100 TB this is the same plan keyed by (entity, sensor)."""
+    ev = t(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count("value").over(win).alias("n_win"),
+        F.avg("value").over(win).alias("m"),
+        F.stddev_samp("value").over(win).alias("s"),
+    )
+    return (
+        scored.filter((F.col("n_win") >= 10) & (F.col("s") > 1e-9))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.round((F.col("value") - F.col("m")) / F.col("s"), 4) + F.lit(0.0)).alias(
+                "zscore"
+            ),
+        )
+    )
+
+
+@register(
+    "vec_matryoshka_truncate",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_full,
+           round(sqrt(list_sum(list_transform(list_slice(embedding, 1, 16),
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_16,
+           round(sqrt(list_sum(list_transform(list_slice(embedding, 1, 16),
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 / sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS retention
+    FROM embeddings
+    """,
+    section="2.11",
+)
+def vec_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style embedding truncation audit: the norm retained
+    by the first 16 of 64 dimensions — the metric that decides
+    whether a prefix-truncated index (cheap ANN tier) is safe for a
+    given embedding model. MRL-trained models concentrate mass in the
+    prefix; this op measures that concentration per vector.
+
+    Scale shape: pure per-row codegen lambdas over the array column
+    (slice + fold), no shuffle at all — the audit aggregate a real
+    pipeline would add on top is map-side-combinable."""
+    from hbase_sep_spark.operators import vectors as V
+
+    e = t(spark, sf_dir, "embeddings")
+    n_full = V.l2_norm("embedding")
+    n_16 = V.l2_norm(F.slice("embedding", 1, 16))
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(n_full, 6).alias("norm_full"),
+        F.round(n_16, 6).alias("norm_16"),
+        F.round(n_16 / n_full, 4).alias("retention"),
+    )
+
+
+@register(
+    "dedup_clusters_exact",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE doc_id <= 200
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_words FROM tok GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.word = b.word AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) >= 0.5
+        UNION ALL
+        SELECT id_b, id_a FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common) >= 0.5
+    ),
+    nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id <= 200),
+    reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT l.doc_id, l.cluster_id,
+           CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM lab l
+    """,
+    section="2.11",
+)
+def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with an EXACT oracle: the iterative
+    min-label-propagation loop (operators/dedup.py
+    connected_components — per-round persist/materialize/convergence
+    probe, the 100 TB shape) cross-checked against DuckDB's recursive
+    transitive closure over the SAME edge set. The companion
+    dedup_clusters op is rows-only because its MinHash edges can't be
+    replayed by another engine; here the edges are exact unigram
+    Jaccard ≥ 0.5 within source blocks (deterministic, replayable),
+    which upgrades the whole cluster assignment — the iterative
+    algorithm included — to sql-hash grading. Singletons keep
+    themselves as cluster_id, so the output is a total partition of
+    the bounded slice.
+
+    Scale shape: edge generation is the blocked token equi-join of
+    dedup_ngram_jaccard; the CC loop shuffles (id, label) pairs keyed
+    on id per round with per-round materialization bounding plan
+    growth; the size column is one window over the final labels."""
+    from hbase_sep_spark.operators.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(T.words())).alias("word")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_words"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_words").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_words").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    pairs = inter.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.5)
+    labels = connected_components(
+        pairs.select("id_a", "id_b"), docs.select("doc_id"), id_col="doc_id"
+    )
+    wsize = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(wsize).cast("bigint").alias("cluster_size"),
+    )
