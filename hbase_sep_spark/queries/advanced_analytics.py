@@ -77,15 +77,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one every graph measure (centrality, label propagation,
     connected components) reduces to on Spark.
 
-    Scale shape: the edge list is built once and every iteration is
-    edges ⋈ ranks on src (node-keyed) + a map-side-combinable sum on
-    dst — Catalyst reuses one hash partitioning of the edge table
-    across all three iterations; the per-node rank state is
-    node-cardinality (≪ edges); the graph-size scalar n rides as a
-    broadcast 1-row crossJoin, never a driver collect. At 100 TB you
-    would persist ranks + localCheckpoint each iteration to cut plan
-    growth exactly as operators/dedup.py's CC loop does — 3 lazy
-    iterations here keep the whole computation one Spark action."""
+    Scale shape: the weighted edge table (src, dst, deg) is built
+    once and PERSISTED — without it every iteration's lazy plan
+    re-derives the distinct+degree subtree from the scan (22 parquet
+    scans for 3 iterations, measured); with it each iteration is one
+    cached-edge ⋈ ranks join plus a map-side-combinable sum on dst.
+    The rank table is node-cardinality (≪ edges) and broadcasts here;
+    at a scale where ranks outgrow broadcast the join degrades to a
+    co-partitioned shuffle join on src, and you would persist +
+    localCheckpoint ranks per iteration exactly as
+    operators/dedup.py's CC loop does. The graph-size scalar n rides
+    as a broadcast 1-row crossJoin, never a driver collect."""
+    from pyspark import StorageLevel
+
     li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     e1 = li.select(
         (F.col("l_partkey") * 2).alias("src"),
@@ -97,8 +101,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e1.union(e2).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ew = edges.join(deg, "src")  # (src, dst, deg)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # (src, dst, deg) — consumed 3× by the iteration chain and 2× for
+    # nodes/n; registry memoization makes the persist once-per-session.
+    ew = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = ew.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
 
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
@@ -157,12 +163,15 @@ def ts_daily_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar (their own [first, last] active span) and carry the last
     observed daily value across gap days.
 
-    Scale shape: the calendar is GENERATED per user with
-    sequence()+explode — span-sized, no driver loop, no global
-    calendar broadcast; daily agg, span agg, the left join, and the
-    forward-fill window all key on user_id so one hash partitioning
-    serves all four; the fill itself is last(ignorenulls) over a
-    running frame — O(1) state per row."""
+    Scale shape (two shuffles, measured): the daily aggregate
+    shuffles once on (user_id, day) — map-side-combinable, so the
+    shuffle carries day-level partials, not events; the span
+    aggregate and generated calendar are user-cardinality and
+    broadcast back onto the daily table; the forward-fill window is
+    the second shuffle, on user_id alone. The calendar is GENERATED
+    per user with sequence()+explode — span-sized, no driver loop, no
+    global calendar table; the fill itself is last(ignorenulls) over
+    a running frame — O(1) state per row."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
@@ -249,11 +258,12 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the concrete failure mode portable.py's "no per-row rounding of
     short-decimal products" rule exists for.
 
-    Scale shape: same single user_id partitioning as the gap-fill op;
-    the four neighbor lookups are last/first(ignorenulls) over
-    one-sided frames — O(1) window state, no self-join against the
-    observed subset (the naive two-join formulation shuffles twice
-    and skews on gap-heavy users)."""
+    Scale shape: same two-shuffle profile as the gap-fill op
+    ((user_id, day) daily aggregate, then the user_id window); the
+    four neighbor lookups are last/first(ignorenulls) over one-sided
+    frames — O(1) window state, no self-join against the observed
+    subset (the naive nearest-neighbor join formulation shuffles the
+    observed table twice more and skews on gap-heavy users)."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")

@@ -268,3 +268,76 @@ def test_keep_best_single_digest_shuffle(spark):
 
     plan = plan_of(spark, "dedup_keep_best")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_pagerank_caches_edges_no_cartesian(spark):
+    """The iteration chain must consume the PERSISTED weighted edge
+    table (InMemoryTableScan), not re-derive the distinct+degree
+    subtree per iteration (22 parquet scans, measured pre-fix); the
+    only nested-loop joins are the broadcast 1-row graph-size scalar."""
+    plan = plan_of(spark, "graph_pagerank")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_two_shuffles_span_broadcast(spark):
+    """Calendar gap-fill: (user_id, day) daily aggregate + user_id
+    window = exactly two Exchanges; the user-cardinality span/calendar
+    side must broadcast back onto the daily table, never sort-merge."""
+    import re
+
+    plan = plan_of(spark, "ts_daily_gapfill_ffill")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_interpolate_two_shuffles(spark):
+    import re
+
+    plan = plan_of(spark, "ts_linear_interpolate")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_zscore_single_user_shuffle(spark):
+    """Rolling z-score: one user_id Exchange serves the count/avg/
+    stddev windows — O(1) frame state, no second pass."""
+    import re
+
+    plan = plan_of(spark, "ts_rolling_zscore")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_matryoshka_is_pure_scan(spark):
+    """Prefix-norm audit is per-row codegen over the array column —
+    ZERO shuffles, no join, no window."""
+    import re
+
+    plan = plan_of(spark, "vec_matryoshka_truncate")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+
+
+def test_dataset_split_is_scan_side(spark):
+    """The split label is a scan-side expression; the only Exchange
+    is the 15-cell audit aggregate's."""
+    import re
+
+    plan = plan_of(spark, "pipeline_dataset_split")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_cms_sketch_joins_stay_hash(spark):
+    """CMS: the keys→counters join is an equi-join on (i, bucket)
+    against a 1024-row side — broadcast, never nested-loop."""
+    plan = plan_of(spark, "agg_cms_freq_sketch")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_join_is_blocked_equi(spark):
+    """Containment candidates come from the (word, source) token
+    equi-join inside blocks — never an all-pairs product."""
+    plan = plan_of(spark, "dedup_containment_ngram")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
