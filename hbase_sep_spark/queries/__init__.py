@@ -128,6 +128,8 @@ _GRADE_FIRST = [
     "ts_rolling_zscore",
     "vec_matryoshka_truncate",
     "dedup_clusters_exact",
+    "stream_scd2_maintain",
+    "stream_anomaly_score",
 ]
 
 

@@ -540,3 +540,197 @@ def stream_incremental_upsert_view(spark: SparkSession, sf_dir: str) -> DataFram
 
     _drive(spark, start)
     return spark.read.parquet(os.path.join(state_dir, "current"))
+
+
+@register("stream_scd2_maintain", oracle=None, section=SECTION)
+def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD-type-2 maintenance — the streaming twin of
+    events_scd2_history and the canonical CDC-consumer deliverable: a
+    dimension table where every key version carries [valid_from,
+    valid_to) effectivity, maintained one micro-batch at a time
+    (close the affected keys' open rows at the batch's first new ts
+    per key, append the batch's versions with within-batch lead()).
+    tests/test_streaming.py asserts the maintained table equals the
+    batch window query over the whole feed — convergence evidence a
+    rows-only check alone doesn't give.
+
+    At-least-once input: the source redelivers ranges
+    (redeliver_every=7) and the merge is idempotent via an event_id
+    anti-join against the already-applied set of the batch's keys —
+    the SEP listener contract (process duplicates harmlessly) made
+    concrete.
+
+    Scale shape: per batch the touched state is only the affected
+    keys' OPEN rows (closed history is append-only and never
+    rewritten — here the fixture state is small enough to rewrite
+    whole files; with Delta/Iceberg this is MERGE INTO + partition
+    overwrite on the open partition); within-batch versioning is one
+    user_id window; the first-new-ts side is key-cardinality and
+    broadcasts."""
+    import shutil
+
+    from hbase_sep_spark.io import scratch_dir
+
+    state_dir = scratch_dir(spark, "scd2_maintain")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    os.makedirs(state_dir, exist_ok=True)
+
+    from pyspark.sql import Window
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        target = os.path.join(state_dir, "current")
+        batch = batch_df.select("user_id", "event_id", "value", "ts")
+        if os.path.exists(target):
+            state = s.read.parquet(target)
+            # Idempotence under redelivery: drop events already applied.
+            batch = batch.join(
+                state.select("event_id"), "event_id", "left_anti"
+            )
+        else:
+            state = None
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        new_rows = batch.withColumn("valid_to_ts", F.lead("ts").over(w)).select(
+            "user_id", "event_id", "value",
+            F.col("ts").alias("valid_from_ts"), "valid_to_ts",
+        )
+        if state is None:
+            merged = new_rows
+        else:
+            first_new = batch.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+            open_rows = state.filter(F.col("valid_to_ts").isNull())
+            closed_now = (
+                open_rows.join(F.broadcast(first_new), "user_id")
+                .withColumn("valid_to_ts", F.col("first_ts"))
+                .drop("first_ts")
+            )
+            untouched_open = open_rows.join(first_new, "user_id", "left_anti")
+            history = state.filter(F.col("valid_to_ts").isNotNull())
+            merged = (
+                history.unionByName(untouched_open)
+                .unionByName(closed_now)
+                .unionByName(new_rows)
+            )
+        staging = os.path.join(state_dir, f"staging_{epoch_id}")
+        merged.write.mode("overwrite").parquet(staging)
+        refreshed = os.path.join(state_dir, f"v{epoch_id}")
+        os.rename(staging, refreshed)
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.copytree(refreshed, target)
+
+    ev = _events_stream(spark, sf_dir, batch_size=2000, redeliver_every=7)
+
+    def start():
+        return (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sep_ckpt_scd2_"))
+            .start()
+        )
+
+    _drive(spark, start)
+    final = spark.read.parquet(os.path.join(state_dir, "current"))
+    return final.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.date_format("valid_from_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        F.col("valid_to_ts").isNull().alias("is_current"),
+    )
+
+
+@register("stream_anomaly_score", oracle=None, section=SECTION)
+def stream_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal expanding anomaly scoring with explicit per-key state:
+    each event's value is standardized against the user's running
+    (n, Σv, Σv²) over all PRIOR events — state carried across
+    micro-batches via applyInPandasWithState, the streaming form of
+    ts_rolling_zscore's trailing window with an unbounded frame.
+    Scores are causal (stats strictly precede the scored row), so a
+    replay from offset 0 reproduces them bit-for-bit; the final
+    per-user (count, mean, anomaly count) is cross-checked against a
+    batch expanding-window recomputation in tests/test_streaming.py.
+
+    Inside each Arrow batch the expanding stats are vectorized
+    cumulative sums seeded from state — no per-row Python loop; at
+    100 TB-class precision requirements the Σv² form would switch to
+    Welford/Chan merging, noted here because catastrophic
+    cancellation, not throughput, is the real hazard of sum-of-squares
+    at scale.
+
+    Anomaly = |z| > 3 with ≥ 10 prior events and prior std > 1e-9."""
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir)
+
+    out_schema = (
+        "user_id long, n_events long, n_scored long, n_anomalies long, "
+        "mean_value double, max_abs_z double"
+    )
+    state_schema = "n long, s1 double, s2 double, n_anom long, max_z double"
+
+    def score(key, pdfs, state: GroupState):
+        n, s1, s2, n_anom, max_z = (
+            state.get if state.exists else (0, 0.0, 0.0, 0, 0.0)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            k = len(v)
+            cs = np.cumsum(v)
+            cs2 = np.cumsum(v * v)
+            # Stats BEFORE row i: seeded by carried state, shifted by one.
+            n_b = n + np.arange(k, dtype=np.int64)
+            s1_b = s1 + np.concatenate(([0.0], cs[:-1]))
+            s2_b = s2 + np.concatenate(([0.0], cs2[:-1]))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean_b = np.where(n_b > 0, s1_b / np.maximum(n_b, 1), 0.0)
+                var_b = np.where(
+                    n_b > 1,
+                    (s2_b - n_b * mean_b * mean_b) / np.maximum(n_b - 1, 1),
+                    0.0,
+                )
+                std_b = np.sqrt(np.maximum(var_b, 0.0))
+                z = np.where(
+                    (n_b >= 10) & (std_b > 1e-9), (v - mean_b) / std_b, 0.0
+                )
+            n_anom += int(np.sum(np.abs(z) > 3.0))
+            if k:
+                max_z = max(max_z, float(np.max(np.abs(z))))
+            n += k
+            s1 += float(cs[-1])
+            s2 += float(cs2[-1])
+        state.update((n, s1, s2, n_anom, max_z))
+        n_scored = max(0, n - 10)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_scored": [n_scored],
+                "n_anomalies": [n_anom],
+                "mean_value": [s1 / n if n else 0.0],
+                "max_abs_z": [max_z],
+            }
+        )
+
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        score,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = _run_to_memory(updated, mode="update")
+    # Memory sink in update mode appends one row per (user, batch);
+    # the per-user FINAL row is the one with the largest n_events.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        result.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

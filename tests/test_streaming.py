@@ -264,3 +264,50 @@ def test_batch_sessionize_matches_stream_session_window(spark):
     b = {(r.user_id, r.session_seq) for r in batch.collect()}
     s = stream.count()
     assert len(b) == s
+
+
+def test_scd2_stream_converges_to_batch_history(spark):
+    """Incremental SCD2 maintenance over an at-least-once feed
+    (redeliveries injected) converges to EXACTLY the batch window
+    query over the whole feed: same versions, same effectivity
+    intervals, same current flags."""
+    stream = REGISTRY["stream_scd2_maintain"].fn(spark, SF_UNIT)
+    batch = REGISTRY["events_scd2_history"].fn(spark, SF_UNIT)
+    cols = ["user_id", "event_id", "value", "valid_from", "valid_to", "is_current"]
+    got = {tuple(r) for r in stream.select(*cols).collect()}
+    want = {tuple(r) for r in batch.select(*cols).collect()}
+    assert got == want
+
+
+def test_anomaly_score_matches_batch_expanding_window(spark):
+    """The stateful expanding scorer's final per-user (n, anomalies)
+    equals a batch recomputation with an unbounded-preceding window —
+    the causal-score replay invariant."""
+    from pyspark.sql import Window
+
+    stream = REGISTRY["stream_anomaly_score"].fn(spark, SF_UNIT)
+    ev = t(spark, SF_UNIT, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = ev.select(
+        "user_id",
+        "value",
+        F.count("value").over(w).alias("n_b"),
+        F.avg("value").over(w).alias("m"),
+        F.stddev_samp("value").over(w).alias("s"),
+    )
+    anom = (
+        (F.col("n_b") >= 10)
+        & (F.col("s") > 1e-9)
+        & (F.abs((F.col("value") - F.col("m")) / F.col("s")) > 3.0)
+    )
+    batch = scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(anom, 1).otherwise(0)).alias("n_anomalies"),
+    )
+    got = {(r.user_id, r.n_events, r.n_anomalies) for r in stream.collect()}
+    want = {(r.user_id, r.n_events, r.n_anomalies) for r in batch.collect()}
+    assert got == want
