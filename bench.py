@@ -49,6 +49,9 @@ HEADLINE = [
     "simsearch_lsh_bucketed", # multi-table LSH ANN (no oracle timing)
     "vec_pca_project",        # partial-moment PCA (no oracle timing)
     "pipeline_training_prep", # end-to-end dedup+filter+shard pipeline
+    "graph_pagerank",         # iterative graph (cached edges, 3 rounds)
+    "ts_daily_gapfill_ffill", # calendar densify + forward-fill window
+    "agg_cms_freq_sketch",    # declarative count-min sketch
 ]
 
 
