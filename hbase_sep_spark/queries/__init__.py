@@ -130,6 +130,9 @@ _GRADE_FIRST = [
     "dedup_clusters_exact",
     "stream_scd2_maintain",
     "stream_anomaly_score",
+    "join_asof_nearest",
+    "agg_weighted_avg",
+    "win_pct_of_total",
 ]
 
 

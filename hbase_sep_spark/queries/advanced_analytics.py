@@ -766,3 +766,217 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.count(F.lit(1)).over(wsize).cast("bigint").alias("cluster_size"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT user_id, ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+        SELECT p.user_id, p.purchase_id, p.ts,
+               c.ts AS bts, c.click_id AS bid
+        FROM purchases p
+        ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    f AS (
+        SELECT p.user_id, p.purchase_id,
+               c.ts AS fts, c.click_id AS fid
+        FROM purchases p
+        ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT b.user_id, b.purchase_id,
+           CASE WHEN bid IS NOT NULL AND (fid IS NULL
+                     OR epoch_us(b.ts) - epoch_us(bts)
+                        <= epoch_us(fts) - epoch_us(b.ts)) THEN bid
+                ELSE fid END AS nearest_click_id,
+           CASE WHEN bid IS NULL AND fid IS NULL THEN NULL
+                WHEN bid IS NOT NULL AND (fid IS NULL
+                     OR epoch_us(b.ts) - epoch_us(bts)
+                        <= epoch_us(fts) - epoch_us(b.ts)) THEN 'backward'
+                ELSE 'forward' END AS direction,
+           CAST(CASE WHEN bid IS NOT NULL AND (fid IS NULL
+                          OR epoch_us(b.ts) - epoch_us(bts)
+                             <= epoch_us(fts) - epoch_us(b.ts))
+                          THEN epoch_us(b.ts) - epoch_us(bts)
+                     WHEN fid IS NOT NULL
+                          THEN epoch_us(fts) - epoch_us(b.ts) END AS BIGINT)
+               AS gap_us
+    FROM b JOIN f ON b.user_id = f.user_id AND b.purchase_id = f.purchase_id
+    """,
+    section="2.3",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest' (pandas merge_asof's third
+    mode, completing the backward / backward+tolerance family): each
+    purchase takes whichever click is closer in time — the latest at
+    or before, or the earliest strictly after — ties preferring
+    backward. Gap arithmetic is int64 microseconds end to end, so the
+    choice and the output are exact in both engines (no float
+    distance anywhere).
+
+    Scale shape: ONE union+window pass over the user_id partitioning
+    computes both candidates (last ignorenulls over the preceding
+    frame, first ignorenulls over the following frame — Catalyst
+    shares the sort); no join against the clicks table at all, while
+    the oracle needs two ASOF joins plus a re-join."""
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("purchase_id"),
+            "click_id",
+            F.col("ts").alias("click_ts"),
+            F.lit(0).alias("marker"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("marker"),
+    )
+    order = ["ts", "marker", "purchase_id"]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "purchase_id",
+        "marker",
+        F.last("click_id", ignorenulls=True).over(wb).alias("bid"),
+        F.last("click_ts", ignorenulls=True).over(wb).alias("bts"),
+        F.first("click_id", ignorenulls=True).over(wf).alias("fid"),
+        F.first("click_ts", ignorenulls=True).over(wf).alias("fts"),
+    ).filter(F.col("marker") == 1)
+    bgap = F.unix_micros("ts") - F.unix_micros("bts")
+    fgap = F.unix_micros("fts") - F.unix_micros("ts")
+    back_wins = F.col("bid").isNotNull() & (F.col("fid").isNull() | (bgap <= fgap))
+    return u.select(
+        "user_id",
+        "purchase_id",
+        F.when(back_wins, F.col("bid")).otherwise(F.col("fid")).alias(
+            "nearest_click_id"
+        ),
+        F.when(F.col("bid").isNull() & F.col("fid").isNull(), F.lit(None))
+        .when(back_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+        F.when(back_wins, bgap)
+        .when(F.col("fid").isNotNull(), fgap)
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_qty,
+           round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)))
+                      AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS qty_weighted_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    section="2.4",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price — the reporting aggregate
+    plain avg() silently gets wrong. Both sums run in exact decimal
+    (the weighted numerator in DECIMAL(28,6): a 4-decimal short
+    product summed without per-row rounding, per portable.py's rule),
+    so the output is order-independent across engines; only the final
+    quotient touches doubles.
+
+    Scale shape: one map-side-combinable aggregate; decimal partials
+    shuffle as fixed-width values."""
+    li = t(spark, sf_dir, "lineitem")
+    qty_dec = F.col("l_quantity").cast("decimal(18,6)")
+    wsum = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(28,6)"))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(qty_dec), 2).cast("double").alias("total_qty"),
+        F.round(wsum.cast("double") / F.sum(qty_dec).cast("double"), 4).alias(
+            "qty_weighted_price"
+        ),
+    )
+
+
+@register(
+    "win_pct_of_total",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28,6))) AS r
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT n_name,
+           CAST(round(r, 2) AS DOUBLE) AS revenue,
+           round(CAST(r AS DOUBLE) / CAST(sum(r) OVER () AS DOUBLE) * 100, 4)
+               AS pct_of_total
+    FROM rev
+    """,
+    section="2.5",
+)
+def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total — the two-level report every dashboard carries:
+    per-nation revenue and its percentage of the global total, the
+    total coming from an unpartitioned full-frame window over the
+    ALREADY-AGGREGATED 25-row result (the window's single-partition
+    cost is group-cardinality, never data-sized; the data-sized work
+    is the map-side-combinable decimal revenue aggregate below it).
+    Exact decimal sums make numerator and denominator
+    order-independent; the ratio is one double division per group.
+
+    Scale shape: dims broadcast into the fact scan, one fact shuffle
+    for the group aggregate, O(groups) for the total."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("r")
+        )
+    )
+    wtot = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.round("r", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("r").cast("double") / F.sum("r").over(wtot).cast("double") * 100, 4
+        ).alias("pct_of_total"),
+    )

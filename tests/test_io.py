@@ -1,0 +1,77 @@
+"""io.t() events-encoding dispatch (CLAUDE.md sharp edge).
+
+The driver's events.parquet physical ts type has CHANGED between
+rounds — TIMESTAMP(NANOS) in rounds 1-3, TIMESTAMP(MICROS) since
+round 4 — and io.t() dispatches on the scanned dtype. These tests pin
+BOTH paths with synthesized files so the next regeneration (either
+direction) fails loudly here instead of cryptically in 60 queries.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+TS = [
+    dt.datetime(2024, 1, 1, 0, 0, 0, 123456),
+    dt.datetime(2024, 1, 2, 12, 30, 15, 987654),
+    dt.datetime(2024, 1, 30, 23, 59, 59, 1),
+]
+
+
+def _write_events(tmpdir: str, unit: str) -> str:
+    """Write a 3-row events.parquet with ts in the given unit."""
+    sf_dir = os.path.join(tmpdir, f"enc_{unit}")
+    os.makedirs(sf_dir, exist_ok=True)
+    table = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array(TS, pa.timestamp(unit)),
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["click", "view", "purchase"]),
+            "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            "props": pa.array(['{"k": 1}', '{"k": 2}', '{"k": 3}']),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_t_events_both_encodings(spark, unit, tmp_path):
+    """Either physical encoding must come back as the same
+    session-TimestampType column with microsecond-exact values."""
+    from hbase_sep_spark.io import t
+
+    sf_dir = _write_events(str(tmp_path), unit)
+    df = t(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = {r.event_id: r.ts for r in df.collect()}
+    assert got == {i: ts for i, ts in enumerate(TS)}
+
+
+def test_events_raw_is_filterable_both_encodings(spark, tmp_path):
+    """The raw scan stays usable for seam predicates in both
+    encodings: bigint nanos for a nanos file, timestamp_ntz for a
+    micros file — and a boundary filter selects the same rows."""
+    import pyspark.sql.functions as F
+
+    from hbase_sep_spark.io import events_raw
+
+    for unit in ("us", "ns"):
+        sf_dir = _write_events(str(tmp_path), unit)
+        raw = events_raw(spark, sf_dir)
+        ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "bigint":
+            bound = int(TS[1].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6) * 1000
+            n = raw.filter(F.col("ts") < F.lit(bound)).count()
+        else:
+            assert ts_type == "timestamp_ntz"
+            n = raw.filter(
+                F.col("ts") < F.lit(TS[1]).cast("timestamp_ntz")
+            ).count()
+        assert n == 1, f"unit={unit} type={ts_type}"
