@@ -203,3 +203,114 @@ def test_pca_projection_statistics(spark):
     ).collect()[0]
     assert row["v1"] >= row["v2"] > 0
     assert abs(row["c"]) < 0.05
+
+
+def test_pagerank_conserves_mass_and_positivity(spark):
+    """With bidirectional edges there are no dangling nodes, so each
+    power iteration preserves total rank mass: Σ pr = 1 (±rounding),
+    and every rank is strictly positive and bounded by 1."""
+    import pyspark.sql.functions as F
+
+    from hbase_sep_spark.registry import REGISTRY
+
+    df = REGISTRY["graph_pagerank"].fn(spark, SF_UNIT)
+    row = df.agg(
+        F.sum("pagerank").alias("total"),
+        F.min("pagerank").alias("lo"),
+        F.max("pagerank").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert abs(row["total"] - 1.0) < 1e-4
+    assert 0 < row["lo"] <= row["hi"] < 1
+
+
+def test_gapfill_covers_exact_span_no_null_fill(spark):
+    """Gap-fill invariants: each user's output is exactly their
+    [first, last] active-day span; value_filled is never NULL (the
+    span starts on an observed day); non-gap rows reproduce the daily
+    aggregate row count."""
+    import pyspark.sql.functions as F
+
+    from hbase_sep_spark.io import t
+    from hbase_sep_spark.registry import REGISTRY
+
+    df = REGISTRY["ts_daily_gapfill_ffill"].fn(spark, SF_UNIT)
+    assert df.filter(F.col("value_filled").isNull()).count() == 0
+    ev = t(spark, SF_UNIT, "events")
+    daily_n = (
+        ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+        .count()
+    )
+    assert df.filter(F.col("is_gap") == 0).count() == daily_n
+    span = df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.datediff(F.max("day"), F.min("day")).alias("span"),
+    )
+    assert span.filter(F.col("n_days") != F.col("span") + 1).count() == 0
+
+
+def test_cms_never_underestimates(spark):
+    """The count-min guarantee: est ≥ exact for every key."""
+    import pyspark.sql.functions as F
+
+    from hbase_sep_spark.registry import REGISTRY
+
+    df = REGISTRY["agg_cms_freq_sketch"].fn(spark, SF_UNIT)
+    assert df.filter(F.col("overcount") < 0).count() == 0
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups with fewer than k distinct hashes must report the exact
+    distinct count (rel_err == 0) unless hash collisions merged keys
+    (est ≤ exact then) — and estimates are always positive."""
+    import pyspark.sql.functions as F
+
+    from hbase_sep_spark.registry import REGISTRY
+
+    df = REGISTRY["agg_kmv_distinct_sketch"].fn(spark, SF_UNIT)
+    assert df.filter(F.col("kmv_est") <= 0).count() == 0
+    small = df.filter(F.col("n_exact") < 32)
+    assert small.filter(F.col("kmv_est") > F.col("n_exact")).count() == 0
+
+
+def test_asof_nearest_gap_nonnegative_and_tighter_than_backward(spark):
+    """Nearest-direction invariants: gaps are non-negative; every
+    purchase matched by the backward-only as-of is also matched here,
+    with a gap never larger than the backward gap."""
+    import pyspark.sql.functions as F
+
+    from hbase_sep_spark.registry import REGISTRY
+
+    near = REGISTRY["join_asof_nearest"].fn(spark, SF_UNIT)
+    assert near.filter(F.col("gap_us") < 0).count() == 0
+    assert (
+        near.filter(
+            F.col("nearest_click_id").isNotNull() & F.col("direction").isNull()
+        ).count()
+        == 0
+    )
+    back = REGISTRY["join_asof_latest_event"].fn(spark, SF_UNIT)
+    backed = back.filter(F.col("last_click_id").isNotNull()).select("purchase_id")
+    missing = backed.join(
+        near.filter(F.col("nearest_click_id").isNotNull()).select("purchase_id"),
+        "purchase_id",
+        "left_anti",
+    )
+    assert missing.count() == 0
+
+
+def test_dataset_split_partitions_whole_corpus(spark):
+    """The three splits partition the corpus: sizes sum to the table
+    count and the achieved train share is near 80%."""
+    import pyspark.sql.functions as F
+
+    from hbase_sep_spark.io import t
+    from hbase_sep_spark.registry import REGISTRY
+
+    df = REGISTRY["pipeline_dataset_split"].fn(spark, SF_UNIT)
+    total = t(spark, SF_UNIT, "documents").count()
+    got = {r["split"]: r["n"] for r in df.groupBy("split").agg(
+        F.sum("n_docs").alias("n")).collect()}
+    assert sum(got.values()) == total
+    assert 0.7 < got.get("train", 0) / total < 0.9
