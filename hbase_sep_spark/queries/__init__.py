@@ -45,8 +45,12 @@ from hbase_sep_spark import registry as _registry
 #         agg_median_percentile (changed r3 after r2 grade, flagged by
 #         ADVICE), pipeline_sequence_pack + pipeline_training_prep
 #         (shard-key NULL fix this round),
-# 17-50 = oldest driver-greens (round-1 set) for regression
-#         re-confirmation of stale grades.
+# 17-38 = ALL 22 round-4 additions (never graded — inside the prefix
+#         so CORRECTNESS_r04 covers them; with a 50-bound this leaves
+#         ZERO never-graded queries after round 4),
+# 39-50 = oldest driver-greens (round-1 set) for regression
+#         re-confirmation of stale grades; the rest of the r1 set
+#         follows the boundary and rotates in next round.
 _GRADE_FIRST = [
     # never graded (round-3 additions)
     "text_contamination_check",
@@ -66,6 +70,29 @@ _GRADE_FIRST = [
     "agg_median_percentile",
     "pipeline_sequence_pack",
     "pipeline_training_prep",
+    # never graded (round-4 additions, both batches)
+    "events_retention_cohort",
+    "win_streak_longest",
+    "text_entropy_score",
+    "text_repetition_ratio",
+    "pipeline_mixture_sample",
+    "vec_centroid_distance",
+    "dedup_keep_best",
+    "graph_pagerank",
+    "ts_daily_gapfill_ffill",
+    "ts_linear_interpolate",
+    "agg_cms_freq_sketch",
+    "pipeline_dataset_split",
+    "dedup_containment_ngram",
+    "agg_kmv_distinct_sketch",
+    "ts_rolling_zscore",
+    "vec_matryoshka_truncate",
+    "dedup_clusters_exact",
+    "stream_scd2_maintain",
+    "stream_anomaly_score",
+    "join_asof_nearest",
+    "agg_weighted_avg",
+    "win_pct_of_total",
     # stale round-1 greens, oldest grades first
     "scan_parquet",
     "scan_events_feed",
@@ -79,6 +106,9 @@ _GRADE_FIRST = [
     "filter_range_between",
     "filter_in",
     "filter_like",
+    # --- ~50-entry grading boundary (driver grades a bounded prefix).
+    # Positions 51+ cost nothing and pay off if the bound is larger:
+    # the remaining stale round-1/round-2 greens.
     "filter_null_handling",
     "filter_boolean_combo",
     "select_distinct",
@@ -101,38 +131,10 @@ _GRADE_FIRST = [
     "agg_min_max_stats",
     "agg_corr",
     "agg_rollup",
-    # --- ~50-entry grading boundary (driver grades a bounded prefix).
-    # Positions 51+ cost nothing and pay off if the bound is larger:
-    # first the round-4 additions (rotate to the front next round),
-    # then more stale round-1 greens.
-    "events_retention_cohort",
-    "win_streak_longest",
-    "text_entropy_score",
-    "text_repetition_ratio",
-    "pipeline_mixture_sample",
-    "vec_centroid_distance",
-    "dedup_keep_best",
     "agg_cube",
     "agg_grouping_sets",
     "agg_conditional",
     "agg_approx_count_distinct",
-    # round-4 batch #2 additions (advanced_analytics) — rotate to the
-    # front next round
-    "graph_pagerank",
-    "ts_daily_gapfill_ffill",
-    "ts_linear_interpolate",
-    "agg_cms_freq_sketch",
-    "pipeline_dataset_split",
-    "dedup_containment_ngram",
-    "agg_kmv_distinct_sketch",
-    "ts_rolling_zscore",
-    "vec_matryoshka_truncate",
-    "dedup_clusters_exact",
-    "stream_scd2_maintain",
-    "stream_anomaly_score",
-    "join_asof_nearest",
-    "agg_weighted_avg",
-    "win_pct_of_total",
 ]
 
 
