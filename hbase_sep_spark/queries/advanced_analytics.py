@@ -980,3 +980,80 @@ def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("double") / F.sum("r").over(wtot).cast("double") * 100, 4
         ).alias("pct_of_total"),
     )
+
+
+@register(
+    "events_cdc_net_changes",
+    oracle="""
+    WITH snapa AS (
+        SELECT user_id, event_id, value, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15'
+    ),
+    a AS (SELECT user_id, event_id, value FROM snapa
+          WHERE rn = 1 AND event_type <> 'error'),
+    snapb AS (
+        SELECT user_id, event_id, value, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    b AS (SELECT user_id, event_id, value FROM snapb
+          WHERE rn = 1 AND event_type <> 'error')
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           CASE WHEN a.user_id IS NULL THEN 'added'
+                WHEN b.user_id IS NULL THEN 'removed'
+                WHEN a.event_id <> b.event_id THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           a.value AS old_value,
+           b.value AS new_value,
+           round(b.value - a.value, 2) + 0.0 AS delta
+    FROM a FULL JOIN b ON a.user_id = b.user_id
+    """,
+    section="2.1",
+)
+def events_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-changes diff between two snapshot positions of the change
+    feed — the CDC consumer's reconciliation primitive ("what changed
+    since my last sync"): per key, compare the tombstone-aware latest
+    state at a boundary position vs at the head, and classify
+    added / removed / changed / unchanged with the value delta.
+    Tombstone semantics match events_latest_op_wins (an `error` event
+    masks the key).
+
+    delta = round(new − old, 2): both operands are exact 2-decimal
+    values, so the difference sits ON the rounding grid (never halfway
+    between points) — per-row rounding is tie-free here, unlike the
+    short-decimal quotients portable.py bans.
+
+    Scale shape: both snapshots are one user_id window each (the
+    boundary snapshot's ts predicate pushes to the scan), sharing the
+    same partitioning as the full-outer reconciliation join — one
+    shuffle serves all three; output is key-cardinality."""
+    boundary = F.lit("2024-01-15").cast("timestamp")
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def snapshot(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select("user_id", "event_id", "value")
+        )
+
+    a = snapshot(ev.filter(F.col("ts") < boundary)).alias("a")
+    b = snapshot(ev).alias("b")
+    status = (
+        F.when(F.col("a.user_id").isNull(), "added")
+        .when(F.col("b.user_id").isNull(), "removed")
+        .when(F.col("a.event_id") != F.col("b.event_id"), "changed")
+        .otherwise("unchanged")
+    )
+    return a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full").select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        status.alias("status"),
+        F.col("a.value").alias("old_value"),
+        F.col("b.value").alias("new_value"),
+        (F.round(F.col("b.value") - F.col("a.value"), 2) + F.lit(0.0)).alias("delta"),
+    )

@@ -734,3 +734,34 @@ def stream_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register("stream_windowed_distinct_hll", oracle=None, section=SECTION)
+def stream_windowed_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distinct-user estimation on the stream: daily unique
+    users per event type via approx_count_distinct (HLL++) under a
+    1-hour watermark. Exact count-distinct is unsupported (and
+    unwanted) in streaming aggregation — per-key distinct state is
+    unbounded, while the HLL register set is fixed-size and MERGEABLE
+    across micro-batches, which is exactly why sketches are the
+    streaming distinct path at 100 TB (same state argument as
+    agg_hll_sketch_union on the batch side).
+
+    tests/test_streaming.py bounds the estimate against the batch
+    exact distinct per (window, type) at HLL++'s default rsd."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    out = _run_to_memory(agg, mode="complete")
+    return out.select(
+        F.date_format("win.start", "yyyy-MM-dd").alias("win_day"),
+        "event_type",
+        "approx_users",
+        "n_events",
+    )

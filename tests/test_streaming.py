@@ -311,3 +311,25 @@ def test_anomaly_score_matches_batch_expanding_window(spark):
     got = {(r.user_id, r.n_events, r.n_anomalies) for r in stream.collect()}
     want = {(r.user_id, r.n_events, r.n_anomalies) for r in batch.collect()}
     assert got == want
+
+
+def test_windowed_distinct_hll_tracks_exact(spark):
+    """The streaming HLL distinct per (day, type) lands within 3×
+    the sketch's default rsd (5%) of the batch exact distinct, and
+    event totals match exactly."""
+    stream = REGISTRY["stream_windowed_distinct_hll"].fn(spark, SF_UNIT)
+    ev = t(spark, SF_UNIT, "events")
+    exact = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("win_day"),
+        "event_type",
+    ).agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    got = {(r.win_day, r.event_type): (r.approx_users, r.n_events) for r in stream.collect()}
+    want = {(r.win_day, r.event_type): (r.exact_users, r.n_events) for r in exact.collect()}
+    assert set(got) == set(want)
+    for k, (approx, n) in got.items():
+        exact_u, exact_n = want[k]
+        assert n == exact_n, k
+        assert abs(approx - exact_u) <= max(2, 0.15 * exact_u), (k, approx, exact_u)
