@@ -1,18 +1,29 @@
-"""Round-4 batch #2: graph, time-series, sketch, and pipeline ops.
+"""Round-4 batch #2+: graph, time-series, sketch, and pipeline ops.
 
-Six sql-hash operators extending the graded surface into territory a
-100 TB analytics engine is asked for daily but classic TPC-H-style
-suites skip: fixed-point graph iteration (PageRank), time-series
-regularization (calendar gap-fill with forward-fill, linear
-interpolation), a fully-declarative count-min sketch whose integer
-hash arithmetic replays EXACTLY in the DuckDB oracle (the mergeable
-frequency-sketch companion to agg_hll_sketch_union), deterministic
-train/val/test splitting, and asymmetric n-gram containment dedup
-(catches subset-duplication that symmetric Jaccard under-scores).
+Fourteen operators (13 sql-hash + this module's share of the family)
+extending the graded surface into territory a 100 TB analytics engine
+is asked for daily but classic TPC-H-style suites skip:
 
-All six follow functions/portable.py's portability rules: integer or
-hash-deterministic keys, aggregate-side rounding only, no DATE or
-array/map output columns, identical aliases both sides.
+- fixed-point graph iteration (PageRank over a derived bipartite
+  graph, persisted edge table);
+- time-series regularization (calendar gap-fill with forward-fill,
+  linear interpolation, causal rolling z-score);
+- sketches with EXACT oracles — count-min and KMV use integer
+  multiplicative hashing the DuckDB oracle replays bit-for-bit, so
+  estimate structures get sql-hash grading, not rows-only (the
+  mergeable companions to agg_hll_sketch_union);
+- dedup extensions (asymmetric n-gram containment for
+  subset-duplication; connected components cross-checked against a
+  recursive-CTE transitive closure);
+- pipeline ops (deterministic train/val/test split, Matryoshka
+  prefix-norm audit);
+- as-of 'nearest' direction, weighted averages, share-of-total;
+- CDC net-changes reconciliation between two feed positions.
+
+All follow functions/portable.py's portability rules: integer or
+hash-deterministic keys, aggregate-side rounding only (per-row
+rounding only where the result provably sits ON the rounding grid),
+no DATE or array/map output columns, identical aliases both sides.
 """
 
 from __future__ import annotations

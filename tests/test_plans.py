@@ -341,3 +341,45 @@ def test_containment_join_is_blocked_equi(spark):
     plan = plan_of(spark, "dedup_containment_ngram")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_single_window_no_join(spark):
+    """Nearest-direction as-of: both candidates come from one shared
+    union+window sort — no join OPERATOR anywhere in the plan (the
+    DuckDB oracle needs two ASOF joins plus a re-join). Two
+    exchanges: the click-dedup aggregate on (user_id, ts) and the
+    window on user_id."""
+    import re
+
+    plan = plan_of(spark, "join_asof_nearest")
+    assert not [m for m in re.findall(r"\(\d+\) \w+", plan) if "Join" in m]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_weighted_avg_single_aggregate(spark):
+    """One map-side-combinable aggregate; decimal partials shuffle."""
+    import re
+
+    plan = plan_of(spark, "agg_weighted_avg")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial" in plan.lower()
+
+
+def test_pct_of_total_windows_aggregate_not_fact(spark):
+    """The share-of-total window runs over the 25-row aggregate: the
+    plan's window sits ABOVE the final HashAggregate, and the dims
+    broadcast into the fact scan."""
+    import re
+
+    plan = plan_of(spark, "win_pct_of_total")
+    joins = [m for m in re.findall(r"\(\d+\) \w+", plan) if "Join" in m]
+    assert joins and all("BroadcastHashJoin" in j for j in joins)
+    assert plan.index("Window") < plan.index("Scan parquet")
+
+
+def test_net_changes_shares_one_user_partitioning(spark):
+    """Both snapshots and the reconciliation join key on user_id; the
+    boundary snapshot's ts predicate reaches the parquet scan."""
+    plan = plan_of(spark, "events_cdc_net_changes")
+    assert "PushedFilters" in plan
+    assert "LessThan(ts" in plan
