@@ -95,6 +95,7 @@ _GRADE_FIRST = [
     "win_pct_of_total",
     "events_cdc_net_changes",
     "stream_windowed_distinct_hll",
+    "pipeline_vocab_coverage",
     # stale round-1 greens, oldest grades first
     "scan_parquet",
     "scan_events_feed",
@@ -105,10 +106,10 @@ _GRADE_FIRST = [
     "events_per_key_ordered",
     "project_alias",
     "filter_eq",
-    "filter_range_between",
     # --- ~50-entry grading boundary (driver grades a bounded prefix).
     # Positions 51+ cost nothing and pay off if the bound is larger:
     # the remaining stale round-1/round-2 greens.
+    "filter_range_between",
     "filter_in",
     "filter_like",
     "filter_null_handling",

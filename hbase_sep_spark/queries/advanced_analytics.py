@@ -1068,3 +1068,69 @@ def events_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.value").alias("new_value"),
         (F.round(F.col("b.value") - F.col("a.value"), 2) + F.lit(0.0)).alias("delta"),
     )
+
+
+@register(
+    "pipeline_vocab_coverage",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    ranked AS (
+        SELECT w, c,
+               row_number() OVER (ORDER BY c DESC, w) AS rk,
+               sum(c) OVER (ORDER BY c DESC, w
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(c) OVER () AS total
+        FROM freq
+    ),
+    targets AS (SELECT CAST(unnest([0.5, 0.9, 0.95, 0.99]) AS DOUBLE) AS tgt)
+    SELECT tgt AS coverage_target,
+           CAST(min(rk) AS BIGINT) AS vocab_size,
+           CAST(max(total) AS BIGINT) AS total_tokens
+    FROM ranked JOIN targets ON CAST(cum AS DOUBLE) / total >= tgt
+    GROUP BY tgt
+    """,
+    section="2.11",
+)
+def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design metric: the
+    smallest frequency-ranked vocabulary covering 50/90/95/99 % of
+    corpus token occurrences. The answer decides vocab size and OOV
+    budget before any tokenizer training run.
+
+    Determinism: ranking orders by (count DESC, token) — a total
+    order, so ranks and cumulative sums are identical across engines;
+    the coverage ratio is an exact-integer quotient compared with the
+    same IEEE division on both sides.
+
+    Scale shape: the corpus-sized work is the map-side-combinable
+    (token → count) aggregate; the ranking window runs over the
+    VOCABULARY (≪ corpus — the token table shuffles once as (token,
+    count) pairs), single-partition by construction; at a vocabulary
+    too large for one task this becomes per-shard top-k + merge, the
+    same two-level shape as operators/quantiles.py. The 4-row target
+    table broadcasts into a bounded nested-loop join."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(T.words()).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.orderBy(F.desc("c"), "w")
+    ranked = freq.select(
+        "c",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    targets = spark.createDataFrame(
+        [(0.5,), (0.9,), (0.95,), (0.99,)], "tgt double"
+    )
+    covered = ranked.join(
+        F.broadcast(targets),
+        (F.col("cum").cast("double") / F.col("total")) >= F.col("tgt"),
+    )
+    return covered.groupBy(F.col("tgt").alias("coverage_target")).agg(
+        F.min("rk").cast("bigint").alias("vocab_size"),
+        F.max("total").cast("bigint").alias("total_tokens"),
+    )
