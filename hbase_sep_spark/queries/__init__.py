@@ -96,6 +96,8 @@ _GRADE_FIRST = [
     "events_cdc_net_changes",
     "stream_windowed_distinct_hll",
     "pipeline_vocab_coverage",
+    "join_pit_scd2",
+    "events_silence_alert",
     # stale round-1 greens, oldest grades first
     "scan_parquet",
     "scan_events_feed",
@@ -104,11 +106,11 @@ _GRADE_FIRST = [
     "events_latest_per_key",
     "events_dedup_redelivery",
     "events_per_key_ordered",
-    "project_alias",
-    "filter_eq",
     # --- ~50-entry grading boundary (driver grades a bounded prefix).
     # Positions 51+ cost nothing and pay off if the bound is larger:
     # the remaining stale round-1/round-2 greens.
+    "project_alias",
+    "filter_eq",
     "filter_range_between",
     "filter_in",
     "filter_like",

@@ -1134,3 +1134,166 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rk").cast("bigint").alias("vocab_size"),
         F.max("total").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "join_pit_scd2",
+    oracle="""
+    WITH versions AS (
+        SELECT user_id, event_id AS version_event_id, value AS version_value,
+               ts AS valid_from_ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to_ts
+        FROM events WHERE event_type IN ('signup', 'click')
+    ),
+    purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id,
+           v.version_event_id, v.version_value,
+           strftime(v.valid_from_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(v.valid_to_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           CAST(CASE WHEN v.version_event_id IS NULL THEN 0
+                     WHEN p.ts >= v.valid_from_ts
+                          AND (v.valid_to_ts IS NULL OR p.ts < v.valid_to_ts)
+                     THEN 1 ELSE 0 END AS INT) AS in_interval
+    FROM purchases p
+    ASOF LEFT JOIN versions v
+      ON p.user_id = v.user_id AND p.ts >= v.valid_from_ts
+    """,
+    section="2.3",
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension — the
+    feature-store correctness pattern: each fact (purchase) joins the
+    dimension VERSION that was valid at fact time (profile versions
+    derived from signup/click events), never a later one (no feature
+    leakage). `in_interval` is a self-validating witness: 1 for every
+    matched row iff the as-of pick landed inside its [valid_from,
+    valid_to) interval — contiguous versions make this provable, and
+    the driver hash re-proves it on every grade.
+
+    Scale shape: the same single union+window user_id pass as the
+    as-of family — version effectivity (lead) and the prevailing
+    version at each purchase come from one shared sort; no join
+    against the versions table (the oracle needs a window + an ASOF
+    join). At 100 TB this is the shape that replaces the O(facts ×
+    versions-per-key) range join a naive PIT implementation does."""
+    ev = t(spark, sf_dir, "events")
+    vsrc = ev.filter(F.col("event_type").isin("signup", "click"))
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = vsrc.select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.col("event_id").alias("version_event_id"),
+        F.col("value").alias("version_value"),
+        F.lead("ts").over(wv).alias("valid_to_ts"),
+    ).select(
+        "user_id",
+        F.col("vts").alias("ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        "version_event_id",
+        "version_value",
+        F.col("vts").alias("valid_from_ts"),
+        "valid_to_ts",
+        F.lit(0).alias("marker"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("version_event_id"),
+        F.lit(None).cast("double").alias("version_value"),
+        F.lit(None).cast("timestamp").alias("valid_from_ts"),
+        F.lit(None).cast("timestamp").alias("valid_to_ts"),
+        F.lit(1).alias("marker"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "marker", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # The prevailing version's fields are carried as ONE struct under
+    # a single last(ignorenulls): four independent last()s could mix
+    # fields from different version rows.
+    paired = versions.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "purchase_id",
+        "marker",
+        F.last(
+            F.when(
+                F.col("marker") == 0,
+                F.struct("version_event_id", "version_value", "valid_from_ts", "valid_to_ts"),
+            ),
+            ignorenulls=True,
+        ).over(w).alias("v"),
+    ).filter(F.col("marker") == 1)
+    in_interval = (
+        F.when(F.col("v").isNull(), 0)
+        .when(
+            (F.col("ts") >= F.col("v.valid_from_ts"))
+            & (F.col("v.valid_to_ts").isNull() | (F.col("ts") < F.col("v.valid_to_ts"))),
+            1,
+        )
+        .otherwise(0)
+    )
+    return paired.select(
+        "user_id",
+        "purchase_id",
+        F.col("v.version_event_id").alias("version_event_id"),
+        F.col("v.version_value").alias("version_value"),
+        F.date_format("v.valid_from_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format("v.valid_to_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        in_interval.cast("int").alias("in_interval"),
+    )
+
+
+@register(
+    "events_silence_alert",
+    oracle="""
+    WITH head AS (SELECT max(ts) AS head_ts FROM events),
+    last_seen AS (
+        SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT l.user_id,
+           strftime(l.last_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+           CAST(l.n_events AS BIGINT) AS n_events,
+           CAST((epoch_us(h.head_ts) - epoch_us(l.last_ts)) // 3600000000
+                AS BIGINT) AS silent_hours
+    FROM last_seen l, head h
+    WHERE l.last_ts < h.head_ts - INTERVAL 24 HOUR
+    """,
+    section="2.1",
+)
+def events_silence_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-health silence alert — the CDC monitoring query: keys
+    whose newest event is more than 24 h behind the feed head have
+    gone silent (a stuck producer, a dropped subscription, a churned
+    entity). Integer hour arithmetic, no floats anywhere.
+
+    Scale shape: one map-side-combinable (key → max ts, count)
+    aggregate; the feed-head scalar is a broadcast 1-row crossJoin;
+    the 24 h threshold is evaluated post-aggregate on key-cardinality
+    data. At 100 TB the per-key aggregate is the only data-sized
+    work and it partial-aggregates before the shuffle."""
+    ev = t(spark, sf_dir, "events")
+    head = ev.agg(F.max("ts").alias("head_ts"))
+    last_seen = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    silent_hours = (
+        (F.unix_micros("head_ts") - F.unix_micros("last_ts")) / 3600000000
+    ).cast("bigint")
+    return (
+        last_seen.crossJoin(F.broadcast(head))
+        .filter(F.col("last_ts") < F.col("head_ts") - F.expr("INTERVAL 24 HOUR"))
+        .select(
+            "user_id",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_seen"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            silent_hours.alias("silent_hours"),
+        )
+    )
