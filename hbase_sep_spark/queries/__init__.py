@@ -45,10 +45,11 @@ from hbase_sep_spark import registry as _registry
 #         agg_median_percentile (changed r3 after r2 grade, flagged by
 #         ADVICE), pipeline_sequence_pack + pipeline_training_prep
 #         (shard-key NULL fix this round),
-# 17-38 = ALL 22 round-4 additions (never graded — inside the prefix
-#         so CORRECTNESS_r04 covers them; with a 50-bound this leaves
-#         ZERO never-graded queries after round 4),
-# 39-50 = oldest driver-greens (round-1 set) for regression
+# 17-43 = 27 round-4 additions (never graded — inside the prefix so
+#         CORRECTNESS_r04 covers them; with a 50-bound the only
+#         never-graded query left after round 4 is sql_recursive_cte
+#         at position 51),
+# 44-50 = oldest driver-greens (round-1 set) for regression
 #         re-confirmation of stale grades; the rest of the r1 set
 #         follows the boundary and rotates in next round.
 _GRADE_FIRST = [
@@ -108,7 +109,9 @@ _GRADE_FIRST = [
     "events_per_key_ordered",
     # --- ~50-entry grading boundary (driver grades a bounded prefix).
     # Positions 51+ cost nothing and pay off if the bound is larger:
-    # the remaining stale round-1/round-2 greens.
+    # first the one post-boundary round-4 addition (rotate forward
+    # next round), then the remaining stale round-1/round-2 greens.
+    "sql_recursive_cte",
     "project_alias",
     "filter_eq",
     "filter_range_between",
