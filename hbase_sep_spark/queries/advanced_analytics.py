@@ -1,8 +1,8 @@
 """Round-4 batch #2+: graph, time-series, sketch, and pipeline ops.
 
-Fourteen operators (13 sql-hash + this module's share of the family)
-extending the graded surface into territory a 100 TB analytics engine
-is asked for daily but classic TPC-H-style suites skip:
+Nineteen sql-hash operators extending the graded surface into
+territory a 100 TB analytics engine is asked for daily but classic
+TPC-H-style suites skip:
 
 - fixed-point graph iteration (PageRank over a derived bipartite
   graph, persisted edge table);
@@ -17,8 +17,11 @@ is asked for daily but classic TPC-H-style suites skip:
   recursive-CTE transitive closure);
 - pipeline ops (deterministic train/val/test split, Matryoshka
   prefix-norm audit);
-- as-of 'nearest' direction, weighted averages, share-of-total;
-- CDC net-changes reconciliation between two feed positions.
+- as-of 'nearest' direction, point-in-time SCD2 joins, weighted
+  averages, share-of-total, vocabulary coverage curves;
+- CDC net-changes reconciliation between two feed positions, feed
+  silence alerts, and a recursive-CTE date spine (Spark 4 WITH
+  RECURSIVE).
 
 All follow functions/portable.py's portability rules: integer or
 hash-deterministic keys, aggregate-side rounding only (per-row
