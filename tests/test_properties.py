@@ -234,3 +234,98 @@ def test_sequence_pack_is_contiguous_per_shard(spark):
             assert r.pack_id >= prev_pack
             off += r.n_tokens
             prev_pack = r.pack_id
+
+
+# --- round-4 time-series invariants -------------------------------
+
+_daily = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # user
+        st.integers(min_value=0, max_value=14),    # day offset
+        st.integers(min_value=-500, max_value=500) # centi-value
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _series_df(spark, rows):
+    """(user_id, day, v) with one row per (user, day) — v has 2dp."""
+    import datetime as dt
+
+    dedup = {}
+    for u, d, cv in rows:
+        dedup[(u, d)] = cv / 100.0
+    data = [
+        (u, dt.date(2024, 3, 1) + dt.timedelta(days=d), v)
+        for (u, d), v in dedup.items()
+    ]
+    return spark.createDataFrame(data, "user_id long, day date, v double")
+
+
+@given(rows=_daily)
+@settings(**SETTINGS)
+def test_interpolation_bounded_by_neighbors(spark, rows):
+    """Linear interpolation never escapes the [prev, next] envelope,
+    and observed days pass through unchanged — on random sparse
+    per-user daily series (ties, negatives, single-point users)."""
+    daily = _series_df(spark, rows)
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    j = cal.join(daily, ["user_id", "day"], "left")
+    past = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    future = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    pv = F.last("v", ignorenulls=True).over(past)
+    pd_ = F.last(obs_day, ignorenulls=True).over(past)
+    nv = F.first("v", ignorenulls=True).over(future)
+    nd = F.first(obs_day, ignorenulls=True).over(future)
+    interp = pv + (nv - pv) * F.datediff(F.col("day"), pd_) / F.datediff(nd, pd_)
+    out = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias("x"),
+        F.least(pv, nv).alias("lo"),
+        F.greatest(pv, nv).alias("hi"),
+    ).collect()
+    for r in out:
+        if r.v is not None:
+            assert r.x == r.v
+        else:
+            assert r.lo - 1e-9 <= r.x <= r.hi + 1e-9, r
+
+
+@given(rows=_daily)
+@settings(**SETTINGS)
+def test_gapfill_idempotent_on_dense_series(spark, rows):
+    """Forward-filling an already-dense (gap-free) series is the
+    identity: fill values equal the originals on every row."""
+    daily = _series_df(spark, rows)
+    # densify first: forward-fill once…
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    dense = (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select("user_id", "day", F.last("v", ignorenulls=True).over(w).alias("v"))
+    )
+    # …then fill the dense series again: must be the identity.
+    refill = dense.select(
+        "user_id", "day", "v", F.last("v", ignorenulls=True).over(w).alias("v2")
+    )
+    assert refill.filter(F.col("v") != F.col("v2")).count() == 0
