@@ -47,8 +47,9 @@ from hbase_sep_spark import registry as _registry
 #         (shard-key NULL fix this round),
 # 17-43 = 27 round-4 additions (never graded — inside the prefix so
 #         CORRECTNESS_r04 covers them; with a 50-bound the only
-#         never-graded query left after round 4 is sql_recursive_cte
-#         at position 51),
+#         never-graded queries left after round 4 are the three at
+#         positions 51-53: sql_recursive_cte, win_period_over_period,
+#         events_transition_matrix),
 # 44-50 = oldest driver-greens (round-1 set) for regression
 #         re-confirmation of stale grades; the rest of the r1 set
 #         follows the boundary and rotates in next round.
@@ -112,6 +113,8 @@ _GRADE_FIRST = [
     # first the one post-boundary round-4 addition (rotate forward
     # next round), then the remaining stale round-1/round-2 greens.
     "sql_recursive_cte",
+    "win_period_over_period",
+    "events_transition_matrix",
     "project_alias",
     "filter_eq",
     "filter_range_between",

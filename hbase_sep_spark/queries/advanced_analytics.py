@@ -1363,3 +1363,107 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine s LEFT JOIN daily d ON s.day = d.day
         """
     )
+
+
+@register(
+    "win_period_over_period",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               sum(CAST(o_totalprice AS DECIMAL(28,6))) AS r
+        FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(round(r, 2) AS DOUBLE) AS revenue,
+           round((CAST(r AS DOUBLE) - CAST(lag(r) OVER (ORDER BY month) AS DOUBLE))
+                 / CAST(lag(r) OVER (ORDER BY month) AS DOUBLE) * 100, 4) + 0.0
+               AS pct_change
+    FROM monthly
+    """,
+    section="2.5",
+)
+def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period % change — the month-over-month revenue
+    delta every reporting layer computes: lag over the monthly
+    aggregate, (cur − prev)/prev·100. First month's change is NULL
+    (no prior period) on both engines. Exact decimal monthly sums
+    make numerator and denominator order-independent; the ratio's
+    denominator (prev·100) is never a power of 2·5, so the 4-dp round
+    cannot land on a tie.
+
+    Scale shape: the window runs over the ~24-row monthly aggregate,
+    not the fact table; the data-sized work is one
+    map-side-combinable decimal sum."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("r"))
+    w = Window.orderBy("month")
+    prev = F.lag("r").over(w)
+    return monthly.select(
+        "month",
+        F.round("r", 2).cast("double").alias("revenue"),
+        (
+            F.round(
+                (F.col("r").cast("double") - prev.cast("double"))
+                / prev.cast("double")
+                * 100,
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("pct_change"),
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT cur_type, next_type, count(*) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY cur_type, next_type
+    )
+    SELECT cur_type, next_type,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(sum(n_transitions) OVER (PARTITION BY cur_type) AS BIGINT)
+               AS n_from_cur
+    FROM trans
+    """,
+    section="2.5",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix — the Markov-chain view of the
+    clickstream (what follows a view? how often does an error
+    interrupt a purchase flow?): per-user lead() pairs each event
+    with its successor, counted into a (cur, next) matrix with the
+    per-row denominator alongside. Counts stay INTEGER end to end —
+    emitting P(next|cur) as a rounded double is a portability trap
+    (p/q with q a power of 2·5 lands EXACTLY on rounding ties, where
+    Spark's HALF_UP and DuckDB's half-even disagree); consumers
+    divide the two exact columns at whatever precision they need.
+
+    Scale shape: one user_id window pass over the feed, then a
+    map-side-combinable count into a (types × types)-sized matrix;
+    the denominator is a window over that tiny matrix."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wc = Window.partitionBy("cur_type")
+    return trans.select(
+        "cur_type",
+        "next_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.sum("n_transitions").over(wc).cast("bigint").alias("n_from_cur"),
+    )
