@@ -47,9 +47,10 @@ from hbase_sep_spark import registry as _registry
 #         (shard-key NULL fix this round),
 # 17-43 = 27 round-4 additions (never graded — inside the prefix so
 #         CORRECTNESS_r04 covers them; with a 50-bound the only
-#         never-graded queries left after round 4 are the three at
-#         positions 51-53: sql_recursive_cte, win_period_over_period,
-#         events_transition_matrix),
+#         never-graded queries left after round 4 are the five at
+#         positions 51-55: sql_recursive_cte, win_period_over_period,
+#         events_transition_matrix, events_hourly_seasonality,
+#         agg_skew_kurtosis_portable),
 # 44-50 = oldest driver-greens (round-1 set) for regression
 #         re-confirmation of stale grades; the rest of the r1 set
 #         follows the boundary and rotates in next round.
@@ -115,6 +116,8 @@ _GRADE_FIRST = [
     "sql_recursive_cte",
     "win_period_over_period",
     "events_transition_matrix",
+    "events_hourly_seasonality",
+    "agg_skew_kurtosis_portable",
     "project_alias",
     "filter_eq",
     "filter_range_between",

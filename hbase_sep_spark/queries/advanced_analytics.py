@@ -1467,3 +1467,101 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_transitions").cast("bigint").alias("n_transitions"),
         F.sum("n_transitions").over(wc).cast("bigint").alias("n_from_cur"),
     )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+    SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+           CAST(date_part('hour', ts) AS INT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    section="2.5",
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week seasonality profile — the traffic
+    heatmap behind capacity planning and anomaly baselines. Calendar
+    quirk handled per FIXTURES.md: Spark dayofweek is 1=Sunday..7,
+    DuckDB dow is 0=Sunday..6 — the Spark side subtracts 1 so both
+    engines emit the same integers. The average goes through the
+    exact-decimal sum (davg form) for order independence.
+
+    Scale shape: one map-side-combinable aggregate into a ≤168-cell
+    matrix; the distinct-user count is the only per-cell state that
+    grows (the HLL variant is the 100 TB swap, cf.
+    stream_windowed_distinct_hll)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_value"),
+    )
+
+
+@register(
+    "agg_skew_kurtosis_portable",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               count(*) AS n,
+               avg(value) AS m1,
+               sum(value * value) / count(*) AS m2r,
+               sum(value * value * value) / count(*) AS m3r,
+               sum(value * value * value * value) / count(*) AS m4r
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+                 / pow(m2r - m1 * m1, 1.5), 4) + 0.0 AS skewness_pop,
+           round((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1)
+                 / pow(m2r - m1 * m1, 2) - 3, 4) + 0.0 AS excess_kurtosis_pop
+    FROM m
+    """,
+    section="2.4",
+)
+def agg_skew_kurtosis_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis from explicit raw
+    moments — deliberately NOT Spark's skewness()/kurtosis() against
+    DuckDB's skewness()/kurtosis(): the built-ins apply different
+    sample-bias corrections (DuckDB's carries the n/((n-1)(n-2))
+    factor, Spark's is the population estimator), so the same data
+    produces different numbers. Writing the central-moment identities
+    over raw power sums on BOTH engines makes the definition — not
+    the engine's choice of correction — the contract. The shape
+    distribution profiling pass every feature store runs.
+
+    Scale shape: one map-side-combinable aggregate (4 power sums per
+    group); the moment algebra is post-aggregate scalar math on
+    group-cardinality rows."""
+    ev = t(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("m1"),
+        (F.sum(v * v) / F.count(F.lit(1))).alias("m2r"),
+        (F.sum(v * v * v) / F.count(F.lit(1))).alias("m3r"),
+        (F.sum(v * v * v * v) / F.count(F.lit(1))).alias("m4r"),
+    )
+    m1, m2r, m3r, m4r = F.col("m1"), F.col("m2r"), F.col("m3r"), F.col("m4r")
+    var = m2r - m1 * m1
+    skew = (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1) / F.pow(
+        var, 2
+    ) - 3
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.round(skew, 4) + F.lit(0.0)).alias("skewness_pop"),
+        (F.round(kurt, 4) + F.lit(0.0)).alias("excess_kurtosis_pop"),
+    )
