@@ -24,6 +24,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     llm_ops,
     llm_extras,
     advanced_analytics,
+    analytics_r5,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -37,90 +38,81 @@ from hbase_sep_spark.streaming import queries as _streaming_queries  # noqa: F40
 
 from hbase_sep_spark import registry as _registry
 
-# Driver-grading prefix for round 4 (VERDICT r3 item 1 + ADVICE):
-# 1-11  = the 11 round-3 additions never driver-graded (were at 51-61),
-# 12-16 = sql-hash queries whose implementation OR oracle changed after
-#         their last green grade (must re-enter the prefix per the
-#         project invariant): win_running_sum / win_range_frame /
-#         agg_median_percentile (changed r3 after r2 grade, flagged by
-#         ADVICE), pipeline_sequence_pack + pipeline_training_prep
-#         (shard-key NULL fix this round),
-# 17-43 = 27 round-4 additions (never graded — inside the prefix so
-#         CORRECTNESS_r04 covers them; with a 50-bound the only
-#         never-graded queries left after round 4 are the five at
-#         positions 51-55: sql_recursive_cte, win_period_over_period,
-#         events_transition_matrix, events_hourly_seasonality,
-#         agg_skew_kurtosis_portable),
-# 44-50 = oldest driver-greens (round-1 set) for regression
-#         re-confirmation of stale grades; the rest of the r1 set
-#         follows the boundary and rotates in next round.
+# Driver-grading prefix for round 5 (VERDICT r4 item 1 + ADVICE r4):
+# 1-5   = the five round-4 tail additions never driver-graded (were at
+#         51-55 after round 4's 50-bound),
+# 6-7   = queries whose implementation OR oracle changed after their
+#         last green grade (must re-enter the prefix per the project
+#         invariant): join_pit_scd2 (same-ts version collapse, ADVICE
+#         r4) and stream_anomaly_score (chunk-concat causal order +
+#         real n_scored, ADVICE r4 — rows-only, re-run for the clean
+#         check),
+# 8-47  = the round-2-graded block (the stalest sql-hash greens, all
+#         pre-regeneration: windows, sort/limit, sets, scalars,
+#         semistructured, UDFs, core LLM ops) for re-confirmation on
+#         the regenerated testdata,
+# 48-50 = head of the stale round-1 block; the remainder follows the
+#         boundary in round-6 rotation order (r1 filters/joins/aggs
+#         first, then the r3-graded names, then current greens).
 _GRADE_FIRST = [
-    # never graded (round-3 additions)
-    "text_contamination_check",
-    "win_funnel_conversion",
-    "multimodal_frame_sample",
-    "join_asof_tolerance",
-    "agg_hll_sketch_union",
-    "vec_pca_project",
-    "agg_mode_exact",
-    "join_nullsafe_eq",
-    "scalar_try_safe_arith",
-    "events_compact_changelog",
-    "sample_bernoulli_hash",
-    # changed since last green grade
-    "win_running_sum",
-    "win_range_frame",
-    "agg_median_percentile",
-    "pipeline_sequence_pack",
-    "pipeline_training_prep",
-    # never graded (round-4 additions, both batches)
-    "events_retention_cohort",
-    "win_streak_longest",
-    "text_entropy_score",
-    "text_repetition_ratio",
-    "pipeline_mixture_sample",
-    "vec_centroid_distance",
-    "dedup_keep_best",
-    "graph_pagerank",
-    "ts_daily_gapfill_ffill",
-    "ts_linear_interpolate",
-    "agg_cms_freq_sketch",
-    "pipeline_dataset_split",
-    "dedup_containment_ngram",
-    "agg_kmv_distinct_sketch",
-    "ts_rolling_zscore",
-    "vec_matryoshka_truncate",
-    "dedup_clusters_exact",
-    "stream_scd2_maintain",
-    "stream_anomaly_score",
-    "join_asof_nearest",
-    "agg_weighted_avg",
-    "win_pct_of_total",
-    "events_cdc_net_changes",
-    "stream_windowed_distinct_hll",
-    "pipeline_vocab_coverage",
-    "join_pit_scd2",
-    "events_silence_alert",
-    # stale round-1 greens, oldest grades first
-    "scan_parquet",
-    "scan_events_feed",
-    "events_payload_extract",
-    "events_table_filter",
-    "events_latest_per_key",
-    "events_dedup_redelivery",
-    "events_per_key_ordered",
-    # --- ~50-entry grading boundary (driver grades a bounded prefix).
-    # Positions 51+ cost nothing and pay off if the bound is larger:
-    # first the one post-boundary round-4 addition (rotate forward
-    # next round), then the remaining stale round-1/round-2 greens.
+    # never graded (round-4 tail additions)
     "sql_recursive_cte",
     "win_period_over_period",
     "events_transition_matrix",
     "events_hourly_seasonality",
     "agg_skew_kurtosis_portable",
+    # changed since last green grade (round-5 ADVICE fixes)
+    "join_pit_scd2",
+    "stream_anomaly_score",
+    # stale round-2 greens (pre-regeneration), grading-age order
+    "win_row_number",
+    "win_rank_dense",
+    "win_ntile",
+    "win_lag_lead",
+    "win_moving_avg",
+    "win_first_last",
+    "win_percent_rank_cume",
+    "sort_multi_nulls",
+    "limit_topn",
+    "topk_per_group",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
+    "str_basic",
+    "str_regex",
+    "str_split_pad",
+    "date_parts",
+    "date_trunc_arith",
+    "math_basic",
+    "cond_case_coalesce",
+    "cast_types",
+    "json_extract_props",
+    "json_to_map",
+    "arr_construct_contains",
+    "arr_explode",
+    "arr_sort_distinct_slice",
+    "arr_lambda_transform",
+    "arr_lambda_filter_agg",
+    "map_keys_values",
+    "udf_python_scalar",
+    "udf_pandas_vectorized",
+    "udaf_pandas_group",
+    "udtf_python",
+    "dedup_exact_docs",
+    "dedup_minhash_near",
+    "simsearch_cosine_topk",
+    "simsearch_knn_join",
+    "vec_normalize_norm",
+    # head of the stale round-1 block
     "project_alias",
     "filter_eq",
     "filter_range_between",
+    # --- ~50-entry grading boundary (driver grades a bounded prefix).
+    # Positions 51+ cost nothing and pay off if the bound is larger:
+    # round-6 rotation takes these in order — the remaining stale
+    # round-1 greens first.
     "filter_in",
     "filter_like",
     "filter_null_handling",

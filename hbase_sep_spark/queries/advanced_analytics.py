@@ -1142,12 +1142,18 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_pit_scd2",
     oracle="""
-    WITH versions AS (
-        SELECT user_id, event_id AS version_event_id, value AS version_value,
-               ts AS valid_from_ts,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   AS valid_to_ts
+    WITH vsrc AS (
+        SELECT user_id, ts, max(event_id) AS version_event_id,
+               arg_max(value, event_id) AS version_value
         FROM events WHERE event_type IN ('signup', 'click')
+        GROUP BY user_id, ts
+    ),
+    versions AS (
+        SELECT user_id, version_event_id, version_value,
+               ts AS valid_from_ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS valid_to_ts
+        FROM vsrc
     ),
     purchases AS (
         SELECT user_id, event_id AS purchase_id, ts
@@ -1182,10 +1188,24 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     version at each purchase come from one shared sort; no join
     against the versions table (the oracle needs a window + an ASOF
     join). At 100 TB this is the shape that replaces the O(facts ×
-    versions-per-key) range join a naive PIT implementation does."""
+    versions-per-key) range join a naive PIT implementation does.
+
+    Same-ts versions are collapsed to the max-event_id row per
+    (user_id, ts) BEFORE effectivity is derived — on both sides — so
+    valid_from is strictly increasing per user, the oracle's ASOF
+    pick is unambiguous, and the union-window last() has no
+    nondeterministic tie (ADVICE r4). The collapse rides the same
+    user_id window partitioning as the lead(), so it adds a sort but
+    no extra shuffle."""
     ev = t(spark, sf_dir, "events")
-    vsrc = ev.filter(F.col("event_type").isin("signup", "click"))
-    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wdedup = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").desc())
+    vsrc = (
+        ev.filter(F.col("event_type").isin("signup", "click"))
+        .withColumn("_prev_ts", F.lag("ts").over(wdedup))
+        .filter(F.col("_prev_ts").isNull() | (F.col("_prev_ts") != F.col("ts")))
+        .drop("_prev_ts")
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts")
     versions = vsrc.select(
         "user_id",
         F.col("ts").alias("vts"),
@@ -1515,10 +1535,14 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT event_type,
                count(*) AS n,
-               avg(value) AS m1,
-               sum(value * value) / count(*) AS m2r,
-               sum(value * value * value) / count(*) AS m3r,
-               sum(value * value * value * value) / count(*) AS m4r
+               CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE)
+                   / count(*) AS m1,
+               CAST(sum(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE)
+                   / count(*) AS m2r,
+               CAST(sum(CAST(value * value * value AS DECIMAL(38,8)))
+                    AS DOUBLE) / count(*) AS m3r,
+               CAST(sum(CAST(value * value * value * value AS DECIMAL(38,8)))
+                    AS DOUBLE) / count(*) AS m4r
         FROM events GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
@@ -1541,17 +1565,27 @@ def agg_skew_kurtosis_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's choice of correction — the contract. The shape
     distribution profiling pass every feature store runs.
 
+    The raw power sums run in exact DECIMAL(38,8) on both engines
+    (value is 2-decimal, so v..v^4 are exact at 8 decimals): decimal
+    summation is order-independent across shuffle configs, per the
+    portable.py decimal-cast-sums rule. Only the post-aggregate
+    moment algebra touches doubles.
+
     Scale shape: one map-side-combinable aggregate (4 power sums per
     group); the moment algebra is post-aggregate scalar math on
     group-cardinality rows."""
     ev = t(spark, sf_dir, "events")
     v = F.col("value")
+
+    def _msum(expr):
+        return F.sum(expr.cast("decimal(38,8)")).cast("double") / F.count(F.lit(1))
+
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(v).alias("m1"),
-        (F.sum(v * v) / F.count(F.lit(1))).alias("m2r"),
-        (F.sum(v * v * v) / F.count(F.lit(1))).alias("m3r"),
-        (F.sum(v * v * v * v) / F.count(F.lit(1))).alias("m4r"),
+        _msum(v).alias("m1"),
+        _msum(v * v).alias("m2r"),
+        _msum(v * v * v).alias("m3r"),
+        _msum(v * v * v * v).alias("m4r"),
     )
     m1, m2r, m3r, m4r = F.col("m1"), F.col("m2r"), F.col("m3r"), F.col("m4r")
     var = m2r - m1 * m1

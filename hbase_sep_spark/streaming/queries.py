@@ -658,7 +658,15 @@ def stream_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     cancellation, not throughput, is the real hazard of sum-of-squares
     at scale.
 
-    Anomaly = |z| > 3 with ≥ 10 prior events and prior std > 1e-9."""
+    All Arrow chunks of a group's micro-batch are concatenated and
+    sorted ONCE before the cumulative pass (ADVICE r4): per-chunk
+    sorting would break the global (ts, event_id) causal order if a
+    group ever spans multiple out-of-order chunks. Memory stays
+    bounded by the group's per-batch volume, which the source's
+    batch_size already caps.
+
+    Anomaly = |z| > 3 with ≥ 10 prior events and prior std > 1e-9;
+    n_scored counts rows that met BOTH scoring gates."""
     import numpy as np
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -668,16 +676,19 @@ def stream_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, n_events long, n_scored long, n_anomalies long, "
         "mean_value double, max_abs_z double"
     )
-    state_schema = "n long, s1 double, s2 double, n_anom long, max_z double"
+    state_schema = (
+        "n long, s1 double, s2 double, n_anom long, max_z double, n_sc long"
+    )
 
     def score(key, pdfs, state: GroupState):
-        n, s1, s2, n_anom, max_z = (
-            state.get if state.exists else (0, 0.0, 0.0, 0, 0.0)
+        n, s1, s2, n_anom, max_z, n_sc = (
+            state.get if state.exists else (0, 0.0, 0.0, 0, 0.0, 0)
         )
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             v = pdf["value"].to_numpy(dtype=np.float64)
             k = len(v)
             cs = np.cumsum(v)
@@ -694,22 +705,20 @@ def stream_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     0.0,
                 )
                 std_b = np.sqrt(np.maximum(var_b, 0.0))
-                z = np.where(
-                    (n_b >= 10) & (std_b > 1e-9), (v - mean_b) / std_b, 0.0
-                )
+                scored = (n_b >= 10) & (std_b > 1e-9)
+                z = np.where(scored, (v - mean_b) / std_b, 0.0)
             n_anom += int(np.sum(np.abs(z) > 3.0))
-            if k:
-                max_z = max(max_z, float(np.max(np.abs(z))))
+            n_sc += int(np.sum(scored))
+            max_z = max(max_z, float(np.max(np.abs(z))))
             n += k
             s1 += float(cs[-1])
             s2 += float(cs2[-1])
-        state.update((n, s1, s2, n_anom, max_z))
-        n_scored = max(0, n - 10)
+        state.update((n, s1, s2, n_anom, max_z, n_sc))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "n_scored": [n_scored],
+                "n_scored": [n_sc],
                 "n_anomalies": [n_anom],
                 "mean_value": [s1 / n if n else 0.0],
                 "max_abs_z": [max_z],

