@@ -1,13 +1,15 @@
 """Round-5 analytics + pipeline extensions.
 
-Four sql-hash operators extending the graded surface along axes the
+Five sql-hash operators extending the graded surface along axes the
 existing registry does not yet cover: a running-distinct window (the
 cardinality-over-time view of the change feed), feed inter-arrival
 statistics (CDC health: how bursty is each key's event stream),
 OHLC-style weekly resampling (the time-series downsampling primitive
-behind every metrics rollup), and a multi-rule corpus quality-gate
+behind every metrics rollup), a multi-rule corpus quality-gate
 report (the per-rule rejection funnel a training-data pipeline
-publishes with every snapshot).
+publishes with every snapshot), and a feed-offset contiguity audit
+whose global rank is computed with the two-level bucket
+decomposition instead of the oracle's single-partition window.
 
 Every query has a full DuckDB oracle and follows
 functions/portable.py's rules: integer/exact-decimal sums, rounded
@@ -285,3 +287,67 @@ def pipeline_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct"
         ),
     )
+
+
+@register(
+    "events_offset_islands",
+    oracle="""
+    WITH received AS (
+        SELECT event_id FROM events WHERE event_type <> 'error'
+    ),
+    r AS (
+        SELECT event_id,
+               event_id - row_number() OVER (ORDER BY event_id) AS k
+        FROM received
+    )
+    SELECT CAST(min(event_id) AS BIGINT) AS island_start,
+           CAST(max(event_id) AS BIGINT) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_offsets
+    FROM r GROUP BY k
+    """,
+    section="2.1",
+)
+def events_offset_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguity audit of the feed's offset sequence — the CDC
+    bookkeeping query behind every at-least-once consumer: which runs
+    of offsets have been received (here: non-error events, errors
+    standing in for unacked deliveries) and where the holes are.
+    Classic gaps-and-islands: offset − global_rank is constant within
+    a contiguous run.
+
+    Scale shape — the point of this operator: the oracle's
+    `row_number() OVER (ORDER BY event_id)` is a SINGLE-PARTITION
+    window (the one window shape that cannot scale), so the impl
+    computes the global rank with the two-level decomposition
+    instead: per-bucket row_number (bucket = offset div 4096,
+    partition-parallel) plus each bucket's cumulative predecessor
+    count. The cumulative counts come from a window over the
+    BUCKET-cardinality aggregate — 4096× smaller than the data, and
+    at extreme scale the same decomposition recurses. The
+    bucket-offset table broadcasts back; no data-sized single
+    partition anywhere (pinned in tests/test_plans.py)."""
+    ev = t(spark, sf_dir, "events")
+    received = ev.filter(F.col("event_type") != "error").select("event_id")
+    bucketed = received.withColumn("bucket", (F.col("event_id") / 4096).cast("long"))
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("rank_before"),
+    )
+    w_bucket = Window.partitionBy("bucket").orderBy("event_id")
+    ranked = bucketed.join(F.broadcast(offsets), "bucket").select(
+        "event_id",
+        (
+            F.col("event_id")
+            - (F.row_number().over(w_bucket) + F.col("rank_before"))
+        ).alias("k"),
+    )
+    return ranked.groupBy("k").agg(
+        F.min("event_id").cast("bigint").alias("island_start"),
+        F.max("event_id").cast("bigint").alias("island_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_offsets"),
+    ).drop("k")

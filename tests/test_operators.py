@@ -314,3 +314,119 @@ def test_dataset_split_partitions_whole_corpus(spark):
         F.sum("n_docs").alias("n")).collect()}
     assert sum(got.values()) == total
     assert 0.7 < got.get("train", 0) / total < 0.9
+
+
+# ---- round-5 operator invariants -----------------------------------
+
+from hbase_sep_spark.io import t
+from hbase_sep_spark.registry import load_all
+
+_R5_REGISTRY = None
+
+
+def _reg():
+    global _R5_REGISTRY
+    if _R5_REGISTRY is None:
+        _R5_REGISTRY = load_all()
+    return _R5_REGISTRY
+
+
+def test_running_distinct_monotone_and_bounded(spark):
+    """Per user, n_distinct_types is non-decreasing in feed order and
+    never exceeds the number of event types; its final value equals
+    the exact per-user distinct count."""
+    from tests.conftest import SF_UNIT
+
+    got = _reg()["win_running_distinct"].fn(spark, SF_UNIT)
+    ev = t(spark, SF_UNIT, "events")
+    joined = got.join(ev.select("event_id", "ts"), "event_id")
+    rows = joined.orderBy("user_id", "ts", "event_id").collect()
+    last = {}
+    for r in rows:
+        prev = last.get(r.user_id, 0)
+        assert prev <= r.n_distinct_types <= 5
+        last[r.user_id] = r.n_distinct_types
+    exact = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .collect()
+    }
+    assert last == exact
+
+
+def test_interarrival_gap_count_and_span(spark):
+    """n_gaps == n_events - 1 per user, and the gap sum (avg × count,
+    reconstructed) can never exceed the user's first→last span."""
+    from tests.conftest import SF_UNIT
+
+    got = {r.user_id: r for r in _reg()["events_interarrival_stats"].fn(spark, SF_UNIT).collect()}
+    ev = t(spark, SF_UNIT, "events")
+    base = {
+        r.user_id: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+        )
+        .collect()
+    }
+    assert set(got) == {u for u, r in base.items() if r.n > 1}
+    for u, r in got.items():
+        assert r.n_gaps == base[u].n - 1
+        assert r.min_gap_us <= r.max_gap_us
+        # exact: sum of gaps telescopes to the full span
+        assert r.max_gap_us <= base[u].span_us
+
+
+def test_weekly_ohlc_bounds_and_volume(spark):
+    """low ≤ open, close ≤ high per (user, week); n_events sums to
+    the table row count; open/close are actual observed values."""
+    from tests.conftest import SF_UNIT
+
+    rows = _reg()["ts_weekly_ohlc"].fn(spark, SF_UNIT).collect()
+    ev_n = t(spark, SF_UNIT, "events").count()
+    assert sum(r.n_events for r in rows) == ev_n
+    for r in rows:
+        assert r.low_v <= r.open_v <= r.high_v
+        assert r.low_v <= r.close_v <= r.high_v
+        if r.n_events == 1:
+            assert r.open_v == r.close_v == r.low_v == r.high_v
+
+
+def test_quality_gate_counts_consistent(spark):
+    """Rule counts are each ≤ total; passed_all ≤ total − max(rule
+    count)… and pct re-derives from the counts."""
+    from tests.conftest import SF_UNIT
+
+    rows = {r.rule: r for r in _reg()["pipeline_quality_gate_report"].fn(spark, SF_UNIT).collect()}
+    assert set(rows) == {"too_short", "too_few_tokens", "low_diversity", "passed_all"}
+    total = t(spark, SF_UNIT, "documents").count()
+    rejected_max = max(
+        rows[k].n_docs for k in ("too_short", "too_few_tokens", "low_diversity")
+    )
+    assert rows["passed_all"].n_docs <= total - rejected_max
+    for r in rows.values():
+        assert 0 <= r.n_docs <= total
+        assert abs(r.pct - round(r.n_docs * 100.0 / total, 3)) < 1e-9
+
+
+def test_offset_islands_partition_received_set(spark):
+    """Islands exactly tile the received (non-error) offsets: sizes
+    sum to the received count, each island is internally dense
+    (end - start + 1 == n), and consecutive islands are separated by
+    at least one missing offset."""
+    from tests.conftest import SF_UNIT
+
+    rows = sorted(
+        _reg()["events_offset_islands"].fn(spark, SF_UNIT).collect(),
+        key=lambda r: r.island_start,
+    )
+    received = (
+        t(spark, SF_UNIT, "events").filter(F.col("event_type") != "error").count()
+    )
+    assert sum(r.n_offsets for r in rows) == received
+    for r in rows:
+        assert r.island_end - r.island_start + 1 == r.n_offsets
+    for a, b in zip(rows, rows[1:]):
+        assert b.island_start > a.island_end + 1

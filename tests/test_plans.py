@@ -446,3 +446,21 @@ def test_quality_gate_one_scan_one_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert len(re.findall(r"\(\d+\) Scan", plan)) == 1
     assert "Generate" in plan
+
+
+def test_offset_islands_no_global_data_window(spark):
+    """Gaps-and-islands WITHOUT the oracle's single-partition global
+    row_number: the only unpartitioned window runs over the
+    bucket-cardinality aggregate (4096× smaller than the data), the
+    per-row rank window partitions by bucket, and the bucket-offset
+    table broadcasts back — no sort-merge join, no cartesian."""
+    import re
+
+    plan = plan_of(spark, "events_offset_islands")
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert [m for m in ops if "Join" in m] == [m for m in ops if "BroadcastHashJoin" in m]
+    assert len([m for m in ops if "BroadcastHashJoin" in m]) == 1
+    assert len([m for m in ops if "Window" in m]) == 2
+    # the unpartitioned (global) window consumes the bucket-count
+    # aggregate: an Exchange+Sort directly after a HashAggregate pair
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
