@@ -1,17 +1,20 @@
 """Round-5 analytics + pipeline extensions.
 
-Five sql-hash operators extending the graded surface along axes the
+Seven operators extending the graded surface along axes the
 existing registry does not yet cover: a running-distinct window (the
 cardinality-over-time view of the change feed), feed inter-arrival
 statistics (CDC health: how bursty is each key's event stream),
 OHLC-style weekly resampling (the time-series downsampling primitive
 behind every metrics rollup), a multi-rule corpus quality-gate
 report (the per-rule rejection funnel a training-data pipeline
-publishes with every snapshot), and a feed-offset contiguity audit
+publishes with every snapshot), a feed-offset contiguity audit
 whose global rank is computed with the two-level bucket
-decomposition instead of the oracle's single-partition window.
+decomposition instead of the oracle's single-partition window,
+bitmap OR-aggregation exact distinct (mergeable AND exact for dense
+integer keys), and a two-stage int8-shortlist → exact-rerank ANN
+searcher (rows-only, recall-gated in tests/test_ann.py).
 
-Every query has a full DuckDB oracle and follows
+Every sql-hash query here has a full DuckDB oracle and follows
 functions/portable.py's rules: integer/exact-decimal sums, rounded
 aggregates only, deterministic composite tie-break keys, no per-row
 rounding of exact arithmetic, no array/map output columns, identical
@@ -351,3 +354,162 @@ def events_offset_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").cast("bigint").alias("island_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_offsets"),
     ).drop("k")
+
+
+@register(
+    "agg_bitmap_distinct_users",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               user_id // 32 AS bucket,
+               bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bm,
+               count(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day,
+           CAST(sum(bit_count(bm)) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM b GROUP BY 1, 2
+    """,
+    section="2.4",
+)
+def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via bitmap OR-aggregation — the
+    roaring-bitmap pattern for dense integer keys, and the third
+    point on the repo's distinct-count spectrum (exact expansion:
+    agg_count_distinct; mergeable estimate: agg_hll_sketch_union;
+    exact AND mergeable when keys are dense ints: this). Each
+    (group, key-chunk) partial is ONE long whose bits mark present
+    keys; bit_or partials merge associatively and commutatively, so
+    the shuffle carries fixed-width longs and the result is exact —
+    COUNT(DISTINCT)'s two-phase row expansion never happens.
+
+    Chunks are 32 bits wide so the shift distance stays ≤ 31 on both
+    engines (DuckDB raises on 1::BIGINT << 63 overflow; Spark wraps).
+
+    Scale shape: two map-side-combinable aggregates, both keyed by
+    (event_type, day[, bucket]) — the second input is already
+    bucket-level, orders of magnitude smaller than the events. At
+    100 TB with user ids up to 2^40 this exact shape still works:
+    bitmap partials stay proportional to live chunks, not key
+    range."""
+    ev = t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    b = ev.groupBy(
+        "event_type",
+        day.alias("day"),
+        (F.col("user_id") / 32).cast("long").alias("bucket"),
+    ).agg(
+        # PySpark's shiftleft() only takes a literal bit count, so the
+        # per-row shift distance goes through the SQL form.
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("bm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return b.groupBy("event_type", "day").agg(
+        F.sum(F.bit_count("bm")).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+
+
+@register("simsearch_quantized_rerank", oracle=None, memoize=True, section="2.11")
+def simsearch_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: int8-quantized shortlist → exact float rerank —
+    the production retrieval shape (FAISS/ScaNN style) missing
+    between the repo's one-stage searchers: candidates come from the
+    LSH bucket equi-join (sublinear, same machinery as
+    simsearch_lsh_bucketed), stage 1 scores them with the INTEGER
+    dot product of int8-quantized unit vectors (4 bytes/dim →
+    1 byte/dim moving through the shuffle; exact long arithmetic, no
+    float nondeterminism; proportional to cosine by construction)
+    and keeps a 20-deep shortlist, stage 2 reranks ONLY the
+    shortlist with full-precision cosine to top-5.
+    tests/test_ann.py gates two invariants: the rerank is consistent
+    (stage-2 top-5 ⊆ stage-1 shortlist, scores equal brute-force
+    cosine on those pairs) and recall@5 vs exact brute force stays
+    above the one-stage LSH searcher's floor. rows-only: xxhash64
+    plane family + quantization grid are not oracle-expressible.
+
+    Scale shape: quantization is a per-row expression (no stats
+    pass, no shuffle); candidate generation is the bucketed
+    equi-join, never all-pairs; the stage-2 rerank input is
+    probes × 20 rows — at 100 TB the full-precision arithmetic
+    touches a vanishing fraction of the corpus."""
+    from hbase_sep_spark.operators import vectors as V
+
+    e = t(spark, sf_dir, "embeddings")
+
+    # Symmetric int8 grid over the UNIT-normalized vector: q_i =
+    # round(v_i / ||v|| × 127). The integer dot of two such vectors
+    # is then proportional to their cosine (an affine per-dim grid
+    # would rank by unnormalized offset dot and wreck the shortlist).
+    def quantize(vec_col):
+        norm = V.l2_norm(vec_col)
+        return F.transform(
+            vec_col,
+            lambda x: F.round(x.cast("double") / norm * 127.0, 0).cast("long"),
+        )
+
+    q = e.select("vec_id", "embedding", quantize(F.col("embedding")).alias("qvec"))
+
+    keys = V.lsh_tables("embedding", n_tables=8, n_planes=4)
+    probe_keys = V.lsh_multiprobe_tables("embedding", n_tables=8, n_planes=4)
+    bucketed = q.select("vec_id", "embedding", "qvec", F.explode(keys).alias("k")).select(
+        "vec_id", "embedding", "qvec",
+        F.col("k.table").alias("table"), F.col("k.bucket").alias("bucket"),
+    )
+    probes = (
+        q.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_emb"),
+            F.col("qvec").alias("probe_q"),
+            F.explode(probe_keys).alias("k"),
+        )
+        .select(
+            "probe_id", "probe_emb", "probe_q",
+            F.col("k.table").alias("table"), F.col("k.bucket").alias("bucket"),
+        )
+    )
+    candidates = (
+        bucketed.join(F.broadcast(probes), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "probe_emb", "probe_q",
+            F.col("vec_id").alias("neighbor_id"), "embedding", "qvec",
+        )
+        .distinct()
+    )
+
+    # Stage 1: integer dot product of the quantized vectors (exact
+    # long arithmetic — deterministic shortlist), keep top 20.
+    qdot = F.aggregate(
+        F.zip_with("qvec", "probe_q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w1 = Window.partitionBy("probe_id").orderBy(F.desc("qscore"), "neighbor_id")
+    shortlist = (
+        candidates.select(
+            "probe_id", "probe_emb", "neighbor_id", "embedding", qdot.alias("qscore")
+        )
+        .withColumn("srank", F.row_number().over(w1))
+        .filter(F.col("srank") <= 20)
+    )
+
+    # Stage 2: exact cosine rerank of the 20-deep shortlist only.
+    cos = V.dot("embedding", "probe_emb") / (
+        V.l2_norm("embedding") * V.l2_norm("probe_emb")
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        shortlist.select("probe_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "probe_id", "neighbor_id",
+            (F.round("cos_raw", 4) + F.lit(0.0)).alias("cos_sim"), "rank",
+        )
+    )

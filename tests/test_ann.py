@@ -67,3 +67,26 @@ def test_int8_quantization_fidelity(spark):
     out = REGISTRY["vec_quantize_int8"].fn(spark, SF_ORACLE)
     worst = out.agg(F.min("fidelity_cos").alias("m")).collect()[0]["m"]
     assert worst >= 0.995, f"worst-case quantization fidelity {worst}"
+
+
+def test_quantized_rerank_recall_and_consistency(spark):
+    """Two-stage (int8 shortlist → exact rerank): recall@5 must not
+    fall below the one-stage LSH searcher's gate, and every reranked
+    score must equal the brute-force cosine for that exact pair —
+    stage 2 is full precision, so the only loss is shortlist misses,
+    never score drift."""
+    exact_df = _brute_force_top5(spark)
+    exact = _pairs(exact_df)
+    got = REGISTRY["simsearch_quantized_rerank"].fn(spark, SF_ORACLE)
+    ann = _pairs(got)
+    assert len(ann) > 0
+    assert _recall(ann, exact) >= 0.8, f"rerank recall {_recall(ann, exact):.2f}"
+    # score consistency: reranked cosine == brute-force cosine per pair
+    bf = {
+        (r["probe_id"], r["neighbor_id"]): round(r["cos_raw"], 4)
+        for r in exact_df.collect()
+    }
+    for r in got.collect():
+        key = (r["probe_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(r["cos_sim"] - bf[key]) < 1e-9, key

@@ -430,3 +430,28 @@ def test_offset_islands_partition_received_set(spark):
         assert r.island_end - r.island_start + 1 == r.n_offsets
     for a, b in zip(rows, rows[1:]):
         assert b.island_start > a.island_end + 1
+
+
+def test_bitmap_distinct_matches_count_distinct(spark):
+    """The bitmap OR-aggregation distinct equals exact
+    count_distinct per (event_type, day) cell."""
+    from tests.conftest import SF_UNIT
+
+    got = {
+        (r.event_type, r.day): (r.n_users, r.n_events)
+        for r in _reg()["agg_bitmap_distinct_users"].fn(spark, SF_UNIT).collect()
+    }
+    ev = t(spark, SF_UNIT, "events")
+    want = {
+        (r.event_type, r.day): (r.nu, r.ne)
+        for r in ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("nu"),
+            F.count(F.lit(1)).alias("ne"),
+        )
+        .collect()
+    }
+    assert got == want

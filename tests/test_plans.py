@@ -464,3 +464,17 @@ def test_offset_islands_no_global_data_window(spark):
     # the unpartitioned (global) window consumes the bucket-count
     # aggregate: an Exchange+Sort directly after a HashAggregate pair
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bitmap_distinct_two_partial_aggregates(spark):
+    """Bitmap exact-distinct: two map-side-combinable aggregates
+    (events → chunk bitmaps → group counts); the shuffle carries
+    fixed-width longs, never a COUNT(DISTINCT) row expansion
+    (no Expand operator), no join."""
+    import re
+
+    plan = plan_of(spark, "agg_bitmap_distinct_users")
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert not [m for m in ops if "Join" in m]
+    assert "Expand" not in plan
