@@ -1,6 +1,6 @@
 """Round-5 analytics + pipeline extensions.
 
-Seven operators extending the graded surface along axes the
+Nine operators extending the graded surface along axes the
 existing registry does not yet cover: a running-distinct window (the
 cardinality-over-time view of the change feed), feed inter-arrival
 statistics (CDC health: how bursty is each key's event stream),
@@ -11,8 +11,10 @@ publishes with every snapshot), a feed-offset contiguity audit
 whose global rank is computed with the two-level bucket
 decomposition instead of the oracle's single-partition window,
 bitmap OR-aggregation exact distinct (mergeable AND exact for dense
-integer keys), and a two-stage int8-shortlist → exact-rerank ANN
-searcher (rows-only, recall-gated in tests/test_ann.py).
+integer keys), a two-stage int8-shortlist → exact-rerank ANN
+searcher (rows-only, recall-gated in tests/test_ann.py), a trailing
+time-interval RANGE frame, and a deterministic per-epoch training
+shuffle with sharded read positions.
 
 Every sql-hash query here has a full DuckDB oracle and follows
 functions/portable.py's rules: integer/exact-decimal sums, rounded
@@ -512,4 +514,107 @@ def simsearch_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id", "neighbor_id",
             (F.round("cos_raw", 4) + F.lit(0.0)).alias("cos_sim"), "rank",
         )
+    )
+
+
+@register(
+    "win_trailing_time_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+               AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    section="2.5",
+)
+def win_trailing_time_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing TIME-interval window frame — the value-based RANGE
+    frame over event time ('activity in the last hour, per event')
+    that complements win_range_frame's numeric ordering and
+    ts_rolling_zscore's row-count frame. The frame bound is integer
+    microseconds (3 600 000 000 µs), so frame membership is exact —
+    no float time arithmetic — and same-timestamp peers enter the
+    frame together under identical RANGE semantics in both engines.
+    The windowed sum runs in exact decimal, making it
+    order-independent across shuffle configs.
+
+    Scale shape: one user_id shuffle; the running frame is
+    incremental (Spark's bounded-preceding RANGE frame slides two
+    pointers over the sorted partition, O(1) amortized per row, O(
+    frame) memory)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600000000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("sum_1h"),
+    )
+
+
+@register(
+    "pipeline_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT d.doc_id, e.epoch,
+               md5(CAST(d.doc_id AS VARCHAR) || ':'
+                   || CAST(e.epoch AS VARCHAR)) AS skey
+        FROM documents d
+        CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e
+    )
+    SELECT doc_id, CAST(epoch AS INT) AS epoch,
+           CAST(doc_id % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY epoch, doc_id % 8 ORDER BY skey) AS INT) AS pos
+    FROM keyed
+    """,
+    section="2.11",
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-data shuffle — the data-
+    loader contract a reproducible training run needs: every epoch
+    re-orders the corpus by a seeded hash (md5 of doc_id:epoch —
+    portable across engines, unlike xxhash), docs are routed to
+    fixed shards, and each doc gets its position in its (epoch,
+    shard) read order. Re-running the pipeline bit-reproduces every
+    epoch's order; no RNG state anywhere.
+
+    Scale shape: the epoch fan-out is a generated-column explode (no
+    join against an epoch table at scale — it's a constant array);
+    positions come from one (epoch, shard) window whose partition
+    count scales with shards × epochs, each sorted independently.
+    The md5 sort key is computed per row in codegen; at 100 TB the
+    only shuffle is the final per-shard ordering — exactly the write
+    pattern of sharded training files."""
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("skey"),
+        (F.col("doc_id") % 8).alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("skey")
+    return keyed.select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        F.col("shard").cast("int").alias("shard"),
+        F.row_number().over(w).cast("int").alias("pos"),
     )

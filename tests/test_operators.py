@@ -455,3 +455,52 @@ def test_bitmap_distinct_matches_count_distinct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_epoch_shuffle_deterministic_and_contiguous(spark):
+    """Re-running the epoch shuffle reproduces positions exactly
+    (bit-reproducible loader order), each (epoch, shard)'s positions
+    are contiguous 1..n, and the two epochs order their shards
+    differently (the shuffle actually shuffles)."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_UNIT
+
+    a = {(r.doc_id, r.epoch): (r.shard, r.pos)
+         for r in _reg()["pipeline_epoch_shuffle"].fn(spark, SF_UNIT).collect()}
+    b = {(r.doc_id, r.epoch): (r.shard, r.pos)
+         for r in _reg()["pipeline_epoch_shuffle"].fn(spark, SF_UNIT).collect()}
+    assert a == b
+    groups = defaultdict(list)
+    for (doc, epoch), (shard, pos) in a.items():
+        assert shard == doc % 8
+        groups[(epoch, shard)].append(pos)
+    for key, poss in groups.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), key
+    order0 = sorted((k for k in a if k[1] == 0), key=lambda k: a[k])
+    order1 = sorted((k for k in a if k[1] == 1), key=lambda k: a[k])
+    assert [k[0] for k in order0] != [k[0] for k in order1]
+
+
+def test_trailing_time_frame_matches_bruteforce(spark):
+    """The 1-hour RANGE frame counts exactly the same-user events
+    within [ts-1h, ts] — cross-checked row-by-row against a python
+    recomputation."""
+    from tests.conftest import SF_UNIT
+
+    got = {r.event_id: (r.n_1h, r.sum_1h)
+           for r in _reg()["win_trailing_time_frame"].fn(spark, SF_UNIT).collect()}
+    ev = [(r.event_id, r.user_id, r.ts, r.value)
+          for r in t(spark, SF_UNIT, "events").collect()]
+    by_user = {}
+    for eid, uid, ts, v in ev:
+        by_user.setdefault(uid, []).append((ts, eid, v))
+    import datetime as dt
+
+    hour = dt.timedelta(hours=1)
+    for uid, rows in by_user.items():
+        for ts, eid, v in rows:
+            in_frame = [x for x in rows if ts - hour <= x[0] <= ts]
+            n, s = len(in_frame), round(sum(x[2] for x in in_frame), 2)
+            assert got[eid][0] == n, eid
+            assert abs(got[eid][1] - s) < 1e-6, eid

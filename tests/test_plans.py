@@ -478,3 +478,26 @@ def test_bitmap_distinct_two_partial_aggregates(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert not [m for m in ops if "Join" in m]
     assert "Expand" not in plan
+
+
+def test_trailing_time_frame_single_shuffle(spark):
+    """The 1-hour RANGE frame is one user_id window — a single
+    Exchange, no join, no second sort pass."""
+    import re
+
+    plan = plan_of(spark, "win_trailing_time_frame")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert not [m for m in re.findall(r"\(\d+\) \w+", plan) if "Join" in m]
+
+
+def test_epoch_shuffle_no_join_one_window(spark):
+    """The epoch fan-out is a generated-column explode, not a join
+    against an epoch table; positions come from one (epoch, shard)
+    window."""
+    import re
+
+    plan = plan_of(spark, "pipeline_epoch_shuffle")
+    assert "Generate" in plan
+    assert not [m for m in re.findall(r"\(\d+\) \w+", plan) if "Join" in m]
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
