@@ -1,6 +1,6 @@
 """Round-5 analytics + pipeline extensions.
 
-Nine operators extending the graded surface along axes the
+Ten operators extending the graded surface along axes the
 existing registry does not yet cover: a running-distinct window (the
 cardinality-over-time view of the change feed), feed inter-arrival
 statistics (CDC health: how bursty is each key's event stream),
@@ -13,8 +13,10 @@ decomposition instead of the oracle's single-partition window,
 bitmap OR-aggregation exact distinct (mergeable AND exact for dense
 integer keys), a two-stage int8-shortlist → exact-rerank ANN
 searcher (rows-only, recall-gated in tests/test_ann.py), a trailing
-time-interval RANGE frame, and a deterministic per-epoch training
-shuffle with sharded read positions.
+time-interval RANGE frame, a deterministic per-epoch training
+shuffle with sharded read positions, and the end-to-end NEAR-dup
+corpus prep pipeline (MinHash→LSH→connected components→keep-best,
+rows-only, invariant-gated).
 
 Every sql-hash query here has a full DuckDB oracle and follows
 functions/portable.py's rules: integer/exact-decimal sums, rounded
@@ -617,4 +619,59 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("epoch").cast("int").alias("epoch"),
         F.col("shard").cast("int").alias("shard"),
         F.row_number().over(w).cast("int").alias("pos"),
+    )
+
+
+@register("pipeline_neardup_prep", oracle=None, memoize=True, section="2.11")
+def pipeline_neardup_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end NEAR-dup corpus prep — the fuzzy twin of
+    pipeline_training_prep's exact-digest pipeline, composing the
+    operator library the way a production corpus snapshot does:
+    MinHash+LSH candidate pairs (operators/dedup.py, threshold 0.5)
+    → connected components → quality-aware canonical selection (best
+    quality, doc_id tiebreak, per cluster) → per-language corpus
+    report: docs seen, docs kept, near-dups dropped, whitespace
+    tokens and mean quality of the KEPT corpus. rows-only: the
+    xxhash64 MinHash family is not oracle-expressible; invariants
+    (kept + dropped == total, one keeper per cluster, near-dup drops
+    ⊇ exact-dup drops) are gated in tests/test_operators.py.
+
+    Scale shape: every stage is the library's bucketed-equi-join /
+    per-round-persisted shape — signatures shuffle fixed-width longs,
+    LSH banding never goes all-pairs, CC materializes per round; the
+    final report aggregates doc-cardinality rows. The text column
+    never shuffles."""
+    from hbase_sep_spark.operators import dedup as D
+    from hbase_sep_spark.operators import text as T
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(docs, threshold=0.5)
+    comp = D.connected_components(pairs, docs.select("doc_id"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        T.quality_score().alias("quality"),
+        T.token_count_ws().cast("long").alias("n_tokens"),
+    )
+    labeled = scored.join(comp.select("doc_id", "cluster_id"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    flagged = labeled.withColumn("rn", F.row_number().over(w))
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neardups_dropped"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("total_tokens_kept"),
+        F.round(
+            F.sum(
+                F.when(F.col("rn") == 1, F.col("quality").cast("decimal(18,6)"))
+            ).cast("double")
+            / F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)),
+            4,
+        ).alias("avg_quality_kept"),
     )

@@ -119,3 +119,26 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .intersectAll(_clicks(spark, sf_dir).select("user_id"))
     )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+    section=SECTION,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL), completing the multiset pair
+    with set_intersect_all: per-user multiplicity =
+    max(0, #purchases − #clicks). Spark plans exceptAll as a
+    count-and-replicate aggregate (sum of signed multiplicities then
+    generate), not a per-row anti join — the same shape DuckDB uses,
+    map-side-combinable and skew-tolerant at any scale."""
+    return (
+        _purchases(spark, sf_dir)
+        .select("user_id")
+        .exceptAll(_clicks(spark, sf_dir).select("user_id"))
+    )

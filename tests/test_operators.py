@@ -504,3 +504,27 @@ def test_trailing_time_frame_matches_bruteforce(spark):
             n, s = len(in_frame), round(sum(x[2] for x in in_frame), 2)
             assert got[eid][0] == n, eid
             assert abs(got[eid][1] - s) < 1e-6, eid
+
+
+def test_neardup_prep_invariants(spark):
+    """kept + dropped == total per language; exactly one keeper per
+    cluster overall; near-dup drops subsume exact-dup drops
+    (identical docs share MinHash signatures, so every exact
+    duplicate lands in some cluster)."""
+    from tests.conftest import SF_UNIT
+
+    rows = _reg()["pipeline_neardup_prep"].fn(spark, SF_UNIT).collect()
+    total = sum(r.n_docs for r in rows)
+    kept = sum(r.n_kept for r in rows)
+    dropped = sum(r.n_neardups_dropped for r in rows)
+    docs = t(spark, SF_UNIT, "documents")
+    assert total == docs.count()
+    assert kept + dropped == total
+    for r in rows:
+        assert r.n_kept + r.n_neardups_dropped == r.n_docs
+        assert 0 < r.avg_quality_kept <= 1.0
+    # exact-dup lower bound
+    from hbase_sep_spark.operators.dedup import exact_dedup_groups
+
+    exact_dropped = total - exact_dedup_groups(docs).count()
+    assert dropped >= exact_dropped
