@@ -47,13 +47,15 @@ from hbase_sep_spark import registry as _registry
 #         r4) and stream_anomaly_score (chunk-concat causal order +
 #         real n_scored, ADVICE r4 — rows-only, re-run for the clean
 #         check),
-# 8-47  = the round-2-graded block (the stalest sql-hash greens, all
+# 8-18  = the eleven round-5 additions (never graded — inside the
+#         prefix per the round-4 precedent so CORRECTNESS_r05 covers
+#         them),
+# 19-50 = the round-2-graded block (the stalest sql-hash greens, all
 #         pre-regeneration: windows, sort/limit, sets, scalars,
-#         semistructured, UDFs, core LLM ops) for re-confirmation on
-#         the regenerated testdata,
-# 48-50 = head of the stale round-1 block; the remainder follows the
-#         boundary in round-6 rotation order (r1 filters/joins/aggs
-#         first, then the r3-graded names, then current greens).
+#         semistructured, first UDF) for re-confirmation on the
+#         regenerated testdata; its last 8 names (pandas-UDF block +
+#         core LLM ops) plus the round-1 heads follow the boundary
+#         and lead round 6 together with the r1 filters/joins/aggs.
 _GRADE_FIRST = [
     # never graded (round-4 tail additions)
     "sql_recursive_cte",
@@ -64,6 +66,18 @@ _GRADE_FIRST = [
     # changed since last green grade (round-5 ADVICE fixes)
     "join_pit_scd2",
     "stream_anomaly_score",
+    # never graded (round-5 additions)
+    "win_running_distinct",
+    "events_interarrival_stats",
+    "ts_weekly_ohlc",
+    "pipeline_quality_gate_report",
+    "events_offset_islands",
+    "agg_bitmap_distinct_users",
+    "simsearch_quantized_rerank",
+    "win_trailing_time_frame",
+    "pipeline_epoch_shuffle",
+    "pipeline_neardup_prep",
+    "set_except_all",
     # stale round-2 greens (pre-regeneration), grading-age order
     "win_row_number",
     "win_rank_dense",
@@ -97,6 +111,10 @@ _GRADE_FIRST = [
     "arr_lambda_filter_agg",
     "map_keys_values",
     "udf_python_scalar",
+    # --- ~50-entry grading boundary (driver grades a bounded prefix).
+    # Positions 51+ cost nothing and pay off if the bound is larger:
+    # round-6 rotation takes these in order — the r2-block tail
+    # first, then the stale round-1 greens.
     "udf_pandas_vectorized",
     "udaf_pandas_group",
     "udtf_python",
@@ -105,14 +123,9 @@ _GRADE_FIRST = [
     "simsearch_cosine_topk",
     "simsearch_knn_join",
     "vec_normalize_norm",
-    # head of the stale round-1 block
     "project_alias",
     "filter_eq",
     "filter_range_between",
-    # --- ~50-entry grading boundary (driver grades a bounded prefix).
-    # Positions 51+ cost nothing and pay off if the bound is larger:
-    # round-6 rotation takes these in order — the remaining stale
-    # round-1 greens first.
     "filter_in",
     "filter_like",
     "filter_null_handling",

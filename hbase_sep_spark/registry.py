@@ -26,6 +26,10 @@ class Query:
     fn: QueryFn
     oracle: Optional[str]
     section: str
+    # The unwrapped builder. `fn` may be plan-memoized, and a memoized
+    # DataFrame that has already been executed shows its FINAL
+    # AQE-adapted plan — plan-shape tests must build fresh from here.
+    raw: Optional[QueryFn] = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -73,7 +77,9 @@ def register(
             raise ValueError(f"duplicate query name: {name}")
         do_memo = (oracle is not None) if memoize is None else memoize
         wrapped = _memoized(fn) if do_memo else fn
-        REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, section=section)
+        REGISTRY[name] = Query(
+            name=name, fn=wrapped, oracle=oracle, section=section, raw=fn
+        )
         return fn
 
     return deco

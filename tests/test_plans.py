@@ -20,7 +20,11 @@ REGISTRY = load_all()
 
 
 def plan_of(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF_UNIT)
+    # Build from the RAW (un-memoized) fn: a memoized DataFrame that
+    # another test already executed shows its FINAL AQE-adapted plan,
+    # which breaks pre-execution shape assertions.
+    q = REGISTRY[name]
+    df = (q.raw or q.fn)(spark, SF_UNIT)
     jvm = spark.sparkContext._jvm
     return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
