@@ -329,3 +329,53 @@ def test_gapfill_idempotent_on_dense_series(spark, rows):
         "user_id", "day", "v", F.last("v", ignorenulls=True).over(w).alias("v2")
     )
     assert refill.filter(F.col("v") != F.col("v2")).count() == 0
+
+
+@given(
+    received=st.sets(st.integers(min_value=0, max_value=40), min_size=0, max_size=30)
+)
+@settings(**SETTINGS)
+def test_offset_islands_match_reference(spark, received):
+    """The distributed gaps-and-islands decomposition (per-bucket
+    row_number + cumulative bucket offsets) equals the obvious
+    sequential reference on arbitrary received-offset sets — bucket
+    boundaries, empty sets, singleton islands and all."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    rows = [(i,) for i in sorted(received)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["event_id"])
+    # same construction as events_offset_islands, bucket width 8 to
+    # force multi-bucket coverage on tiny inputs
+    bucketed = df.withColumn("bucket", (F.col("event_id") / 8).cast("long"))
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("rank_before")
+    )
+    w_bucket = W.partitionBy("bucket").orderBy("event_id")
+    ranked = bucketed.join(F.broadcast(offsets), "bucket").select(
+        "event_id",
+        (F.col("event_id") - (F.row_number().over(w_bucket) + F.col("rank_before"))).alias("k"),
+    )
+    got = {
+        (r.s, r.e, r.n)
+        for r in ranked.groupBy("k")
+        .agg(F.min("event_id").alias("s"), F.max("event_id").alias("e"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # sequential reference
+    want = set()
+    run = []
+    for i in sorted(received):
+        if run and i == run[-1] + 1:
+            run.append(i)
+        else:
+            if run:
+                want.add((run[0], run[-1], len(run)))
+            run = [i]
+    if run:
+        want.add((run[0], run[-1], len(run)))
+    assert got == want

@@ -304,12 +304,14 @@ def test_anomaly_score_matches_batch_expanding_window(spark):
         & (F.col("s") > 1e-9)
         & (F.abs((F.col("value") - F.col("m")) / F.col("s")) > 3.0)
     )
+    scored_gate = (F.col("n_b") >= 10) & (F.col("s") > 1e-9)
     batch = scored.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(scored_gate, 1).otherwise(0)).alias("n_scored"),
         F.sum(F.when(anom, 1).otherwise(0)).alias("n_anomalies"),
     )
-    got = {(r.user_id, r.n_events, r.n_anomalies) for r in stream.collect()}
-    want = {(r.user_id, r.n_events, r.n_anomalies) for r in batch.collect()}
+    got = {(r.user_id, r.n_events, r.n_scored, r.n_anomalies) for r in stream.collect()}
+    want = {(r.user_id, r.n_events, r.n_scored, r.n_anomalies) for r in batch.collect()}
     assert got == want
 
 
