@@ -9,8 +9,9 @@ grades a bounded prefix (~50 entries per round).  The EXPLICIT
 prefix.  Policy each round: never-graded names first, then any
 sql-hash query whose implementation or oracle changed since its last
 green grade, then the stalest old greens for regression
-re-confirmation.  New queries added mid-round go after the ~50
-boundary and rotate to the front next round.
+re-confirmation.  New queries added mid-round move INSIDE the
+prefix before the round ends (round-4 precedent) so they are graded
+immediately; anything displaced rotates to the front next round.
 """
 
 from hbase_sep_spark.queries import (  # noqa: F401
@@ -47,15 +48,15 @@ from hbase_sep_spark import registry as _registry
 #         r4) and stream_anomaly_score (chunk-concat causal order +
 #         real n_scored, ADVICE r4 — rows-only, re-run for the clean
 #         check),
-# 8-18  = the eleven round-5 additions (never graded — inside the
+# 8-20  = the thirteen round-5 additions (never graded — inside the
 #         prefix per the round-4 precedent so CORRECTNESS_r05 covers
 #         them),
-# 19-50 = the round-2-graded block (the stalest sql-hash greens, all
-#         pre-regeneration: windows, sort/limit, sets, scalars,
-#         semistructured, first UDF) for re-confirmation on the
-#         regenerated testdata; its last 8 names (pandas-UDF block +
-#         core LLM ops) plus the round-1 heads follow the boundary
-#         and lead round 6 together with the r1 filters/joins/aggs.
+# 21-50 = the round-2-graded block (the stalest sql-hash greens, all
+#         pre-regeneration: windows, sort/limit, sets, scalars, most
+#         semistructured) for re-confirmation on the regenerated
+#         testdata; its last 10 names (map/UDF block + core LLM ops)
+#         plus the round-1 heads follow the boundary and lead round 6
+#         together with the r1 filters/joins/aggs.
 _GRADE_FIRST = [
     # never graded (round-4 tail additions)
     "sql_recursive_cte",
@@ -78,6 +79,8 @@ _GRADE_FIRST = [
     "pipeline_epoch_shuffle",
     "pipeline_neardup_prep",
     "set_except_all",
+    "events_incremental_agg_merge",
+    "layout_zorder_stats",
     # stale round-2 greens (pre-regeneration), grading-age order
     "win_row_number",
     "win_rank_dense",
@@ -109,12 +112,12 @@ _GRADE_FIRST = [
     "arr_sort_distinct_slice",
     "arr_lambda_transform",
     "arr_lambda_filter_agg",
-    "map_keys_values",
-    "udf_python_scalar",
     # --- ~50-entry grading boundary (driver grades a bounded prefix).
     # Positions 51+ cost nothing and pay off if the bound is larger:
     # round-6 rotation takes these in order — the r2-block tail
     # first, then the stale round-1 greens.
+    "map_keys_values",
+    "udf_python_scalar",
     "udf_pandas_vectorized",
     "udaf_pandas_group",
     "udtf_python",

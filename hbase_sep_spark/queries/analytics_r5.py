@@ -1,6 +1,6 @@
 """Round-5 analytics + pipeline extensions.
 
-Ten operators extending the graded surface along axes the
+Twelve operators extending the graded surface along axes the
 existing registry does not yet cover: a running-distinct window (the
 cardinality-over-time view of the change feed), feed inter-arrival
 statistics (CDC health: how bursty is each key's event stream),
@@ -16,7 +16,9 @@ searcher (rows-only, recall-gated in tests/test_ann.py), a trailing
 time-interval RANGE frame, a deterministic per-epoch training
 shuffle with sharded read positions, and the end-to-end NEAR-dup
 corpus prep pipeline (MinHash→LSH→connected components→keep-best,
-rows-only, invariant-gated).
+rows-only, invariant-gated), an incremental snapshot⊕delta aggregate
+merge proven equal to direct recompute, and a z-order (Morton)
+clustering audit with per-bucket pruning envelopes.
 
 Every sql-hash query here has a full DuckDB oracle and follows
 functions/portable.py's rules: integer/exact-decimal sums, rounded
@@ -674,4 +676,118 @@ def pipeline_neardup_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)),
             4,
         ).alias("avg_quality_kept"),
+    )
+
+
+@register(
+    "events_incremental_agg_merge",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY 1
+    """,
+    section="2.4",
+)
+def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the delta-merge ETL
+    pattern: a stored daily snapshot (here: partials over everything
+    older than head−66h) is merged with the fresh tail's partials by
+    RE-AGGREGATING the union, not recomputing history. The 66-hour
+    seam deliberately splits a day across snapshot and delta, so the
+    merge is a real partial-combine, not a disjoint union. The
+    ORACLE is the direct one-shot aggregate: the query proves
+    snapshot ⊕ delta == recompute — the associativity contract
+    incremental pipelines rely on — because count and decimal-sum
+    partials merge exactly.
+
+    Scale shape: at 100 TB the snapshot side is a stored
+    day-cardinality table (read, not recomputed); only the tail
+    scans raw events. Both partial aggregates are map-side
+    combinable; the merge re-aggregate runs over day-cardinality
+    rows."""
+    ev = t(spark, sf_dir, "events")
+    head = ev.agg(F.max("ts").alias("head_ts"))
+    seam = F.col("head_ts") - F.expr("INTERVAL 66 HOURS")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+
+    def partials(df):
+        return df.groupBy(day).agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+
+    with_seam = ev.crossJoin(F.broadcast(head))
+    snapshot = partials(with_seam.filter(F.col("ts") < seam))
+    delta = partials(with_seam.filter(F.col("ts") >= seam))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            F.round(F.sum("pv"), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+_Z_BITS = 8
+_DUCK_Z = " | ".join(
+    f"(((u >> {i}) & 1) << {2 * i}) | (((v >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT CAST(user_id % 256 AS BIGINT) AS u,
+               CAST(CAST(floor(value) AS BIGINT) % 256 AS BIGINT) AS v
+        FROM events
+    ),
+    z AS (SELECT u, v, {_DUCK_Z} AS zval FROM keyed)
+    SELECT CAST(zval // 256 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(u) AS BIGINT) AS u_min, CAST(max(u) AS BIGINT) AS u_max,
+           CAST(min(v) AS BIGINT) AS v_min, CAST(max(v) AS BIGINT) AS v_max
+    FROM z GROUP BY 1
+    """,
+    section="2.6",
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit — the data-layout primitive
+    behind multi-dimensional file skipping: interleaving the bits of
+    two sort dimensions gives a 1-D sort key whose contiguous ranges
+    cover SMALL rectangles in both dimensions at once, so min/max
+    file stats prune on either predicate. The query computes the
+    16-bit Morton code of (user_id, value) per row — pure integer
+    shift/mask expressions, exact on both engines — then reports
+    each 256-wide z-range's row count and per-dimension min/max
+    envelope: the exact numbers a writer would place in parquet
+    footer stats after a z-order rewrite.
+
+    Scale shape: per-row codegen bit math + one map-side-combinable
+    aggregate on the z-bucket; at 100 TB this IS the clustering job's
+    statistics pass (the rewrite itself is a repartitionByRange on
+    zval). The bounded envelopes (u_max−u_min, v_max−v_min ≪ 255
+    per bucket) are the measurable pruning guarantee."""
+    ev = t(spark, sf_dir, "events")
+    u = (F.col("user_id") % 256).cast("long")
+    v = (F.floor("value").cast("long") % 256).cast("long")
+    keyed = ev.select(u.alias("u"), v.alias("v"))
+    zval = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        zval = zval.bitwiseOR(
+            F.shiftleft(F.shiftright("u", i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright("v", i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    z = keyed.select("u", "v", zval.alias("zval"))
+    return z.groupBy((F.col("zval") / 256).cast("bigint").alias("zbucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("u").cast("bigint").alias("u_min"),
+        F.max("u").cast("bigint").alias("u_max"),
+        F.min("v").cast("bigint").alias("v_min"),
+        F.max("v").cast("bigint").alias("v_max"),
     )

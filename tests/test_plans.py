@@ -532,3 +532,29 @@ def test_round4_tail_plan_shapes(spark):
         else:
             assert not joins, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_incremental_merge_partials_before_seam_filters(spark):
+    """Snapshot ⊕ delta merge: both partial aggregates are map-side
+    combinable, the seam scalar broadcasts (no sort-merge join), and
+    the final merge aggregates day-cardinality partials."""
+    import re
+
+    plan = plan_of(spark, "events_incremental_agg_merge")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    aggs = [m for m in ops if "Aggregate" in m]
+    assert len(aggs) >= 4  # two partial+final pairs plus merge
+
+
+def test_zorder_stats_pure_codegen_single_aggregate(spark):
+    """Morton coding is per-row bit math in codegen: one scan, one
+    map-side-combinable aggregate, no join, no window, no UDF."""
+    import re
+
+    plan = plan_of(spark, "layout_zorder_stats")
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert len([m for m in ops if "Scan" in m]) == 1
+    assert len([m for m in ops if "Exchange" in m]) == 1
+    assert not [m for m in ops if "Join" in m]
+    assert "Window" not in plan and "Python" not in plan
