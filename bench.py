@@ -35,8 +35,10 @@ HEADLINE = [
     "select_distinct",        # distinct projection
     "filter_range_between",   # pushed-down scan predicate
     "join_inner_shuffle",     # fact⋈fact shuffle join + agg
+    "join_shuffle_hash_hint", # same shape, hint-forced shuffled-hash
     "join_multiway_star",     # 5-way star join
     "join_asof_latest_event", # union+window as-of
+    "join_bloom_prefilter",   # bloom-prefiltered semi-join + agg
     "events_latest_per_key",  # window top-1 per key
     "win_running_sum",        # cumulative window
     "topk_per_group",         # per-group top-k

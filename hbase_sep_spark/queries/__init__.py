@@ -26,6 +26,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     llm_extras,
     advanced_analytics,
     analytics_r5,
+    analytics_r5b,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -51,11 +52,13 @@ from hbase_sep_spark import registry as _registry
 # 8-20  = the thirteen round-5 additions (never graded — inside the
 #         prefix per the round-4 precedent so CORRECTNESS_r05 covers
 #         them),
-# 21-50 = the round-2-graded block (the stalest sql-hash greens, all
-#         pre-regeneration: windows, sort/limit, sets, scalars, most
-#         semistructured) for re-confirmation on the regenerated
-#         testdata; its last 10 names (map/UDF block + core LLM ops)
-#         plus the round-1 heads follow the boundary and lead round 6
+# 21-27 = the seven round-5 second-wave additions (analytics_r5b,
+#         never graded — same precedent),
+# 28-50 = the round-2-graded block (the stalest sql-hash greens, all
+#         pre-regeneration: windows, sort/limit, sets, scalars) for
+#         re-confirmation on the regenerated testdata; its last 17
+#         names (json/arr/map/UDF block + core LLM ops) plus the
+#         round-1 heads follow the boundary and lead round 6
 #         together with the r1 filters/joins/aggs.
 _GRADE_FIRST = [
     # never graded (round-4 tail additions)
@@ -81,6 +84,14 @@ _GRADE_FIRST = [
     "set_except_all",
     "events_incremental_agg_merge",
     "layout_zorder_stats",
+    # never graded (round-5 second-wave additions, analytics_r5b)
+    "join_bloom_prefilter",
+    "join_shuffle_hash_hint",
+    "ts_ewma_halflife",
+    "text_zipf_fit",
+    "pipeline_domain_mix_report",
+    "layout_file_sizing_audit",
+    "events_watermark_lag_audit",
     # stale round-2 greens (pre-regeneration), grading-age order
     "win_row_number",
     "win_rank_dense",
@@ -105,6 +116,10 @@ _GRADE_FIRST = [
     "math_basic",
     "cond_case_coalesce",
     "cast_types",
+    # --- ~50-entry grading boundary (driver grades a bounded prefix).
+    # Positions 51+ cost nothing and pay off if the bound is larger:
+    # round-6 rotation takes these in order — the r2-block tail
+    # first, then the stale round-1 greens.
     "json_extract_props",
     "json_to_map",
     "arr_construct_contains",
@@ -112,10 +127,6 @@ _GRADE_FIRST = [
     "arr_sort_distinct_slice",
     "arr_lambda_transform",
     "arr_lambda_filter_agg",
-    # --- ~50-entry grading boundary (driver grades a bounded prefix).
-    # Positions 51+ cost nothing and pay off if the bound is larger:
-    # round-6 rotation takes these in order — the r2-block tail
-    # first, then the stale round-1 greens.
     "map_keys_values",
     "udf_python_scalar",
     "udf_pandas_vectorized",

@@ -528,3 +528,143 @@ def test_neardup_prep_invariants(spark):
 
     exact_dropped = total - exact_dedup_groups(docs).count()
     assert dropped >= exact_dropped
+
+
+def test_bloom_prefilter_matches_plain_semijoin(spark):
+    """The bloom stage must be transparent: the final aggregate is
+    row-identical to the plain broadcast semi-join with no bloom."""
+    got = {
+        r.o_orderpriority: (r.n_orders, r.total_price)
+        for r in _reg()["join_bloom_prefilter"].fn(spark, SF_UNIT).collect()
+    }
+    cust = (
+        t(spark, SF_UNIT, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    from hbase_sep_spark.functions.portable import dsum
+
+    want = {
+        r.o_orderpriority: (r.n_orders, r.total_price)
+        for r in t(spark, SF_UNIT, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bloom_bitmap_is_superset_prefilter(spark):
+    """Soundness of the bloom itself: every true build-side key must
+    pass the membership test (zero false negatives by construction)."""
+    from hbase_sep_spark.queries.analytics_r5b import _bloom_pos, _BLOOM_BITS
+
+    keys = spark.range(0, 5000).select(F.col("id").alias("k"))
+    pos = keys.select(
+        F.explode(F.array(_bloom_pos(F.col("k"), 1), _bloom_pos(F.col("k"), 77))).alias("p")
+    )
+    words = pos.groupBy((F.col("p") / 64).cast("int").alias("idx")).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").alias("bits")
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "bits"))).alias("bloom")
+    )
+    probe = (
+        keys.crossJoin(F.broadcast(bloom))
+        .withColumn("p1", _bloom_pos(F.col("k"), 1))
+        .withColumn("p2", _bloom_pos(F.col("k"), 77))
+    )
+
+    def member(pname):
+        word = F.coalesce(
+            F.element_at(F.col("bloom"), (F.col(pname) / 64).cast("int")),
+            F.lit(0).cast("bigint"),
+        )
+        return word.bitwiseAND(F.expr(f"shiftleft(1L, CAST({pname} % 64 AS INT))")) != 0
+
+    n_member = probe.filter(member("p1") & member("p2")).count()
+    assert n_member == 5000  # no false negatives
+
+
+def test_ewma_matches_python_reference(spark):
+    """Exact replay of the truncated half-life EWMA for a few users
+    against a row-at-a-time Python reference."""
+    got = {
+        r.event_id: r.ewma
+        for r in _reg()["ts_ewma_halflife"].fn(spark, SF_UNIT)
+        .filter(F.col("user_id") < 3)
+        .collect()
+    }
+    ev = (
+        t(spark, SF_UNIT, "events")
+        .filter(F.col("user_id") < 3)
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    hist = {}
+    weights = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125]
+    for r in ev:
+        h = hist.setdefault(r.user_id, [])
+        h.append(r.value)
+        window = h[-6:][::-1]  # current first
+        num = sum(v * w for v, w in zip(window, weights))
+        den = sum(w for _, w in zip(window, weights))
+        assert abs(got[r.event_id] - round(num / den, 4)) < 1e-9, r.event_id
+    assert len(got) == len(ev) and len(ev) > 50
+
+
+def test_zipf_slope_negative_and_top_word_exact(spark):
+    """Zipf slope must be negative (frequency decreases with rank);
+    top word/count must equal the exact global argmax."""
+    row = _reg()["text_zipf_fit"].fn(spark, SF_UNIT).collect()[0]
+    assert row.zipf_slope < 0
+    cnt = (
+        t(spark, SF_UNIT, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), "w")
+        .collect()
+    )
+    assert (row.top_word, row.top_count) == (cnt[0]["w"], cnt[0]["count"])
+    assert row.n_vocab == len(cnt)
+    assert row.n_tokens == sum(r["count"] for r in cnt)
+
+
+def test_mix_weights_rebalance_to_uniform(spark):
+    """mix_weight × token share must equal the uniform target share
+    for every domain (that IS the rebalancing identity), and shares
+    sum to 100%."""
+    rows = _reg()["pipeline_domain_mix_report"].fn(spark, SF_UNIT).collect()
+    n = len(rows)
+    assert abs(sum(r.token_share_pct for r in rows) - 100.0) < 0.1
+    for r in rows:
+        # weight * share ≈ 100/n (rounding at 3/4 dp)
+        assert abs(r.mix_weight * r.token_share_pct - 100.0 / n) < 0.5
+
+
+def test_file_sizing_audit_identities(spark):
+    """target_files covers the volume at the 16 KiB budget; skew
+    ratios average to ~1 across partitions."""
+    rows = _reg()["layout_file_sizing_audit"].fn(spark, SF_UNIT).collect()
+    for r in rows:
+        assert r.target_files >= 1
+        assert (r.target_files - 1) * 16384 < max(r.total_bytes, 16384) <= r.target_files * 16384 or r.target_files * 16384 >= r.total_bytes
+        assert r.max_doc_bytes <= r.total_bytes
+    mean_skew = sum(r.skew_vs_mean for r in rows) / len(rows)
+    assert 0.5 < mean_skew < 2.0
+
+
+def test_watermark_audit_head_type_has_zero_staleness(spark):
+    """Exactly the type owning the newest event has staleness 0; all
+    staleness values are non-negative and pct_last_day ≤ 100."""
+    rows = _reg()["events_watermark_lag_audit"].fn(spark, SF_UNIT).collect()
+    assert sum(1 for r in rows if r.staleness_us == 0) >= 1
+    for r in rows:
+        assert r.staleness_us >= 0
+        assert 0.0 <= r.pct_last_day <= 100.0

@@ -558,3 +558,89 @@ def test_zorder_stats_pure_codegen_single_aggregate(spark):
     assert len([m for m in ops if "Exchange" in m]) == 1
     assert not [m for m in ops if "Join" in m]
     assert "Window" not in plan and "Python" not in plan
+
+
+def test_bloom_prefilter_broadcasts_never_shuffles_orders_for_join(spark):
+    """Bloom semi-join: the bitmap reaches the probe as a 1-row
+    broadcast (BNLJ is the broadcast cross join, never a
+    CartesianProduct), the exact verify is a broadcast hash
+    semi-join, and the probe side joins without its own exchange —
+    the bloom+verify pipeline costs the probe scan plus the final
+    aggregate shuffle only."""
+    import re
+
+    plan = plan_of(spark, "join_bloom_prefilter")
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # exact verify
+    assert "xxhash64" in plan and "shiftleft" in plan  # bit math in codegen
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    # Shuffle exchanges belong to the bloom BUILD (word groupBy,
+    # 1-row collapse) and the final priority aggregate — never the
+    # probe; broadcasts (bitmap, verify dim) don't count.
+    assert len([m for m in ops if m.split()[-1] == "Exchange"]) <= 3
+
+
+def test_shuffle_hash_hint_forces_shj(spark):
+    """The SHUFFLE_HASH hint must survive planning: the join runs as
+    ShuffledHashJoin (no sorts), not sort-merge, and the hint beats
+    size-based broadcast selection."""
+    plan = plan_of(spark, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_ewma_single_shuffle_single_window(spark):
+    """Six lags over one window = ONE user_id exchange, ONE sort,
+    ONE Window operator; no join, no Python."""
+    import re
+
+    plan = plan_of(spark, "ts_ewma_halflife")
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert len([m for m in ops if "Exchange" in m]) == 1
+    assert len([m for m in ops if "Window" in m]) == 1
+    assert not [m for m in ops if "Join" in m]
+    assert "Python" not in plan
+
+
+def test_zipf_rank_is_take_ordered_not_global_sort(spark):
+    """Only the top-K words cross into the rank window: the
+    orderBy+limit plans as TakeOrderedAndProject (bounded, parallel
+    partial top-K), never a global Sort of the vocabulary; the two
+    1-row stat sides meet in a broadcast cross join."""
+    plan = plan_of(spark, "text_zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "ReadSchema: struct<text:string>" in plan  # text-only scans
+
+
+def test_mix_report_and_file_sizing_prune_scans(spark):
+    """Both corpus audit reports: map-side-combinable per-source
+    aggregate (partial+final), window only over the per-domain rows,
+    and the scan pruned to exactly the needed columns."""
+    import re
+
+    plan = plan_of(spark, "pipeline_domain_mix_report")
+    assert "ReadSchema: struct<text:string,source:string>" in plan
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert len([m for m in ops if "Aggregate" in m]) == 2  # partial+final
+    assert not [m for m in ops if "Join" in m]
+
+    plan = plan_of(spark, "layout_file_sizing_audit")
+    assert "ReadSchema: struct<source:string,n_chars:bigint>" in plan
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert len([m for m in ops if "Aggregate" in m]) == 2
+    assert not [m for m in ops if "Join" in m]
+
+
+def test_watermark_audit_head_is_broadcast_scalar(spark):
+    """The feed-head timestamp is a 1-row aggregate broadcast into
+    the per-type aggregate (BNLJ = broadcast cross join of a
+    scalar); the head scan reads ONLY ts."""
+    import re
+
+    plan = plan_of(spark, "events_watermark_lag_audit")
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "ReadSchema: struct<ts:timestamp_ntz>" in plan  # head pass: ts only
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert len([m for m in ops if "Aggregate" in m]) == 4  # head pair + type pair
