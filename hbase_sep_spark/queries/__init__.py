@@ -27,6 +27,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     advanced_analytics,
     analytics_r5,
     analytics_r5b,
+    analytics_r5c,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -54,11 +55,14 @@ from hbase_sep_spark import registry as _registry
 #         them),
 # 21-27 = the seven round-5 second-wave additions (analytics_r5b,
 #         never graded — same precedent),
-# 28-50 = the round-2-graded block (the stalest sql-hash greens, all
-#         pre-regeneration: windows, sort/limit, sets, scalars) for
-#         re-confirmation on the regenerated testdata; its last 17
-#         names (json/arr/map/UDF block + core LLM ops) plus the
-#         round-1 heads follow the boundary and lead round 6
+# 28-31 = the four round-5 third-wave additions (analytics_r5c,
+#         never graded),
+# 32-50 = the round-2-graded block (the stalest sql-hash greens, all
+#         pre-regeneration: windows, sort/limit, sets, str/date
+#         scalars through date_parts) for re-confirmation on the
+#         regenerated testdata; its last 11 names (remaining
+#         scalars + json/arr/map block) plus the UDF/LLM tail and
+#         the round-1 heads follow the boundary and lead round 6
 #         together with the r1 filters/joins/aggs.
 _GRADE_FIRST = [
     # never graded (round-4 tail additions)
@@ -92,6 +96,11 @@ _GRADE_FIRST = [
     "pipeline_domain_mix_report",
     "layout_file_sizing_audit",
     "events_watermark_lag_audit",
+    # never graded (round-5 third-wave additions, analytics_r5c)
+    "events_order_repair",
+    "text_unigram_logprob",
+    "agg_heavy_hitters_exact",
+    "win_conditional_reset_sum",
     # stale round-2 greens (pre-regeneration), grading-age order
     "win_row_number",
     "win_rank_dense",
@@ -112,14 +121,14 @@ _GRADE_FIRST = [
     "str_regex",
     "str_split_pad",
     "date_parts",
-    "date_trunc_arith",
-    "math_basic",
-    "cond_case_coalesce",
-    "cast_types",
     # --- ~50-entry grading boundary (driver grades a bounded prefix).
     # Positions 51+ cost nothing and pay off if the bound is larger:
     # round-6 rotation takes these in order — the r2-block tail
     # first, then the stale round-1 greens.
+    "date_trunc_arith",
+    "math_basic",
+    "cond_case_coalesce",
+    "cast_types",
     "json_extract_props",
     "json_to_map",
     "arr_construct_contains",

@@ -668,3 +668,81 @@ def test_watermark_audit_head_type_has_zero_staleness(spark):
     for r in rows:
         assert r.staleness_us >= 0
         assert 0.0 <= r.pct_last_day <= 100.0
+
+
+def test_order_repair_identities(spark):
+    """Displacements are symmetric rank permutations: pct_in_place
+    ≤ 100, max ≥ avg, and a fully in-order user has max 0 iff pct
+    is 100."""
+    rows = _reg()["events_order_repair"].fn(spark, SF_UNIT).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.avg_displacement <= r.max_displacement
+        assert (r.max_displacement == 0) == (r.pct_in_place == 100.0)
+
+
+def test_unigram_logprob_ranks_rare_words_high(spark):
+    """A document's surprisal is bounded by the corpus extremes:
+    ln(T/max_count) ≤ avg_surprisal ≤ ln(T/1); token counts match
+    the tokenizer."""
+    import math
+
+    got = _reg()["text_unigram_logprob"].fn(spark, SF_UNIT)
+    tok = (
+        t(spark, SF_UNIT, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = tok.groupBy("w").count().collect()
+    T = sum(r["count"] for r in vocab)
+    lo = math.log(T / max(r["count"] for r in vocab))
+    hi = math.log(T / min(r["count"] for r in vocab))
+    n_by_doc = {r.doc_id: r.n for r in tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in got.collect():
+        assert lo - 1e-4 <= r.avg_surprisal <= hi + 1e-4
+        assert r.n_tokens == n_by_doc[r.doc_id]
+
+
+def test_heavy_hitters_threshold_exact(spark):
+    """Row set is exactly the pairs above 1.3× mean volume."""
+    got = {
+        (r.user_id, r.event_type)
+        for r in _reg()["agg_heavy_hitters_exact"].fn(spark, SF_UNIT).collect()
+    }
+    pairs = (
+        t(spark, SF_UNIT, "events")
+        .groupBy("user_id", "event_type")
+        .count()
+        .collect()
+    )
+    t_total = sum(r["count"] for r in pairs)
+    np_ = len(pairs)
+    want = {
+        (r.user_id, r.event_type)
+        for r in pairs
+        if r["count"] * np_ * 10 > 13 * t_total
+    }
+    assert got == want and got
+
+
+def test_reset_sum_restarts_at_purchase(spark):
+    """Within each user, run_sum restarts exactly at purchase events
+    (segment increments) and is non-decreasing inside a segment for
+    non-negative values."""
+    got = _reg()["win_conditional_reset_sum"].fn(spark, SF_UNIT)
+    ev = t(spark, SF_UNIT, "events").select("event_id", "event_type", "ts")
+    rows = (
+        got.join(ev, "event_id")
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    prev = {}
+    for r in rows:
+        p = prev.get(r.user_id)
+        if p is not None:
+            if r.segment_id == p[0]:
+                assert r.run_sum >= p[1] - 1e-9
+            else:
+                assert r.segment_id == p[0] + 1
+                assert r.event_type == "purchase"
+        prev[r.user_id] = (r.segment_id, r.run_sum)

@@ -644,3 +644,38 @@ def test_watermark_audit_head_is_broadcast_scalar(spark):
     assert "ReadSchema: struct<ts:timestamp_ntz>" in plan  # head pass: ts only
     ops = re.findall(r"\(\d+\) \w+", plan)
     assert len([m for m in ops if "Aggregate" in m]) == 4  # head pair + type pair
+
+
+def test_order_repair_and_reset_sum_single_shuffle_two_windows(spark):
+    """Both stacked-window ops: ONE key exchange serves both window
+    passes (the second window's partition key is a superset of the
+    first's hash partitioning) and, for order-repair, the final
+    aggregate too — no join anywhere."""
+    import re
+
+    for name in ("events_order_repair", "win_conditional_reset_sum"):
+        plan = plan_of(spark, name)
+        ops = re.findall(r"\(\d+\) \w+", plan)
+        assert len([m for m in ops if m.split()[-1] == "Exchange"]) == 1, name
+        assert len([m for m in ops if "Window" in m]) == 2, name
+        assert not [m for m in ops if "Join" in m], name
+
+
+def test_heavy_hitters_iceberg_broadcast_total(spark):
+    """Iceberg aggregate: pair counts are partial+final hash
+    aggregates; the 1-row total reaches the filter via broadcast
+    (BNLJ = broadcast cross join), never a sort-merge or cartesian."""
+    plan = plan_of(spark, "agg_heavy_hitters_exact")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ReadSchema: struct<user_id:bigint,event_type:string>" in plan
+
+
+def test_unigram_logprob_word_join_is_hash_equi(spark):
+    """The token→vocab model join is a hash equi-join on word
+    (broadcast at fixture scale), the corpus total is a broadcast
+    scalar, and every documents scan is pruned to doc_id/text."""
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "n_chars" not in plan and "lang" not in plan  # pruned scans
