@@ -379,3 +379,50 @@ def test_offset_islands_match_reference(spark, received):
     if run:
         want.add((run[0], run[-1], len(run)))
     assert got == want
+
+
+def test_ewma_constant_series_is_identity(spark):
+    """Property: EWMA of a constant series equals the constant at
+    every row (weights renormalize over available lags, so even the
+    warm-up rows are exact)."""
+    import pyspark.sql.functions as F
+
+    from hbase_sep_spark.io import t
+    from hbase_sep_spark.registry import load_all
+    from tests.conftest import SF_UNIT
+
+    reg = load_all()
+    # Rebuild the operator over a constant-value projection of the
+    # fixture via its raw builder semantics: run the registered query
+    # and check the bound instead on real data, then check the
+    # constant identity on a hand frame with the same expression.
+    df = spark.createDataFrame(
+        [(1, i, float(7.25)) for i in range(1, 12)],
+        ["user_id", "event_id", "value"],
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") * 60))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("value")] + [F.lag("value", i).over(w) for i in range(1, 6)]
+    weights = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125]
+    num = lags[0] * weights[0]
+    den = F.lit(1.0)
+    for lg, wt in zip(lags[1:], weights[1:]):
+        num = num + F.coalesce(lg, F.lit(0.0)) * wt
+        den = den + F.when(lg.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    rows = df.select((F.round(num / den, 4) + F.lit(0.0)).alias("e")).collect()
+    assert all(r.e == 7.25 for r in rows)
+
+    # And on the fixture: every EWMA lies within the per-user value
+    # envelope (convexity: it is a weighted mean of observed values).
+    got = reg["ts_ewma_halflife"].fn(spark, SF_UNIT)
+    ev = t(spark, SF_UNIT, "events")
+    env = ev.groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bad = (
+        got.join(env, "user_id")
+        .filter((F.col("ewma") < F.col("lo") - 1e-4) | (F.col("ewma") > F.col("hi") + 1e-4))
+        .count()
+    )
+    assert bad == 0
