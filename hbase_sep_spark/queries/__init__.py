@@ -29,6 +29,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r5b,
     analytics_r5c,
     analytics_r5d,
+    analytics_r5e,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -60,13 +61,16 @@ from hbase_sep_spark import registry as _registry
 #         never graded),
 # 32-35 = the four round-5 fourth-wave additions (analytics_r5d:
 #         TPC-H composite variants + SQL lateral, never graded),
-# 36-50 = the round-2-graded block (the stalest sql-hash greens, all
+# 36-38 = the three round-5 fifth-wave additions (analytics_r5e:
+#         union-by-name evolution, map lambdas, leave-one-out
+#         window, never graded),
+# 39-50 = the round-2-graded block (the stalest sql-hash greens, all
 #         pre-regeneration: windows, sort/limit, sets through
-#         set_intersect_all) for re-confirmation on the regenerated
-#         testdata; its remaining 15 names (scalars + json/arr/map
-#         block) plus the UDF/LLM tail and the round-1 heads follow
-#         the boundary and lead round 6 together with the r1
-#         filters/joins/aggs.
+#         set_union_distinct) for re-confirmation on the regenerated
+#         testdata; its remaining 18 names (sets tail + scalars +
+#         json/arr/map block) plus the UDF/LLM tail and the round-1
+#         heads follow the boundary and lead round 6 together with
+#         the r1 filters/joins/aggs.
 _GRADE_FIRST = [
     # never graded (round-4 tail additions)
     "sql_recursive_cte",
@@ -109,6 +113,10 @@ _GRADE_FIRST = [
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
     "join_lateral_topk",
+    # never graded (round-5 fifth-wave additions, analytics_r5e)
+    "set_union_by_name_evolved",
+    "map_lambda_ops",
+    "win_leave_one_out_avg",
     # stale round-2 greens (pre-regeneration), grading-age order
     "win_row_number",
     "win_rank_dense",
@@ -122,13 +130,13 @@ _GRADE_FIRST = [
     "topk_per_group",
     "set_union_all",
     "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
     # --- ~50-entry grading boundary (driver grades a bounded prefix).
     # Positions 51+ cost nothing and pay off if the bound is larger:
     # round-6 rotation takes these in order — the r2-block tail
     # first, then the stale round-1 greens.
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
     "str_basic",
     "str_regex",
     "str_split_pad",

@@ -788,3 +788,66 @@ def test_lateral_topk_one_row_per_customer_max_price(spark):
     }
     for ck, r in by_cust.items():
         assert abs(r.top_totalprice - best[ck]) < 1e-9
+
+
+def test_union_by_name_partitions_feed(spark):
+    """legacy + per-type rows repartition the whole feed: counts sum
+    to the events row count, legacy holds exactly the even ids."""
+    rows = _reg()["set_union_by_name_evolved"].fn(spark, SF_UNIT).collect()
+    ev = t(spark, SF_UNIT, "events")
+    total = ev.count()
+    assert sum(r.n_events for r in rows) == total
+    legacy = next(r for r in rows if r.channel == "legacy")
+    assert legacy.n_events == ev.filter(F.col("event_id") % 2 == 0).count()
+
+
+def test_map_lambda_matches_unrolled_columns(spark):
+    """The map pipeline equals the unrolled per-column arithmetic for
+    a sample of rows."""
+    got = {
+        r.event_id: (r.kept_entries, r.n_kept)
+        for r in _reg()["map_lambda_ops"].fn(spark, SF_UNIT).collect()
+    }
+    ev = (
+        t(spark, SF_UNIT, "events")
+        .filter(F.col("event_id") <= 3000)
+        .select(
+            "event_id",
+            (F.get_json_object("props", "$.k").cast("int") * 2).alias("kk"),
+            ((F.col("user_id") % 100).cast("int") * 3).alias("uu"),
+            (F.floor("value").cast("int") * 5).alias("vv"),
+        )
+        .collect()
+    )
+    for r in ev:
+        parts = [
+            f"k:{r.kk}" if r.kk >= 100 else None,
+            f"u:{r.uu}" if r.uu >= 100 else None,
+            f"v:{r.vv}" if r.vv >= 100 else None,
+        ]
+        kept = [p for p in parts if p]
+        assert got[r.event_id] == (",".join(kept), len(kept)), r.event_id
+    assert len(got) == len(ev)
+
+
+def test_leave_one_out_excludes_self(spark):
+    """For a hand-built series the LOO average visibly excludes the
+    current value: constant series stays constant; an outlier's own
+    loo_avg is the neighbors' mean, not pulled by itself."""
+    import pyspark.sql.functions as F2
+    from pyspark.sql import Window as W2
+
+    df = spark.createDataFrame(
+        [(1, i, 10.0 if i != 5 else 1000.0) for i in range(1, 10)],
+        ["user_id", "event_id", "value"],
+    ).withColumn("ts", F2.timestamp_seconds(F2.col("event_id") * 60))
+    w = W2.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 3)
+    micros = F2.round(F2.col("value") * F2.lit(1000000), 0).cast("long")
+    loo_sum = (F2.sum(micros).over(w) - micros).cast("double")
+    loo_cnt = F2.count(F2.lit(1)).over(w) - 1
+    loo = F2.when(loo_cnt > 0, F2.round(loo_sum / F2.lit(1000000.0) / loo_cnt, 4) + F2.lit(0.0))
+    rows = {r.event_id: r.l for r in df.select("event_id", loo.alias("l")).collect()}
+    assert rows[5] == 10.0          # outlier's baseline is its neighbors
+    assert rows[2] != 10.0          # rows whose frame spans the outlier are pulled
+    assert rows[1] == 10.0          # ±3 frame of id 1 never reaches id 5
+    assert rows[9] == 10.0          # nor does id 9's

@@ -710,3 +710,39 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     plan = plan_of(spark, "join_lateral_topk")
     assert "WindowGroupLimit" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_union_by_name_no_shuffle_to_union(spark):
+    """By-name union is a bag concat: the only Exchange belongs to
+    the channel aggregate; both branches are predicate-pushed scans."""
+    import re
+
+    plan = plan_of(spark, "set_union_by_name_evolved")
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert "Union" in plan
+    assert len([m for m in ops if m.split()[-1] == "Exchange"]) == 1
+    assert not [m for m in ops if "Join" in m]
+
+
+def test_map_lambdas_pure_codegen_no_shuffle(spark):
+    """The map algebra is per-row lambda evaluation: one scan, zero
+    exchanges, no Python, no join."""
+    import re
+
+    plan = plan_of(spark, "map_lambda_ops")
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert len([m for m in ops if "Scan" in m]) == 1
+    assert not [m for m in ops if m.split()[-1] == "Exchange"]
+    assert not [m for m in ops if "Join" in m]
+    assert "Python" not in plan
+
+
+def test_leave_one_out_single_window_pass(spark):
+    """Frame sum and frame count evaluate in ONE Window operator over
+    one user_id exchange."""
+    import re
+
+    plan = plan_of(spark, "win_leave_one_out_avg")
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert len([m for m in ops if m.split()[-1] == "Exchange"]) == 1
+    assert len([m for m in ops if "Window" in m]) == 1
