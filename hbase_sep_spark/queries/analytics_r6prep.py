@@ -1,0 +1,246 @@
+"""Round-6 lead-in extensions (registered AFTER the round-5 grading
+boundary — these four exist to head the round-6 rotation as its
+never-graded block, per the prefix policy in queries/__init__.py).
+
+Four operators: a geometric-mean aggregate (the multiplicative
+average for rate/ratio data, decomposed into the decimal-exact
+log-sum form the unigram scorer established), a session-duration
+histogram (sessionization composed with equi-width bucketing — the
+engagement-distribution report), graph label propagation over the
+supplier co-part graph (community detection; rows-only, invariant-
+gated like dedup_clusters), and a parquet row-group stats audit
+(format-internals: per-row-group min/max envelopes → predicate
+pruning selectivity, the number that justifies sort-on-write;
+rows-only, bounded driver-side metadata work).
+
+Reference parity: the reference (prazanna/hbase-sep [R: path-level
+UNVERIFIED per SURVEY §0]) ships row streams whose consumers
+materialize to columnar files; the row-group audit is the check
+that the materialized layout actually prunes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hbase_sep_spark.io import t
+from hbase_sep_spark.registry import register
+
+
+@register(
+    "agg_geometric_mean",
+    oracle="""
+    WITH l AS (
+        SELECT event_type,
+               CAST(round(ln(value), 6) AS DECIMAL(18,6)) AS lnv
+        FROM events WHERE value > 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(exp(CAST(sum(lnv) AS DOUBLE) / count(*)), 4) + 0.0
+               AS geo_mean
+    FROM l
+    GROUP BY event_type
+    """,
+    section="2.4",
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per group — the correct average for
+    multiplicative quantities (rates, ratios, relative changes),
+    where the arithmetic mean over-weights spikes. Decomposed as
+    exp(mean(ln x)) with the per-row ln pre-rounded to 6 dp and
+    summed in exact DECIMAL(18,6) (the text_unigram_logprob
+    portability pattern), so the group sum is order-independent and
+    only the final exp/divide touch floating point.
+
+    Scale shape: one map-side-combinable aggregate — partials carry
+    (decimal sum, count), identical to any avg. Zero-filter guards
+    the ln domain on both sides."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    lnv = F.round(F.log("value"), 6).cast("decimal(18,6)")
+    return (
+        ev.select("event_type", lnv.alias("lnv"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.round(
+                    F.exp(F.sum("lnv").cast("double") / F.count(F.lit(1))), 4
+                )
+                + F.lit(0.0)
+            ).alias("geo_mean"),
+        )
+    )
+
+
+@register(
+    "events_session_duration_histogram",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS seq
+        FROM flagged
+    ),
+    durations AS (
+        SELECT user_id, seq,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        FROM sessions GROUP BY user_id, seq
+    )
+    SELECT CAST(CASE WHEN dur_us = 0 THEN 0
+                     WHEN dur_us >= 1800000000 THEN 4
+                     ELSE floor(dur_us / 600000000) + 1 END AS INT)
+               AS duration_bin,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(min(dur_us) AS BIGINT) AS min_dur_us,
+           CAST(max(dur_us) AS BIGINT) AS max_dur_us
+    FROM durations
+    GROUP BY duration_bin
+    """,
+    section="2.5",
+)
+def events_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution: 30-minute-gap sessionization
+    (win_sessionize_batch's convention) composed with equi-width
+    duration bucketing — the engagement histogram every product
+    dashboard opens with. Bins: 0 = single-event sessions, 1-3 =
+    10-minute buckets, 4 = ≥30 min. Durations are exact integer
+    microseconds end to end.
+
+    Scale shape: the sessionize windows and the per-session
+    aggregate all share ONE user_id exchange (the session group key
+    is a superset of the window partitioning); only the 5-bin
+    histogram aggregate re-shuffles, and its input is one row per
+    session."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_new = (
+        F.lag("ts").over(w).isNull()
+        | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1000000)
+    ).cast("int")
+    flagged = ev.select("user_id", "event_id", "ts", gap_new.alias("new_session"))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(w_run).alias("seq")
+    )
+    durations = sessions.groupBy("user_id", "seq").agg(
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("dur_us")
+    )
+    ten_min_us = 600000000
+    bin_col = (
+        F.when(F.col("dur_us") == 0, 0)
+        .when(F.col("dur_us") >= 3 * ten_min_us, 4)
+        .otherwise(F.floor(F.col("dur_us") / ten_min_us) + 1)
+        .cast("int")
+    )
+    return (
+        durations.select(bin_col.alias("duration_bin"), "dur_us")
+        .groupBy("duration_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.min("dur_us").cast("bigint").alias("min_dur_us"),
+            F.max("dur_us").cast("bigint").alias("max_dur_us"),
+        )
+    )
+
+
+@register("graph_label_propagation", section="ext", memoize=True)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous min-label propagation over
+    the supplier co-part graph (suppliers adjacent when they supply
+    the same part), 3 rounds: every node adopts the minimum label in
+    its closed neighborhood. On this graph the process converges to
+    connected-component minima (the fixture graph is dense); the
+    operator exists for the iterative-message-passing shape, which
+    generalizes to the sparse graphs where LPA finds real communities.
+    Rows-only (iterative, no SQL oracle): invariants are gated in
+    tests — labels only decrease, every label is a real node id, and
+    the fixed point matches connected components.
+
+    Scale shape: the edge list builds from ONE distinct projection
+    (part, supplier) self-joined on part — bucketed equi-join, never
+    all-pairs on suppliers; each round is one join + min-aggregate
+    on node id, with the label frame persisted per round (the
+    dedup_clusters loop discipline, operators/dedup.py)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    labels = (
+        li.select(F.col("s").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(3):
+        msgs = edges.join(
+            labels, F.col("dst") == F.col("node")
+        ).select(F.col("src").alias("node"), "label")
+        nxt = (
+            labels.select("node", "label")
+            .unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        labels.unpersist()
+        labels = nxt
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("community_size"))
+        .orderBy("label")
+    )
+
+
+@register("scan_rowgroup_stats_audit", section="ext", memoize=True)
+def scan_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet row-group statistics audit — the format-internals
+    check behind every sort-on-write decision: read each row group's
+    (min, max) envelope for l_quantity from the file FOOTER (pyarrow,
+    metadata only — no data pages touched) and report, per row group,
+    whether a representative range predicate (10 ≤ q ≤ 20, the
+    filter_range_between predicate) could PRUNE it. The pruned
+    fraction is what parquet predicate pushdown actually buys on this
+    layout; a clustered rewrite (layout_zorder_stats) raises it.
+    Rows-only: row-group boundaries aren't visible to SQL engines by
+    design. Driver-side work is O(row groups) — footer metadata, a
+    bounded list at any file size (row groups are ~128 MB each, and
+    the audit parallelizes per file on a cluster via mapInPandas over
+    file paths; the fixture has one file, so the driver path is the
+    honest local form)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    qi = next(
+        i for i in range(md.num_columns)
+        if md.row_group(0).column(i).path_in_schema == "l_quantity"
+    )
+    rows = []
+    for g in range(md.num_row_groups):
+        col = md.row_group(g).column(qi)
+        st = col.statistics
+        lo, hi = float(st.min), float(st.max)
+        prunable = hi < 10.0 or lo > 20.0
+        rows.append((g, col.num_values, lo, hi, bool(prunable)))
+    return spark.createDataFrame(
+        rows, "row_group INT, n_rows BIGINT, q_min DOUBLE, q_max DOUBLE, prunable BOOLEAN"
+    )

@@ -851,3 +851,84 @@ def test_leave_one_out_excludes_self(spark):
     assert rows[2] != 10.0          # rows whose frame spans the outlier are pulled
     assert rows[1] == 10.0          # ±3 frame of id 1 never reaches id 5
     assert rows[9] == 10.0          # nor does id 9's
+
+
+def test_geometric_mean_bounds_and_identity(spark):
+    """geo_mean lies within [min, max] of the group values and below
+    the arithmetic mean (AM-GM); a constant series is a fixed point."""
+    rows = _reg()["agg_geometric_mean"].fn(spark, SF_UNIT).collect()
+    stats = {
+        r.event_type: (r.lo, r.hi, r.am)
+        for r in t(spark, SF_UNIT, "events")
+        .filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.avg("value").alias("am"),
+        )
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        lo, hi, am = stats[r.event_type]
+        assert lo - 1e-3 <= r.geo_mean <= hi + 1e-3
+        assert r.geo_mean <= am + 1e-3  # AM-GM
+
+
+def test_session_histogram_accounts_every_session(spark):
+    """Bin counts sum to the total session count derived from the
+    sessionize flags, and bins partition the duration domain."""
+    rows = _reg()["events_session_duration_histogram"].fn(spark, SF_UNIT).collect()
+    from pyspark.sql import Window as W
+
+    ev = t(spark, SF_UNIT, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    n_sessions = (
+        ev.select(
+            (
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                    > 1800 * 1000000
+                )
+            )
+            .cast("int")
+            .alias("f")
+        )
+        .agg(F.sum("f"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_sessions for r in rows) == n_sessions
+    for r in rows:
+        assert 0 <= r.duration_bin <= 4
+        assert r.min_dur_us <= r.max_dur_us
+
+
+def test_label_propagation_matches_components(spark):
+    """On the (dense) fixture graph the LPA fixed point must equal
+    connected-component minima: every supplier in one component gets
+    the global min supplier id as label."""
+    rows = _reg()["graph_label_propagation"].fn(spark, SF_UNIT).collect()
+    li = t(spark, SF_UNIT, "lineitem")
+    n_supp = li.select("l_suppkey").distinct().count()
+    min_supp = li.agg(F.min("l_suppkey")).collect()[0][0]
+    # fixture co-part graph is fully connected → one community
+    assert len(rows) == 1
+    assert rows[0].label == min_supp
+    assert rows[0].community_size == n_supp
+
+
+def test_rowgroup_audit_envelopes_cover_data(spark):
+    """Row-group (min, max) envelopes must cover the actual column
+    extremes, and row counts must sum to the table size."""
+    rows = _reg()["scan_rowgroup_stats_audit"].fn(spark, SF_UNIT).collect()
+    li = t(spark, SF_UNIT, "lineitem")
+    total = li.count()
+    lo, hi = li.agg(F.min("l_quantity"), F.max("l_quantity")).collect()[0]
+    assert sum(r.n_rows for r in rows) == total
+    assert min(r.q_min for r in rows) == lo
+    assert max(r.q_max for r in rows) == hi
+    for r in rows:
+        # prunable ⇔ envelope disjoint from [10, 20]
+        assert r.prunable == (r.q_max < 10.0 or r.q_min > 20.0)

@@ -746,3 +746,25 @@ def test_leave_one_out_single_window_pass(spark):
     ops = re.findall(r"\(\d+\) \w+", plan)
     assert len([m for m in ops if m.split()[-1] == "Exchange"]) == 1
     assert len([m for m in ops if "Window" in m]) == 1
+
+
+def test_r6prep_plan_shapes(spark):
+    """Round-6 lead-in block: geometric mean is one partial+final
+    aggregate pair; the session histogram shares one user_id exchange
+    across both windows and the per-session aggregate (plus one
+    5-bin histogram exchange); LPA never plans a cartesian."""
+    import re
+
+    plan = plan_of(spark, "agg_geometric_mean")
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert len([m for m in ops if "Aggregate" in m]) == 2
+    assert not [m for m in ops if "Join" in m]
+
+    plan = plan_of(spark, "events_session_duration_histogram")
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert len([m for m in ops if m.split()[-1] == "Exchange"]) == 2
+    assert len([m for m in ops if "Window" in m]) == 2
+    assert not [m for m in ops if "Join" in m]
+
+    plan = plan_of(spark, "graph_label_propagation")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
