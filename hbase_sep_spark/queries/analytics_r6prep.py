@@ -238,9 +238,14 @@ def scan_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for g in range(md.num_row_groups):
         col = md.row_group(g).column(qi)
         st = col.statistics
-        lo, hi = float(st.min), float(st.max)
-        prunable = hi < 10.0 or lo > 20.0
-        rows.append((g, col.num_values, lo, hi, bool(prunable)))
+        if st is not None and st.has_min_max:
+            lo, hi = float(st.min), float(st.max)
+            # Prunable ⇔ the envelope is disjoint from [10, 20].
+            rows.append((g, col.num_values, lo, hi, bool(hi < 10.0 or lo > 20.0)))
+        else:
+            # Stats-less file (writer choice): no envelope, never
+            # prunable — report the row group rather than crash.
+            rows.append((g, col.num_values, None, None, False))
     return spark.createDataFrame(
         rows, "row_group INT, n_rows BIGINT, q_min DOUBLE, q_max DOUBLE, prunable BOOLEAN"
     )
