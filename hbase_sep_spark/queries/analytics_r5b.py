@@ -41,6 +41,32 @@ def _bloom_pos(key, seed: int):
     return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BLOOM_BITS))
 
 
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """1-row DataFrame with a `bloom` map<int,bigint> column: the
+    2-hash bloom bitmap of `key_col`, bit_or-merged map-side."""
+    pos = keys.select(
+        F.explode(
+            F.array(_bloom_pos(F.col(key_col), 1), _bloom_pos(F.col(key_col), 77))
+        ).alias("p")
+    )
+    words = pos.groupBy((F.col("p") / 64).cast("int").alias("idx")).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").alias("bits")
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "bits"))).alias("bloom")
+    )
+
+
+def bloom_member(pname: str):
+    """Membership predicate for a position column `pname` against the
+    cross-joined `bloom` map column (missing word ⇒ empty word)."""
+    word = F.coalesce(
+        F.element_at(F.col("bloom"), (F.col(pname) / 64).cast("int")),
+        F.lit(0).cast("bigint"),
+    )
+    return word.bitwiseAND(F.expr(f"shiftleft(1L, CAST({pname} % 64 AS INT))")) != 0
+
+
 @register(
     "join_bloom_prefilter",
     oracle="""
@@ -79,34 +105,14 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     # Build: each key sets 2 bits; bits OR-combine per 64-bit word.
-    pos = cust.select(
-        F.explode(
-            F.array(_bloom_pos(F.col("c_custkey"), 1), _bloom_pos(F.col("c_custkey"), 77))
-        ).alias("p")
-    )
-    words = pos.groupBy(
-        (F.col("p") / 64).cast("int").alias("idx")
-    ).agg(
-        F.expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").alias("bits")
-    )
-    bloom = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("idx", "bits"))).alias("bloom")
-    )
+    bloom = bloom_build(cust, "c_custkey")
 
     orders = t(spark, sf_dir, "orders")
-
-    def member(pname: str):
-        word = F.coalesce(
-            F.element_at(F.col("bloom"), (F.col(pname) / 64).cast("int")),
-            F.lit(0).cast("bigint"),
-        )
-        return word.bitwiseAND(F.expr(f"shiftleft(1L, CAST({pname} % 64 AS INT))")) != 0
-
     prefiltered = (
         orders.crossJoin(F.broadcast(bloom))
         .withColumn("p1", _bloom_pos(F.col("o_custkey"), 1))
         .withColumn("p2", _bloom_pos(F.col("o_custkey"), 77))
-        .filter(member("p1") & member("p2"))
+        .filter(bloom_member("p1") & bloom_member("p2"))
         .drop("bloom", "p1", "p2")
     )
     exact = prefiltered.join(

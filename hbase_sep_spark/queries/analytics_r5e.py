@@ -97,8 +97,9 @@ def set_union_by_name_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
                     CASE WHEN vv >= 100 THEN 'v:' || CAST(vv AS VARCHAR) END],
                    x -> x IS NOT NULL),
                ','), '') AS kept_entries,
-           CAST((kk >= 100) AS INT) + CAST((uu >= 100) AS INT)
-               + CAST((vv >= 100) AS INT) AS n_kept
+           CAST(coalesce(kk >= 100, FALSE) AS INT)
+               + CAST(coalesce(uu >= 100, FALSE) AS INT)
+               + CAST(coalesce(vv >= 100, FALSE) AS INT) AS n_kept
     FROM base
     """,
     section="2.9",

@@ -185,12 +185,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
         .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
         .distinct()
+        .persist()
     )
+    edges.count()  # materialize: every round re-reads the edge list
     labels = (
         li.select(F.col("s").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .persist()
     )
+    labels.count()
     for _ in range(3):
         msgs = edges.join(
             labels, F.col("dst") == F.col("node")
@@ -202,13 +205,22 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .persist()
         )
+        nxt.count()  # materialize BEFORE dropping the parent cache
         labels.unpersist()
         labels = nxt
-    return (
+    # Uncached result with truncated lineage so the loop's last
+    # persist can be released (operators/dedup.py's discipline —
+    # persisted frames are CacheManager-pinned forever, checkpoint
+    # blocks are reaped once the result is GC'd).
+    result = (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("community_size"))
         .orderBy("label")
+        .localCheckpoint(eager=True)
     )
+    labels.unpersist()
+    edges.unpersist()
+    return result
 
 
 @register("scan_rowgroup_stats_audit", section="ext", memoize=True)
@@ -229,11 +241,18 @@ def scan_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest local form)."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
-    qi = next(
-        i for i in range(md.num_columns)
-        if md.row_group(0).column(i).path_in_schema == "l_quantity"
+    schema_str = (
+        "row_group INT, n_rows BIGINT, q_min DOUBLE, q_max DOUBLE, prunable BOOLEAN"
     )
+    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    if md.num_row_groups == 0:
+        return spark.createDataFrame([], schema_str)
+    paths = [
+        md.row_group(0).column(i).path_in_schema for i in range(md.num_columns)
+    ]
+    if "l_quantity" not in paths:  # renamed/nested column: empty audit
+        return spark.createDataFrame([], schema_str)
+    qi = paths.index("l_quantity")
     rows = []
     for g in range(md.num_row_groups):
         col = md.row_group(g).column(qi)
@@ -246,6 +265,4 @@ def scan_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Stats-less file (writer choice): no envelope, never
             # prunable — report the row group rather than crash.
             rows.append((g, col.num_values, None, None, False))
-    return spark.createDataFrame(
-        rows, "row_group INT, n_rows BIGINT, q_min DOUBLE, q_max DOUBLE, prunable BOOLEAN"
-    )
+    return spark.createDataFrame(rows, schema_str)
