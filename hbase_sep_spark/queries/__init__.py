@@ -140,6 +140,8 @@ _GRADE_FIRST = [
     "events_session_duration_histogram",
     "graph_label_propagation",
     "scan_rowgroup_stats_audit",
+    "agg_weighted_median",
+    "scan_incremental_manifest",
     "set_intersect",
     "set_except",
     "set_intersect_all",

@@ -2,16 +2,20 @@
 boundary — these four exist to head the round-6 rotation as its
 never-graded block, per the prefix policy in queries/__init__.py).
 
-Four operators: a geometric-mean aggregate (the multiplicative
+Six operators: a geometric-mean aggregate (the multiplicative
 average for rate/ratio data, decomposed into the decimal-exact
 log-sum form the unigram scorer established), a session-duration
 histogram (sessionization composed with equi-width bucketing — the
 engagement-distribution report), graph label propagation over the
 supplier co-part graph (community detection; rows-only, invariant-
-gated like dedup_clusters), and a parquet row-group stats audit
+gated like dedup_clusters), a parquet row-group stats audit
 (format-internals: per-row-group min/max envelopes → predicate
 pruning selectivity, the number that justifies sort-on-write;
-rows-only, bounded driver-side metadata work).
+rows-only, bounded driver-side metadata work), an exact weighted
+median (inventory-weighted central price via integer cumulative
+weights), and an incremental file-manifest scan (the lakehouse
+ingest pattern: read only files the manifest hasn't seen;
+rows-only, proven equal to a direct read of the new file).
 
 Reference parity: the reference (prazanna/hbase-sep [R: path-level
 UNVERIFIED per SURVEY §0]) ships row streams whose consumers
@@ -266,3 +270,119 @@ def scan_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             # prunable — report the row group rather than crash.
             rows.append((g, col.num_values, None, None, False))
     return spark.createDataFrame(rows, schema_str)
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH o AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(l_quantity AS BIGINT) AS w,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag) AS tot
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(max(tot) AS BIGINT) AS total_weight,
+           min(CASE WHEN 2 * cum >= tot THEN l_extendedprice END)
+               AS weighted_median_price
+    FROM o
+    GROUP BY l_returnflag
+    """,
+    section="2.4",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price at which half the QUANTITY (not
+    half the rows) has been shipped — the inventory-weighted central
+    price. Exact form: order by price, accumulate integer weights,
+    take the first price whose running weight reaches half the
+    total. All weight math is exact int64 (l_quantity is
+    integer-valued); the median itself is a raw per-row value, never
+    rounded. Composite (price, orderkey, linenumber) ordering makes
+    the cumulative sum deterministic under price ties, and min() over
+    the crossing rows is tie-stable by construction.
+
+    Scale shape: one l_returnflag shuffle; the ordered cumulative
+    window, the partition total, and the final aggregate all reuse
+    that partitioning (single Exchange, pinned). The per-group sort
+    is inherent to EXACT weighted quantiles — the approximate
+    companion at 100 TB is the weight-replicated histogram of
+    operators/quantiles.py."""
+    li = t(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    wt = F.col("l_quantity").cast("bigint")
+    o = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(wt).over(w_cum).alias("cum"),
+        F.sum(wt).over(w_all).alias("tot"),
+    )
+    return o.groupBy("l_returnflag").agg(
+        F.max("tot").cast("bigint").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("tot"), F.col("l_extendedprice"))
+        ).alias("weighted_median_price"),
+    )
+
+
+@register("scan_incremental_manifest", section="ext", memoize=True)
+def scan_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental file-level ingest — the manifest pattern every
+    lakehouse table format formalizes: a landing directory receives
+    day-files; the consumer records processed FILE NAMES in a
+    manifest and each run reads only the anti-join of the listing
+    against it. Here the landing dir is materialized from the events
+    fixture (3 hash-bucketed files), the manifest holds the first
+    two, and the result aggregates ONLY the unprocessed file's rows,
+    tagged with its source file. Rows-only (file paths aren't SQL-
+    oracle-able); the invariant test proves the output equals a
+    direct read of the third bucket.
+
+    Scale shape: the anti-join runs on input_file_name() against a
+    broadcast manifest — file-count-sized, not row-count-sized; rows
+    from processed files are skipped after the listing but without
+    any shuffle (the filter is a per-row broadcast-hash lookup). At
+    production scale the same shape prunes at the LISTING instead
+    (pass the unprocessed paths to spark.read directly); the
+    post-scan form shown here is the one that also works mid-stream
+    on directories that keep growing."""
+    from hbase_sep_spark.io import scratch_dir
+
+    landing = scratch_dir(spark, "incremental_landing")
+    import os
+
+    done_flag = os.path.join(landing, "_written")
+    if not os.path.exists(done_flag):
+        ev = t(spark, sf_dir, "events")
+        (
+            ev.withColumn("bucket", F.pmod(F.col("event_id"), F.lit(3)))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(landing + "/files")
+        )
+        open(done_flag, "w").write("ok")
+    src = spark.read.parquet(landing + "/files")
+    fname = F.input_file_name()
+    # Manifest: every file under bucket=0 and bucket=1 is processed.
+    listed = (
+        src.select(fname.alias("f"), "bucket").groupBy("f", "bucket").count()
+    )
+    manifest = listed.filter(F.col("bucket") < 2).select("f")
+    fresh = src.withColumn("f", fname).join(
+        F.broadcast(manifest), "f", "left_anti"
+    )
+    return (
+        fresh.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_rows"))
+        .orderBy("event_type")
+    )

@@ -958,3 +958,45 @@ def test_rowgroup_audit_envelopes_cover_data(spark):
         else:
             # prunable ⇔ envelope disjoint from [10, 20]
             assert r.prunable == (r.q_max < 10.0 or r.q_min > 20.0)
+
+
+def test_weighted_median_splits_weight_mass(spark):
+    """The weighted median is a real data value, and at least half
+    the weight lies at-or-below it AND at least half at-or-above it
+    (the defining property)."""
+    rows = _reg()["agg_weighted_median"].fn(spark, SF_UNIT).collect()
+    li = t(spark, SF_UNIT, "lineitem").select(
+        "l_returnflag", "l_extendedprice", F.col("l_quantity").cast("bigint").alias("w")
+    )
+    assert rows
+    for r in rows:
+        grp = li.filter(F.col("l_returnflag") == r.l_returnflag)
+        below = grp.filter(F.col("l_extendedprice") <= r.weighted_median_price).agg(
+            F.sum("w")
+        ).collect()[0][0]
+        above = grp.filter(F.col("l_extendedprice") >= r.weighted_median_price).agg(
+            F.sum("w")
+        ).collect()[0][0]
+        assert 2 * below >= r.total_weight, r.l_returnflag
+        assert 2 * above >= r.total_weight, r.l_returnflag
+        assert (
+            grp.filter(F.col("l_extendedprice") == r.weighted_median_price).count() > 0
+        )
+
+
+def test_incremental_manifest_reads_only_new_file(spark):
+    """The manifest anti-join result must equal a direct read of the
+    unprocessed bucket (event_id % 3 == 2)."""
+    got = {
+        r.event_type: r.n_new_rows
+        for r in _reg()["scan_incremental_manifest"].fn(spark, SF_UNIT).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in t(spark, SF_UNIT, "events")
+        .filter(F.pmod("event_id", F.lit(3)) == 2)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got

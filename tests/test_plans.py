@@ -768,3 +768,14 @@ def test_r6prep_plan_shapes(spark):
 
     plan = plan_of(spark, "graph_label_propagation")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_weighted_median_single_shuffle(spark):
+    """Cumulative window, partition total, and final aggregate all
+    reuse ONE l_returnflag exchange; no join."""
+    import re
+
+    plan = plan_of(spark, "agg_weighted_median")
+    ops = re.findall(r"\(\d+\) \w+", plan)
+    assert len([m for m in ops if m.split()[-1] == "Exchange"]) == 1
+    assert not [m for m in ops if "Join" in m]
