@@ -306,27 +306,58 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cumulative sum deterministic under price ties, and min() over
     the crossing rows is tie-stable by construction.
 
-    Scale shape: one l_returnflag shuffle; the ordered cumulative
-    window, the partition total, and the final aggregate all reuse
-    that partitioning (single Exchange, pinned). The per-group sort
-    is inherent to EXACT weighted quantiles — the approximate
-    companion at 100 TB is the weight-replicated histogram of
-    operators/quantiles.py."""
+    Scale shape — the point of this operator: the oracle's
+    per-group ordered cumulative window serializes each group (3
+    return flags ⇒ parallelism 3 at ANY scale — measured 0.53 s at
+    sf0.1, the one structural straggler of the round-5 additions),
+    so the impl computes the running weight with the two-level
+    bucket decomposition instead (events_offset_islands' pattern):
+    per-(flag, price-bucket) weight partials (map-side combinable),
+    a cumulative window over the BUCKET-cardinality frame (4096×
+    smaller than the data; recurses at extreme scale), broadcast
+    back, then a fully parallel within-bucket window partitioned by
+    (flag, bucket). All weight math stays exact int64, so the result
+    is bit-identical to the serial form."""
     li = t(spark, sf_dir, "lineitem")
+    wt = F.col("l_quantity").cast("bigint")
+    rows = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        wt.alias("w"),
+        (F.col("l_extendedprice") / 4096).cast("long").alias("bucket"),
+    )
+    per_bucket = rows.groupBy("l_returnflag", "bucket").agg(
+        F.sum("w").alias("wsum")
+    )
     w_cum = (
         Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_flag = Window.partitionBy("l_returnflag")
+    offsets = per_bucket.select(
+        "l_returnflag",
+        "bucket",
+        F.coalesce(F.sum("wsum").over(w_cum), F.lit(0)).alias("w_before"),
+        F.sum("wsum").over(w_flag).alias("tot"),
+    )
+    w_in = (
+        Window.partitionBy("l_returnflag", "bucket")
         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("l_returnflag")
-    wt = F.col("l_quantity").cast("bigint")
-    o = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum(wt).over(w_cum).alias("cum"),
-        F.sum(wt).over(w_all).alias("tot"),
+    cum = (
+        rows.join(F.broadcast(offsets), ["l_returnflag", "bucket"])
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            "tot",
+            (F.col("w_before") + F.sum("w").over(w_in)).alias("cum"),
+        )
     )
-    return o.groupBy("l_returnflag").agg(
+    return cum.groupBy("l_returnflag").agg(
         F.max("tot").cast("bigint").alias("total_weight"),
         F.min(
             F.when(2 * F.col("cum") >= F.col("tot"), F.col("l_extendedprice"))

@@ -770,12 +770,18 @@ def test_r6prep_plan_shapes(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
-def test_weighted_median_single_shuffle(spark):
-    """Cumulative window, partition total, and final aggregate all
-    reuse ONE l_returnflag exchange; no join."""
-    import re
-
+def test_weighted_median_two_level_no_serial_group_window(spark):
+    """The exact weighted median must use the two-level bucket
+    decomposition: the data-sized window partitions by
+    (l_returnflag, bucket) — fully parallel — and the only
+    flag-partitioned (serial-per-group) windows run over the
+    bucket-cardinality frame; the bucket offsets come back via
+    broadcast, never a shuffle join of the data."""
     plan = plan_of(spark, "agg_weighted_median")
-    ops = re.findall(r"\(\d+\) \w+", plan)
-    assert len([m for m in ops if m.split()[-1] == "Exchange"]) == 1
-    assert not [m for m in ops if "Join" in m]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # The data-sized window keys on (flag, bucket): its partition
+    # spec appears in the plan; a flag-only data window would show a
+    # windowspec over the raw rows keyed by l_returnflag alone.
+    assert "hashpartitioning(l_returnflag" in plan
+    assert "bucket" in plan
