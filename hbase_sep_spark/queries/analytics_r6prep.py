@@ -1,5 +1,5 @@
 """Round-6 lead-in extensions (registered AFTER the round-5 grading
-boundary — these four exist to head the round-6 rotation as its
+boundary — these exist to head the round-6 rotation as its
 never-graded block, per the prefix policy in queries/__init__.py).
 
 Six operators: a geometric-mean aggregate (the multiplicative
@@ -386,10 +386,15 @@ def scan_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pass the unprocessed paths to spark.read directly); the
     post-scan form shown here is the one that also works mid-stream
     on directories that keep growing."""
+    import os
+
     from hbase_sep_spark.io import scratch_dir
 
-    landing = scratch_dir(spark, "incremental_landing")
-    import os
+    # Keyed by SF so two sf_dirs in one session get distinct landings
+    # (the memo is per (appId, sf_dir); the fixture must be too).
+    landing = scratch_dir(
+        spark, "incremental_landing", os.path.basename(sf_dir.rstrip("/"))
+    )
 
     done_flag = os.path.join(landing, "_written")
     if not os.path.exists(done_flag):
@@ -405,9 +410,7 @@ def scan_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = spark.read.parquet(landing + "/files")
     fname = F.input_file_name()
     # Manifest: every file under bucket=0 and bucket=1 is processed.
-    listed = (
-        src.select(fname.alias("f"), "bucket").groupBy("f", "bucket").count()
-    )
+    listed = src.select(fname.alias("f"), "bucket").distinct()
     manifest = listed.filter(F.col("bucket") < 2).select("f")
     fresh = src.withColumn("f", fname).join(
         F.broadcast(manifest), "f", "left_anti"
