@@ -142,6 +142,8 @@ _GRADE_FIRST = [
     "scan_rowgroup_stats_audit",
     "agg_weighted_median",
     "scan_incremental_manifest",
+    "agg_trimmed_mean",
+    "ts_stl_decompose_lite",
     "set_intersect",
     "set_except",
     "set_intersect_all",

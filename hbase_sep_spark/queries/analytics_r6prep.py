@@ -420,3 +420,174 @@ def scan_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_rows"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH q AS (
+        SELECT l_linestatus,
+               quantile_cont(l_extendedprice, 0.05) AS p05,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l.l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 2) + 0.0 AS trimmed_mean
+    FROM lineitem l JOIN q ON l.l_linestatus = q.l_linestatus
+    WHERE l.l_extendedprice >= q.p05 AND l.l_extendedprice <= q.p95
+    GROUP BY l.l_linestatus
+    """,
+    section="2.4",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per group — the robust average that survives
+    fat tails and data-entry spikes. Thresholds are the EXACT
+    interpolated p05/p95 (operators/quantiles.py's histogram →
+    locate → bounded-sort machinery, the same engine behind
+    agg_median_percentile — interpolation arithmetic is identical to
+    DuckDB's quantile_cont, so the boundary filter agrees on both
+    engines); the interior mean is an exact decimal sum over the
+    kept rows.
+
+    Scale shape: the threshold pass is statistics-assisted (O(bins)
+    driver state, no per-group sort buffer); the mean is one
+    map-side-combinable aggregate over the filtered scan with the
+    1-row-per-group thresholds joined back by broadcast."""
+    from hbase_sep_spark.queries.aggregates import _PCTL_STATS_CACHE
+    from hbase_sep_spark.operators import quantiles as _q
+
+    li = t(spark, sf_dir, "lineitem")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    st = _PCTL_STATS_CACHE.get(key)
+    if st is None:
+        st = _q.compute_stats(li, "l_extendedprice", "l_linestatus")
+        _PCTL_STATS_CACHE.put(key, st)
+    pq = _q.exact_percentiles(
+        spark,
+        li,
+        "l_extendedprice",
+        "l_linestatus",
+        {"p05": 0.05, "p95": 0.95},
+        stats=st,
+    )
+    thresholds = pq.groupBy("l_linestatus").agg(
+        F.max(F.when(F.col("qname") == "p05", F.col("value"))).alias("p05"),
+        F.max(F.when(F.col("qname") == "p95", F.col("value"))).alias("p95"),
+    )
+    kept = li.join(
+        F.broadcast(thresholds.withColumnRenamed("l_linestatus", "g")),
+        F.col("l_linestatus") == F.col("g"),
+    ).filter(
+        (F.col("l_extendedprice") >= F.col("p05"))
+        & (F.col("l_extendedprice") <= F.col("p95"))
+    )
+    return kept.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        (
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("trimmed_mean"),
+    )
+
+
+@register(
+    "ts_stl_decompose_lite",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(dayofweek(date_trunc('day', ts)) + 1 AS INT) AS dow,
+               sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS total_us
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT day, dow, total_us,
+               sum(total_us) OVER w AS sum7_us,
+               count(*) OVER w AS n7
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dev AS (
+        SELECT day, dow, total_us, sum7_us,
+               7 * total_us - sum7_us AS dev7_us
+        FROM trended WHERE n7 = 7
+    ),
+    seasonal AS (
+        SELECT dow,
+               CAST(sum(dev7_us) AS BIGINT) AS sdev_us,
+               CAST(count(*) AS BIGINT) AS sn
+        FROM dev GROUP BY dow
+    )
+    SELECT d.day, d.dow,
+           round(d.total_us / 1000000.0, 2) AS value,
+           round(d.sum7_us / 7000000.0, 4) + 0.0 AS trend,
+           round(s.sdev_us / (7000000.0 * s.sn), 4) + 0.0 AS seasonal_dow,
+           round(d.dev7_us / 7000000.0
+                 - s.sdev_us / (7000000.0 * s.sn), 4) + 0.0 AS residual
+    FROM dev d JOIN seasonal s ON d.dow = s.dow
+    """,
+    section="2.5",
+)
+def ts_stl_decompose_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite): daily volume =
+    trend (centered 7-day moving average) + day-of-week seasonal
+    (mean deviation from trend per weekday) + residual — the
+    trend/seasonality split behind every anomaly-on-seasonal-data
+    monitor. Portability is engineered to keep EVERYTHING integer
+    until the final projections: day totals are exact micros sums,
+    the 7-day window sums integers (no float frame-sum order to
+    disagree on — DuckDB's segment-tree vs Spark's running
+    accumulation never meet a double), deviations are the integer
+    7·x − Σ7, and the seasonal means are integer sums divided once.
+    Edge days without a full 7-day window are excluded from both
+    trend and seasonal fitting, on both engines.
+
+    Scale shape: the data-sized work is ONE map-side-combinable
+    daily aggregate; every window and join after it runs on the
+    DAY-cardinality frame (≤ a few thousand rows per decade), and
+    the seasonal table is 7 rows broadcast back."""
+    ev = t(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * F.lit(1000000), 0).cast("long")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        (F.dayofweek(F.date_trunc("day", "ts"))).cast("int").alias("dow"),
+    ).agg(F.sum(micros).alias("total_us"))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "dow",
+        "total_us",
+        F.sum("total_us").over(w7).alias("sum7_us"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    )
+    dev = trended.filter(F.col("n7") == 7).select(
+        "day",
+        "dow",
+        "total_us",
+        "sum7_us",
+        (7 * F.col("total_us") - F.col("sum7_us")).alias("dev7_us"),
+    )
+    seasonal = dev.groupBy("dow").agg(
+        F.sum("dev7_us").cast("bigint").alias("sdev_us"),
+        F.count(F.lit(1)).cast("bigint").alias("sn"),
+    )
+    joined = dev.join(
+        F.broadcast(seasonal.withColumnRenamed("dow", "sdow")),
+        F.col("dow") == F.col("sdow"),
+    )
+    seas = F.col("sdev_us") / (F.lit(7000000.0) * F.col("sn"))
+    return joined.select(
+        "day",
+        "dow",
+        F.round(F.col("total_us") / 1000000.0, 2).alias("value"),
+        (F.round(F.col("sum7_us") / 7000000.0, 4) + F.lit(0.0)).alias("trend"),
+        (F.round(seas, 4) + F.lit(0.0)).alias("seasonal_dow"),
+        (
+            F.round(F.col("dev7_us") / 7000000.0 - seas, 4) + F.lit(0.0)
+        ).alias("residual"),
+    )

