@@ -144,6 +144,7 @@ _GRADE_FIRST = [
     "scan_incremental_manifest",
     "agg_trimmed_mean",
     "ts_stl_decompose_lite",
+    "agg_gini_activity",
     "set_intersect",
     "set_except",
     "set_intersect_all",

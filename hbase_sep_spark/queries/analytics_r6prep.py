@@ -591,3 +591,77 @@ def ts_stl_decompose_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dev7_us") / 7000000.0 - seas, 4) + F.lit(0.0)
         ).alias("residual"),
     )
+
+
+@register(
+    "agg_gini_activity",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+        FROM per_user
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s1,
+               CAST(sum(i * x) AS BIGINT) AS s2
+        FROM ranked
+    )
+    SELECT n AS n_users, s1 AS n_events,
+           round(2.0 * s2 / (n * 1.0 * s1) - (n + 1.0) / n, 6) + 0.0
+               AS gini
+    FROM s
+    """,
+    section="2.4",
+)
+def agg_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume — the one-number
+    inequality audit (0 = uniform feed, →1 = a few keys dominate)
+    that complements agg_heavy_hitters_exact's per-key list: Gini
+    says WHETHER the feed is skewed, heavy-hitters says WHERE. Uses
+    the rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending-sorted counts; every sum is exact int64 (i·x products
+    of bigints), so the single rounded expression at the end is the
+    only float.
+
+    Scale shape: the oracle's global row_number is the one window
+    that cannot scale, so the impl ranks with the two-level bucket
+    decomposition (events_offset_islands / agg_weighted_median's
+    pattern): per count-bucket partials, a bucket-frame cumulative
+    for each bucket's predecessor count, broadcast back, and a fully
+    parallel within-bucket rank. The final aggregate carries three
+    int64s."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    bucketed = per_user.withColumn("bucket", (F.col("x") / 16).cast("long"))
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("rank_before"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("x", "user_id")
+    ranked = bucketed.join(F.broadcast(offsets), "bucket").select(
+        "x",
+        (F.row_number().over(w_in) + F.col("rank_before")).cast("bigint").alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("s1").alias("n_events"),
+        (
+            F.round(
+                2.0 * F.col("s2") / (F.col("n") * 1.0 * F.col("s1"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+    )

@@ -1036,3 +1036,23 @@ def test_stl_decomposition_identity(spark):
         assert abs((r.value - r.trend) - (r.seasonal_dow + r.residual)) < 2e-3
         seas_by_dow.setdefault(r.dow, set()).add(r.seasonal_dow)
     assert all(len(v) == 1 for v in seas_by_dow.values())
+
+
+def test_gini_matches_bruteforce_and_bounds(spark):
+    """The two-level-ranked Gini equals the brute-force single-sort
+    formula exactly and lies in [0, 1)."""
+    row = _reg()["agg_gini_activity"].fn(spark, SF_UNIT).collect()[0]
+    xs = sorted(
+        (r.n, r.user_id)
+        for r in t(spark, SF_UNIT, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = len(xs)
+    s1 = sum(x for x, _ in xs)
+    s2 = sum(i * x for i, (x, _) in enumerate(xs, 1))
+    want = round(2.0 * s2 / (n * 1.0 * s1) - (n + 1.0) / n, 6) + 0.0
+    assert row.n_users == n and row.n_events == s1
+    assert abs(row.gini - want) < 1e-9
+    assert 0.0 <= row.gini < 1.0

@@ -786,3 +786,17 @@ def test_weighted_median_two_level_no_serial_group_window(spark):
     import re
 
     assert re.search(r"hashpartitioning\(l_returnflag#\d+, bucket#", plan)
+
+
+def test_gini_rank_is_two_level_no_global_data_window(spark):
+    """The per-user rank must come from the bucket decomposition: the
+    data-sized window partitions by bucket (parallel), the only
+    unpartitioned window runs over the bucket-cardinality frame, and
+    the offsets come back via broadcast."""
+    plan = plan_of(spark, "agg_gini_activity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    import re
+
+    # per-bucket rank window: hashpartitioning on bucket
+    assert re.search(r"hashpartitioning\(bucket#", plan)
