@@ -145,6 +145,7 @@ _GRADE_FIRST = [
     "agg_trimmed_mean",
     "ts_stl_decompose_lite",
     "agg_gini_activity",
+    "agg_median_abs_deviation",
     "set_intersect",
     "set_except",
     "set_intersect_all",

@@ -665,3 +665,78 @@ def agg_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_median_abs_deviation",
+    oracle="""
+    WITH med AS (
+        SELECT l_linestatus,
+               quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l.l_linestatus,
+           round(max(m.med), 2) AS median_price,
+           round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 2)
+               AS mad_price
+    FROM lineitem l JOIN med m ON l.l_linestatus = m.l_linestatus
+    GROUP BY l.l_linestatus
+    """,
+    section="2.4",
+)
+def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — the robust dispersion measure
+    (immune to the outliers that inflate stddev) behind every
+    robust-z anomaly threshold: MAD = median(|x − median(x)|) per
+    group. Two passes of the statistics-assisted exact-percentile
+    engine (operators/quantiles.py, agg_median_percentile's
+    machinery): group medians first (table stats cached and shared
+    with the other percentile queries), then the deviation median
+    over |x − med| with the median joined back by broadcast. The
+    interpolation arithmetic is identical to DuckDB's quantile_cont
+    on both passes, so the derived deviations are bit-equal before
+    the second pass ever runs.
+
+    Scale shape: both passes are histogram-locate-bounded-sort —
+    O(bins) driver state, no per-group sort buffer; the deviation
+    frame adds one broadcast join over the scan."""
+    from hbase_sep_spark.operators import quantiles as _q
+    from hbase_sep_spark.queries.aggregates import _PCTL_STATS_CACHE
+
+    li = t(spark, sf_dir, "lineitem")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    st = _PCTL_STATS_CACHE.get(key)
+    if st is None:
+        st = _q.compute_stats(li, "l_extendedprice", "l_linestatus")
+        _PCTL_STATS_CACHE.put(key, st)
+    med = (
+        _q.exact_percentiles(
+            spark, li, "l_extendedprice", "l_linestatus", {"med": 0.5}, stats=st
+        )
+        .groupBy("l_linestatus")
+        .agg(F.max("value").alias("med"))
+    )
+    dev = li.join(
+        F.broadcast(med.withColumnRenamed("l_linestatus", "g")),
+        F.col("l_linestatus") == F.col("g"),
+    ).select(
+        "l_linestatus",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+        "med",
+    )
+    mad = (
+        _q.exact_percentiles(spark, dev, "adev", "l_linestatus", {"mad": 0.5})
+        .groupBy("l_linestatus")
+        .agg(F.max("value").alias("mad"))
+    )
+    meds = med.select(
+        F.col("l_linestatus").alias("gm"), F.round("med", 2).alias("median_price")
+    )
+    return (
+        mad.join(F.broadcast(meds), F.col("l_linestatus") == F.col("gm"))
+        .select(
+            "l_linestatus",
+            "median_price",
+            F.round("mad", 2).alias("mad_price"),
+        )
+    )

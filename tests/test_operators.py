@@ -1056,3 +1056,24 @@ def test_gini_matches_bruteforce_and_bounds(spark):
     assert row.n_users == n and row.n_events == s1
     assert abs(row.gini - want) < 1e-9
     assert 0.0 <= row.gini < 1.0
+
+
+def test_mad_brute_force_equality(spark):
+    """MAD via the two-pass percentile engine equals the brute-force
+    numpy computation on collected values."""
+    import numpy as np
+
+    rows = {
+        r.l_linestatus: (r.median_price, r.mad_price)
+        for r in _reg()["agg_median_abs_deviation"].fn(spark, SF_UNIT).collect()
+    }
+    li = t(spark, SF_UNIT, "lineitem").select("l_linestatus", "l_extendedprice").collect()
+    by_g = {}
+    for r in li:
+        by_g.setdefault(r.l_linestatus, []).append(r.l_extendedprice)
+    assert set(rows) == set(by_g)
+    for g, xs in by_g.items():
+        med = float(np.percentile(xs, 50, method="linear"))
+        mad = float(np.percentile(np.abs(np.array(xs) - med), 50, method="linear"))
+        assert abs(rows[g][0] - round(med, 2)) < 1e-9, g
+        assert abs(rows[g][1] - round(mad, 2)) < 0.02, g  # interp ulp tolerance
