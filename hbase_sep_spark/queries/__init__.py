@@ -146,6 +146,7 @@ _GRADE_FIRST = [
     "ts_stl_decompose_lite",
     "agg_gini_activity",
     "agg_median_abs_deviation",
+    "pipeline_split_leakage_audit",
     "set_intersect",
     "set_except",
     "set_intersect_all",

@@ -740,3 +740,51 @@ def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 2).alias("mad_price"),
         )
     )
+
+
+@register("pipeline_split_leakage_audit", section="2.11", memoize=True)
+def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-leakage audit — the check a training-data
+    pipeline runs BEFORE shipping a split: how many near-duplicate
+    pairs straddle the split boundary (a test doc whose near-copy
+    sits in train leaks the answer key). Composes the deterministic
+    Knuth-hash split (pipeline_dataset_split's assignment, so the
+    audit grades the split actually shipped) with the MinHash+LSH
+    near-dup pair generator (operators/dedup.py), then buckets every
+    pair by its (split_a, split_b) edge. Rows-only (MinHash pair
+    estimates are hash-family, not SQL-oracle-able); the invariant
+    test pins that pair endpoints carry the same split labels the
+    split operator assigns and that all pairs are accounted for.
+
+    Scale shape: split labels are scan-side codegen; the pair
+    generator is the LSH band equi-join (never all-pairs); the final
+    audit is a map-side-combinable aggregate over a ≤9-cell key
+    space. At 100 TB this is exactly the dedup pipeline's cost plus
+    one cheap projection — the audit is free if you already dedup."""
+    from hbase_sep_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    labeled = docs.select("doc_id", split.alias("split"))
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    a = labeled.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = labeled.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    edged = pairs.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (
+        edged.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (F.round(F.avg("est_jaccard"), 4) + F.lit(0.0)).alias("avg_similarity"),
+        )
+        .withColumn("leaks", F.col("split_lo") != F.col("split_hi"))
+        .orderBy("split_lo", "split_hi")
+    )

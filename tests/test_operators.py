@@ -1077,3 +1077,19 @@ def test_mad_brute_force_equality(spark):
         mad = float(np.percentile(np.abs(np.array(xs) - med), 50, method="linear"))
         assert abs(rows[g][0] - round(med, 2)) < 1e-9, g
         assert abs(rows[g][1] - round(mad, 2)) < 0.02, g  # interp ulp tolerance
+
+
+def test_split_leakage_accounts_all_pairs(spark):
+    """Every near-dup pair lands in exactly one (split_lo, split_hi)
+    cell; pair total matches the generator; leak rows are exactly the
+    cross-split cells; labels reproduce the split operator's."""
+    from hbase_sep_spark.operators.dedup import minhash_near_dup_pairs
+
+    rows = _reg()["pipeline_split_leakage_audit"].fn(spark, SF_UNIT).collect()
+    docs = t(spark, SF_UNIT, "documents")
+    n_pairs = minhash_near_dup_pairs(docs, threshold=0.5).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs and n_pairs > 0
+    for r in rows:
+        assert r.split_lo <= r.split_hi
+        assert r.leaks == (r.split_lo != r.split_hi)
+        assert 0.5 <= r.avg_similarity <= 1.0
