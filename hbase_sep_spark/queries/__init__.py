@@ -31,6 +31,8 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r5d,
     analytics_r5e,
     analytics_r6prep,
+    tpch_suite,
+    analytics_r6b,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -147,6 +149,27 @@ _GRADE_FIRST = [
     "agg_gini_activity",
     "agg_median_abs_deviation",
     "pipeline_split_leakage_audit",
+    # round-6 lead-in, continued: the TPC-H composite completion
+    # (queries/tpch_suite.py, never graded)
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q12_priority_class",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_inactive_customers",
+    # round-6 lead-in, continued: drift/sampling/allocation block
+    # (queries/analytics_r6b.py, never graded)
+    "ts_autocorrelation",
+    "ts_cusum_drift",
+    "agg_jensen_shannon_drift",
+    "sample_reservoir_topk_hash",
+    "pipeline_token_budget_alloc",
     "set_intersect",
     "set_except",
     "set_intersect_all",

@@ -1093,3 +1093,38 @@ def test_split_leakage_accounts_all_pairs(spark):
         assert r.split_lo <= r.split_hi
         assert r.leaks == (r.split_lo != r.split_hi)
         assert 0.5 <= r.avg_similarity <= 1.0
+
+
+def test_token_budget_alloc_sums_exactly_to_budget(spark):
+    """Largest-remainder apportionment invariant: allocations are
+    non-negative, sum to EXACTLY the 100k budget, and are weakly
+    monotone in source token mass (√-proportional shares can't
+    invert an ordering by more than the ±1 remainder token)."""
+    from hbase_sep_spark.registry import load_all
+
+    q = load_all()["pipeline_token_budget_alloc"]
+    rows = q.fn(spark, SF_UNIT).collect()
+    allocs = {r["source"]: r["alloc_tokens"] for r in rows}
+    tokens = {r["source"]: r["tokens"] for r in rows}
+    assert sum(allocs.values()) == 100000
+    assert all(a >= 0 for a in allocs.values())
+    for s1 in allocs:
+        for s2 in allocs:
+            if tokens[s1] > tokens[s2]:
+                assert allocs[s1] >= allocs[s2] - 1
+
+
+def test_reservoir_sample_fixed_size_and_deterministic(spark):
+    """Every key yields exactly min(k, n_key) rows, and a repeat run
+    (fresh plan) yields the identical sample — the reproducibility
+    property rand() reservoirs lack."""
+    from hbase_sep_spark.registry import load_all
+
+    q = load_all()["sample_reservoir_topk_hash"]
+    a = {(r["event_type"], r["event_id"]) for r in q.fn(spark, SF_UNIT).collect()}
+    b = {(r["event_type"], r["event_id"]) for r in (q.raw or q.fn)(spark, SF_UNIT).collect()}
+    assert a == b
+    from collections import Counter
+
+    per_key = Counter(t for t, _ in a)
+    assert all(v == 20 for v in per_key.values())  # sf0.001 has ≥20 per type

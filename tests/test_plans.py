@@ -800,3 +800,99 @@ def test_gini_rank_is_two_level_no_global_data_window(spark):
 
     # per-bucket rank window: hashpartitioning on bucket
     assert re.search(r"hashpartitioning\(bucket#", plan)
+
+
+def test_tpch_suite_decorrelates_exists_to_hash_joins(spark):
+    """Q4/Q21/Q22 (tpch_suite): every EXISTS / NOT EXISTS must
+    decorrelate into LEFT SEMI / LEFT ANTI hash joins — a surviving
+    correlated subquery would re-execute per probe row and a nested
+    loop would be an all-pairs cliff at scale."""
+    plan = plan_of(spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    plan = plan_of(spark, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    plan = plan_of(spark, "tpch_q22_inactive_customers")
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # The 2000-01-01 recency predicate pushes INTO the anti-join's
+    # build-side scan, not a post-join filter.
+    assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan
+
+
+def test_tpch_suite_disjunctive_join_stays_hash(spark):
+    """Q19: the OR-of-ANDs predicate must ride a broadcast HASH join
+    on the extracted common equi-key (l_partkey = p_partkey) with the
+    disjunction as a residual filter — never a nested loop."""
+    plan = plan_of(spark, "tpch_q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_suite_scalar_max_and_correlated_avg_shapes(spark):
+    """Q15: the scalar-max attaches by broadcast (1-row side), never
+    a shuffled join of the aggregate view. Q17: the per-part average
+    joins back by hash equi-join; brand filter pushes to the part
+    scan."""
+    plan = plan_of(spark, "tpch_q15_top_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    plan = plan_of(spark, "tpch_q17_small_qty_revenue")
+    assert "EqualTo(p_brand,Brand#12)" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_suite_q13_left_join_keeps_zero_bucket(spark):
+    """Q13: the priority filter folds into the join input (pushed to
+    the orders scan), the join stays LEFT (zero-count customers
+    survive), and the histogram re-aggregate shuffles only
+    (count, 1) pairs."""
+    plan = plan_of(spark, "tpch_q13_customer_distribution")
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_reservoir_sample_gets_window_group_limit(spark):
+    """The per-key fixed-size sample must plan WindowGroupLimit —
+    per-partition 20-row heaps per key BEFORE the shuffle; without
+    it every key's full row set sorts through the exchange."""
+    plan = plan_of(spark, "sample_reservoir_topk_hash")
+    assert "WindowGroupLimit" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_drift_block_is_single_scan_no_joins(spark):
+    """CUSUM, JS-drift, and budget-alloc must stay ONE scan with the
+    totals coming from windows over the bounded grouped frame — the
+    aggregate+crossJoin form re-computes the scan subtree per
+    derived total (4 scans for CUSUM before the rewrite)."""
+    import re
+
+    for name, max_exchanges in [
+        ("ts_cusum_drift", 2),
+        ("agg_jensen_shannon_drift", 2),
+        ("pipeline_token_budget_alloc", 2),
+    ]:
+        plan = plan_of(spark, name)
+        ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+        assert ops.count("Scan") == 1, name
+        assert ops.count("Exchange") <= max_exchanges, name
+        assert not [o for o in ops if "Join" in o], name
+
+
+def test_autocorrelation_single_window_pass(spark):
+    """All three lag columns must come from ONE Window operator
+    (shared partition+sort); the per-type corr aggregate reuses the
+    window's event_type partitioning."""
+    import re
+
+    plan = plan_of(spark, "ts_autocorrelation")
+    ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+    assert ops.count("Window") == 1
+    assert ops.count("Scan") == 1
+    assert ops.count("Exchange") == 2
