@@ -33,6 +33,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r6prep,
     tpch_suite,
     analytics_r6b,
+    analytics_r6c,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -170,6 +171,13 @@ _GRADE_FIRST = [
     "agg_jensen_shannon_drift",
     "sample_reservoir_topk_hash",
     "pipeline_token_budget_alloc",
+    # round-6 lead-in, continued: traversal/robust-stat/agreement
+    # block (queries/analytics_r6c.py, never graded)
+    "graph_bfs_levels",
+    "win_rolling_median",
+    "agg_cohens_kappa",
+    "ts_seasonal_naive_mae",
+    "tpch_q11_important_parts",
     "set_intersect",
     "set_except",
     "set_intersect_all",

@@ -1,0 +1,374 @@
+"""Round-6 lead-in, third block: traversal / robust-stat / agreement.
+
+Five more operators rounding out the analytic surface:
+
+- `graph_bfs_levels`       — breadth-first levels over the
+  part↔supplier bipartite graph (iterative frontier expansion, the
+  third iterative-graph primitive after PageRank and CC/LPA), with
+  a recursive-CTE oracle
+- `win_rolling_median`     — exact rolling 7-day median per feed (the
+  robust moving level estimate; mean-based smoothing follows spikes)
+- `agg_cohens_kappa`       — inter-labeler agreement (Cohen's κ)
+  between two heuristic document labelers, the dataset-annotation QA
+  statistic (raw agreement overstates consensus under imbalance)
+- `ts_seasonal_naive_mae`  — seasonal-naive (lag-7) forecast error
+  per feed: the standard forecastability floor every fancier model
+  must beat
+- `tpch_q11_important_parts` — TPC-H Q11 shape on the reduced
+  schema: parts whose inventory value exceeds a global-aggregate
+  threshold (group HAVING vs broadcast scalar; the ×-mean form is
+  scale-invariant where Q11's absolute fraction empties out as
+  cardinality grows)
+
+Portability: the rolling median averages two identically-derived
+doubles (exact halving, same tie side both engines); κ and MAE are
+exact-count / exact-decimal arithmetic; the Q11 threshold compares
+identically-constructed doubles derived from exact decimal sums;
+BFS levels are integers.
+
+Reference parity: the reference (prazanna/hbase-sep [R: path-level
+UNVERIFIED per SURVEY §0]) has no relational/graph layer; these are
+downstream-consumer workloads over its feed and dimension tables.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hbase_sep_spark.functions.portable import DEC
+from hbase_sep_spark.io import t
+from hbase_sep_spark.operators import text as T
+from hbase_sep_spark.registry import register
+
+
+@register(
+    "graph_bfs_levels",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+    ),
+    adj AS (
+        SELECT 'p' || pk AS src, 's' || sk AS dst FROM e
+        UNION ALL
+        SELECT 's' || sk AS src, 'p' || pk AS dst FROM e
+    ),
+    bfs(node, lvl) AS (
+        SELECT 'p1', 0
+        UNION
+        SELECT a.dst, b.lvl + 1
+        FROM bfs b JOIN adj a ON a.src = b.node
+        WHERE b.lvl < 6
+    )
+    SELECT node, CAST(min(lvl) AS INT) AS lvl
+    FROM bfs GROUP BY node
+    """,
+    section="2.4",
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first levels from part #1 over the part↔supplier
+    bipartite graph (nodes 'p<key>' / 's<key>', an edge per distinct
+    lineitem pair): each reachable node's hop distance — the
+    traversal primitive under impact analysis ("which parts are ≤ N
+    hops from this supplier") and graph-diameter audits.
+
+    The oracle replays it as a DuckDB recursive CTE with UNION
+    (distinct) recursion + min(level) — UNION ALL would enumerate
+    PATHS (combinatorial in a dense bipartite graph); the distinct
+    form is bounded by nodes × levels.
+
+    Scale shape: classic iterative frontier expansion — per round,
+    frontier ⋈ adjacency (hash equi-join on src), minus visited
+    (LEFT ANTI), both key-partitioned; per-round persist() cuts the
+    lineage (the CC/LPA discipline); rounds = graph diameter (3-4
+    here). No path enumeration, no cartesian; state is one row per
+    visited node."""
+    edges = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    adj = (
+        edges.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .unionByName(
+            edges.select(
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+            )
+        )
+        .persist()
+    )
+    visited = spark.createDataFrame([("p1", 0)], "node string, lvl int").persist()
+    frontier = visited
+    retained = [adj, visited]
+    for lvl in range(1, 20):
+        nxt = (
+            frontier.join(adj, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("lvl", F.lit(lvl).cast("int"))
+            .persist()
+        )
+        retained.append(nxt)
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).persist()
+        retained.append(visited)
+        frontier = nxt
+    # localCheckpoint materializes the result DISTRIBUTED (no driver
+    # collect) so the per-round intermediates can be released — the
+    # CC/LPA discipline (operators/dedup.py).
+    out = (
+        visited.select("node", F.col("lvl").cast("int").alias("lvl"))
+        .localCheckpoint(eager=True)
+    )
+    for df in retained:
+        df.unpersist()
+    return out
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events GROUP BY event_type, d
+    ),
+    rolled AS (
+        SELECT event_type, d,
+               list_sort(list(v) OVER w) AS arr,
+               len(list(v) OVER w) AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, d,
+           round((arr[CAST((n + 1) // 2 AS INT)]
+                  + arr[CAST(n // 2 + 1 AS INT)]) / 2, 4) + 0.0
+               AS roll_median
+    FROM rolled
+    """,
+    section="2.5",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day median of each feed's daily value total —
+    the robust moving level (a single spike day drags a moving mean
+    for a week; the median shrugs it off). Median of the ≤7-row
+    trailing frame via sorted-array middle picks: odd frames take
+    the middle, even frames average the two middles. The output
+    rounds at 4 dp, one digit PAST the value's true precision (the
+    half-sum of 2-decimal dailies has exactly 3 decimals), so the
+    round can never sit on a tie — at 2 dp a 537.925 median is a
+    live tie that Spark (shortest-repr HALF_UP) and DuckDB (binary
+    C round) resolve differently.
+
+    Scale shape: daily-grain aggregate, then ONE window pass per
+    key; the frame is a constant 7 rows so per-row work and state
+    are O(7) — this never becomes the holistic full-partition median
+    (that case is agg_weighted_median's two-level decomposition)."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("v").over(w7))
+    rolled = daily.select(
+        "event_type", "d", arr.alias("arr"), F.size(arr).alias("n")
+    )
+    lo = F.element_at("arr", F.expr("CAST((n + 1) DIV 2 AS INT)"))
+    hi = F.element_at("arr", F.expr("CAST(n DIV 2 + 1 AS INT)"))
+    return rolled.select(
+        "event_type",
+        "d",
+        (F.round((lo + hi) / 2, 4) + F.lit(0.0)).alias("roll_median"),
+    )
+
+
+@register(
+    "agg_cohens_kappa",
+    oracle="""
+    WITH lab AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+               CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END
+                   AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a) AS BIGINT) AS na,
+               CAST(sum(b) AS BIGINT) AS nb,
+               CAST(sum(a * b) AS BIGINT) AS n11
+        FROM lab
+    )
+    SELECT round(CAST(2 * n11 + n - na - nb AS DOUBLE) / n, 4) + 0.0
+               AS po,
+           round((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+                 + (CAST(n - na AS DOUBLE) / n) * (CAST(n - nb AS DOUBLE) / n),
+                 4) + 0.0 AS pe,
+           round((CAST(2 * n11 + n - na - nb AS DOUBLE) / n
+                  - ((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+                     + (CAST(n - na AS DOUBLE) / n)
+                       * (CAST(n - nb AS DOUBLE) / n)))
+                 / (1 - ((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+                         + (CAST(n - na AS DOUBLE) / n)
+                           * (CAST(n - nb AS DOUBLE) / n))),
+                 4) + 0.0 AS kappa
+    FROM c
+    """,
+    section="2.11",
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between two heuristic document labelers (length
+    labeler: n_chars ≥ 300; verbosity labeler: ≥ 55 whitespace
+    tokens) — the annotation-QA statistic: raw agreement (po) minus
+    chance agreement (pe), normalized. Under label imbalance po
+    alone overstates consensus; κ is what dataset-curation sign-offs
+    quote. All inputs are exact integer counts; po/pe/κ derive with
+    identical double expressions on both engines and round at 4 dp.
+
+    Scale shape: ONE scan, one 4-counter global aggregate
+    (map-side-combined), then constant-space arithmetic — the
+    confusion matrix never materializes per row."""
+    a = F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+    b = F.when(T.token_count_ws() >= 55, 1).otherwise(0)
+    c = (
+        t(spark, sf_dir, "documents")
+        .select(a.alias("a"), b.alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("a").cast("bigint").alias("na"),
+            F.sum("b").cast("bigint").alias("nb"),
+            F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        )
+    )
+    po = (2 * F.col("n11") + F.col("n") - F.col("na") - F.col("nb")).cast(
+        "double"
+    ) / F.col("n")
+    pe = (F.col("na").cast("double") / F.col("n")) * (
+        F.col("nb").cast("double") / F.col("n")
+    ) + ((F.col("n") - F.col("na")).cast("double") / F.col("n")) * (
+        (F.col("n") - F.col("nb")).cast("double") / F.col("n")
+    )
+    return c.select(
+        (F.round(po, 4) + F.lit(0.0)).alias("po"),
+        (F.round(pe, 4) + F.lit(0.0)).alias("pe"),
+        (F.round((po - pe) / (1 - pe), 4) + F.lit(0.0)).alias("kappa"),
+    )
+
+
+@register(
+    "ts_seasonal_naive_mae",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events GROUP BY event_type, d
+    ),
+    err AS (
+        SELECT event_type,
+               abs(v - lag(v, 7) OVER (PARTITION BY event_type ORDER BY d))
+                   AS e
+        FROM daily
+    )
+    SELECT event_type,
+           round(CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(e), 2)
+               AS mae,
+           round(max(e), 2) + 0.0 AS max_abs_err,
+           CAST(count(e) AS BIGINT) AS n_days
+    FROM err WHERE e IS NOT NULL
+    GROUP BY event_type
+    """,
+    section="2.4",
+)
+def ts_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast error per feed: predict each day with
+    the same weekday last week (lag-7) and report MAE, worst-day
+    error, and the scored-day count — the forecastability FLOOR
+    every real model must beat (if a model can't beat lag-7, the
+    series is noise or pure weekly seasonality). Errors are exact
+    to 6 decimals (differences of exact-decimal-derived doubles
+    snap back onto the decimal grid), so the MAE sum is
+    order-independent via the decimal cast.
+
+    Scale shape: daily-grain aggregate, one lag window, one
+    per-type aggregate — all sharing the event_type partitioning
+    after the first shuffle."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    err = daily.select(
+        "event_type",
+        F.abs(F.col("v") - F.lag("v", 7).over(w)).alias("e"),
+    ).filter(F.col("e").isNotNull())
+    return err.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("e").cast(DEC)).cast("double") / F.count("e"), 2
+        ).alias("mae"),
+        (F.round(F.max("e"), 2) + F.lit(0.0)).alias("max_abs_err"),
+        F.count("e").cast("bigint").alias("n_days"),
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS s
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(sum(s) AS DOUBLE) AS ts,
+               CAST(count(*) AS BIGINT) AS np
+        FROM v
+    )
+    SELECT l_partkey, CAST(round(s, 2) AS DOUBLE) AS part_value
+    FROM v, tot
+    WHERE CAST(s AS DOUBLE) * np * 2.0 > 3.0 * ts
+    """,
+    section="2.4",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock) on the reduced schema:
+    parts whose shipped value exceeds 1.5× the mean per-part value —
+    the group-HAVING-vs-global-scalar form. The ×-mean threshold is
+    scale-invariant (Q11's absolute 0.0001 fraction returns zero
+    rows once part cardinality grows — verified empty at sf0.01);
+    the compare multiplies identically-derived doubles on both
+    sides (s·np·2 > 3·total), never dividing, so no rounding sits
+    inside the predicate.
+
+    Scale shape: one map-side-combinable part aggregate; the 1-row
+    total broadcasts back (the aggregate subtree plans twice but
+    executes once — ReusedExchange, the heavy-hitters pattern); the
+    filter doesn't shuffle; only qualifying parts materialize."""
+    v = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("s"))
+    )
+    tot = v.agg(
+        F.sum("s").cast("double").alias("ts"),
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("s").cast("double") * F.col("np") * 2.0 > 3.0 * F.col("ts"))
+        .select(
+            "l_partkey",
+            F.round(F.col("s"), 2).cast("double").alias("part_value"),
+        )
+    )

@@ -1128,3 +1128,28 @@ def test_reservoir_sample_fixed_size_and_deterministic(spark):
 
     per_key = Counter(t for t, _ in a)
     assert all(v == 20 for v in per_key.values())  # sf0.001 has ≥20 per type
+
+
+def test_bfs_levels_structure(spark):
+    """BFS sanity on sf0.001: exactly one root at level 0 ('p1'),
+    level-1 equals part 1's distinct supplier set, and every level
+    is within the bipartite diameter bound."""
+    import pyspark.sql.functions as F
+
+    from hbase_sep_spark.io import t as _t
+    from hbase_sep_spark.registry import load_all
+
+    q = load_all()["graph_bfs_levels"]
+    rows = {r["node"]: r["lvl"] for r in q.fn(spark, SF_UNIT).collect()}
+    assert rows["p1"] == 0
+    assert sum(1 for v in rows.values() if v == 0) == 1
+    supp1 = {
+        "s%d" % r["l_suppkey"]
+        for r in _t(spark, SF_UNIT, "lineitem")
+        .filter(F.col("l_partkey") == 1)
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    }
+    assert {n for n, v in rows.items() if v == 1} == supp1
+    assert max(rows.values()) <= 6

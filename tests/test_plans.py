@@ -896,3 +896,33 @@ def test_autocorrelation_single_window_pass(spark):
     assert ops.count("Window") == 1
     assert ops.count("Scan") == 1
     assert ops.count("Exchange") == 2
+
+
+def test_r6c_single_scan_window_shapes(spark):
+    """Rolling median and seasonal-naive MAE: one scan, one window,
+    two exchanges (daily grain + event_type reuse). Cohen's kappa:
+    one scan, one exchange, no window, no join — the confusion
+    matrix is a 4-counter global aggregate."""
+    import re
+
+    for name, ex, win in [
+        ("win_rolling_median", 2, 1),
+        ("ts_seasonal_naive_mae", 2, 1),
+        ("agg_cohens_kappa", 1, 0),
+    ]:
+        plan = plan_of(spark, name)
+        ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+        assert ops.count("Scan") == 1, name
+        assert ops.count("Exchange") == ex, name
+        assert ops.count("Window") == win, name
+        assert not [o for o in ops if "Join" in o], name
+
+
+def test_q11_threshold_is_broadcast_scalar(spark):
+    """Q11's global threshold attaches as a 1-row broadcast (the
+    heavy-hitters pattern — the part-aggregate subtree re-executes
+    as ReusedExchange at runtime), never a shuffled join or a
+    data-sized nested loop."""
+    plan = plan_of(spark, "tpch_q11_important_parts")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
