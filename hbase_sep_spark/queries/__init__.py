@@ -34,6 +34,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     tpch_suite,
     analytics_r6b,
     analytics_r6c,
+    analytics_r6d,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -178,6 +179,11 @@ _GRADE_FIRST = [
     "agg_cohens_kappa",
     "ts_seasonal_naive_mae",
     "tpch_q11_important_parts",
+    # round-6 lead-in, continued: robust trend/outlier/card block
+    # (queries/analytics_r6d.py, never graded)
+    "agg_theil_sen_slope",
+    "win_hampel_outlier",
+    "pipeline_dataset_card_report",
     "set_intersect",
     "set_except",
     "set_intersect_all",

@@ -926,3 +926,30 @@ def test_q11_threshold_is_broadcast_scalar(spark):
     plan = plan_of(spark, "tpch_q11_important_parts")
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_r6d_robust_block_shapes(spark):
+    """Theil-Sen: the pairwise join is a hash EQUI-join on
+    event_type with the i<j band as residual — never a nested loop
+    (an O(d²) cartesian would be data-sized at a bigger calendar).
+    Hampel: one scan, both 7-row windows share one event_type
+    exchange. Dataset card: three scalar-aggregate scans, no join,
+    no per-doc rows reaching the union."""
+    import re
+
+    plan = plan_of(spark, "agg_theil_sen_slope")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+    assert [o for o in ops if "Join" in o] == ["BroadcastHashJoin"]
+
+    plan = plan_of(spark, "win_hampel_outlier")
+    ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+    assert ops.count("Scan") == 1
+    assert ops.count("Exchange") == 2
+    assert ops.count("Window") == 2
+    assert not [o for o in ops if "Join" in o]
+
+    plan = plan_of(spark, "pipeline_dataset_card_report")
+    ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+    assert ops.count("Scan") == 3
+    assert not [o for o in ops if "Join" in o]
