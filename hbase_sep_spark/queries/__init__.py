@@ -35,6 +35,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r6b,
     analytics_r6c,
     analytics_r6d,
+    analytics_r6e,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -184,6 +185,11 @@ _GRADE_FIRST = [
     "agg_theil_sen_slope",
     "win_hampel_outlier",
     "pipeline_dataset_card_report",
+    # round-6 lead-in, continued: similarity/chi2/WAU block
+    # (queries/analytics_r6e.py, never graded)
+    "text_source_similarity_matrix",
+    "agg_chi_square_independence",
+    "events_rolling_wau",
     "set_intersect",
     "set_except",
     "set_intersect_all",

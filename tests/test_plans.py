@@ -953,3 +953,29 @@ def test_r6d_robust_block_shapes(spark):
     ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
     assert ops.count("Scan") == 3
     assert not [o for o in ops if "Join" in o]
+
+
+def test_r6e_similarity_chi2_wau_shapes(spark):
+    """Similarity matrix: postings self-join is hash equi on the
+    word key (never cartesian/SMJ); norms broadcast. Chi²: one scan,
+    margins from windows over the 35-cell frame, no join. WAU: the
+    ×7 explode is a Generate (constant fan-out projection) and the
+    only join is the broadcast day-spine semi — no data×data range
+    join anywhere."""
+    import re
+
+    plan = plan_of(spark, "text_source_similarity_matrix")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    plan = plan_of(spark, "agg_chi_square_independence")
+    ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+    assert ops.count("Scan") == 1
+    assert not [o for o in ops if "Join" in o]
+
+    plan = plan_of(spark, "events_rolling_wau")
+    ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+    assert ops.count("Generate") == 1
+    assert [o for o in ops if "Join" in o] == ["BroadcastHashJoin"]
+    assert "CartesianProduct" not in plan
