@@ -36,6 +36,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r6c,
     analytics_r6d,
     analytics_r6e,
+    analytics_r6f,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -190,6 +191,10 @@ _GRADE_FIRST = [
     "text_source_similarity_matrix",
     "agg_chi_square_independence",
     "events_rolling_wau",
+    # round-6 lead-in, continued: BPE/Mann-Whitney block
+    # (queries/analytics_r6f.py, never graded)
+    "text_bpe_pair_stats",
+    "agg_mannwhitney_u",
     "set_intersect",
     "set_except",
     "set_intersect_all",

@@ -979,3 +979,27 @@ def test_r6e_similarity_chi2_wau_shapes(spark):
     assert ops.count("Generate") == 1
     assert [o for o in ops if "Join" in o] == ["BroadcastHashJoin"]
     assert "CartesianProduct" not in plan
+
+
+def test_r6f_bpe_and_mwu_shapes(spark):
+    """BPE pair stats: the bigram Generate sits AFTER the word
+    aggregate (vocab-sized, not corpus-sized) and the top-20 is
+    TakeOrderedAndProject. Mann-Whitney: the data-sized cumulative
+    window partitions by bucket (two-level decomposition — a global
+    ordered window over values would serialize), offsets come back
+    via broadcast."""
+    import re
+
+    plan = plan_of(spark, "text_bpe_pair_stats")
+    assert "TakeOrderedAndProject" in plan
+    ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+    # scan → first Generate (word split) → aggregate → second
+    # Generate (bigrams) AFTER the aggregate boundary.
+    agg_idx = ops.index("HashAggregate")
+    assert ops.index("Generate", agg_idx) > agg_idx
+    assert not [o for o in ops if "Join" in o]
+
+    plan = plan_of(spark, "agg_mannwhitney_u")
+    assert re.search(r"hashpartitioning\(bucket#", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
