@@ -37,6 +37,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r6d,
     analytics_r6e,
     analytics_r6f,
+    analytics_r6g,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -195,6 +196,9 @@ _GRADE_FIRST = [
     # (queries/analytics_r6f.py, never graded)
     "text_bpe_pair_stats",
     "agg_mannwhitney_u",
+    # round-6 lead-in, continued: KS drift test
+    # (queries/analytics_r6g.py, never graded)
+    "agg_ks_test",
     "set_intersect",
     "set_except",
     "set_intersect_all",

@@ -1003,3 +1003,15 @@ def test_r6f_bpe_and_mwu_shapes(spark):
     assert re.search(r"hashpartitioning\(bucket#", plan)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ks_test_two_level_rank_shape(spark):
+    """KS: both cumulative CDFs ride the bucket-partitioned window
+    (never a global ordered window over values); offsets and totals
+    attach by broadcast."""
+    import re
+
+    plan = plan_of(spark, "agg_ks_test")
+    assert re.search(r"hashpartitioning\(bucket#", plan)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
