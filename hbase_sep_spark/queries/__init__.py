@@ -38,6 +38,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r6e,
     analytics_r6f,
     analytics_r6g,
+    analytics_r6h,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -199,6 +200,7 @@ _GRADE_FIRST = [
     # round-6 lead-in, continued: KS drift test
     # (queries/analytics_r6g.py, never graded)
     "agg_ks_test",
+    "vec_kmeans_lloyd",
     "set_intersect",
     "set_except",
     "set_intersect_all",

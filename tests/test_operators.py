@@ -1153,3 +1153,22 @@ def test_bfs_levels_structure(spark):
     }
     assert {n for n, v in rows.items() if v == 1} == supp1
     assert max(rows.values()) <= 6
+
+
+def test_kmeans_lloyd_inertia_non_increasing(spark):
+    """Lloyd's theorem: each assign+update round cannot increase
+    total inertia; trajectory must also be deterministic across
+    fresh builds (first-k init + lowest-cid tie rule)."""
+    from hbase_sep_spark.registry import load_all
+
+    q = load_all()["vec_kmeans_lloyd"]
+    rows = sorted(
+        (q.raw or q.fn)(spark, SF_UNIT).collect(), key=lambda r: r["iteration"]
+    )
+    inertias = [r["inertia"] for r in rows]
+    assert len(inertias) == 3
+    assert all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:]))
+    rows2 = sorted(
+        (q.raw or q.fn)(spark, SF_UNIT).collect(), key=lambda r: r["iteration"]
+    )
+    assert [r["inertia"] for r in rows2] == inertias
