@@ -39,6 +39,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r6f,
     analytics_r6g,
     analytics_r6h,
+    analytics_r6i,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -201,6 +202,10 @@ _GRADE_FIRST = [
     # (queries/analytics_r6g.py, never graded)
     "agg_ks_test",
     "vec_kmeans_lloyd",
+    # round-6 lead-in, continued: weighted sampling / uptime
+    # (queries/analytics_r6i.py, never graded)
+    "sample_quality_weighted",
+    "events_uptime_pct",
     "set_intersect",
     "set_except",
     "set_intersect_all",

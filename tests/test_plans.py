@@ -1015,3 +1015,25 @@ def test_ks_test_two_level_rank_shape(spark):
     assert re.search(r"hashpartitioning\(bucket#", plan)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_quality_sample_is_scan_level_filter(spark):
+    """The weighted sampler must stay a single scan with zero
+    exchanges — quality expression and hash threshold both evaluate
+    in the scan's codegen stage."""
+    import re
+
+    plan = plan_of(spark, "sample_quality_weighted")
+    ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+    assert ops.count("Scan") == 1
+    assert not [o for o in ops if o == "Exchange"]
+    assert not [o for o in ops if "Join" in o]
+    assert "Python" not in plan
+
+
+def test_uptime_span_is_broadcast_scalar(spark):
+    """Uptime: the global minute span attaches as a 1-row broadcast;
+    no sort-merge join, no cartesian of data-sized sides."""
+    plan = plan_of(spark, "events_uptime_pct")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
