@@ -40,6 +40,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r6g,
     analytics_r6h,
     analytics_r6i,
+    analytics_r6j,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -206,6 +207,10 @@ _GRADE_FIRST = [
     # (queries/analytics_r6i.py, never graded)
     "sample_quality_weighted",
     "events_uptime_pct",
+    # round-6 lead-in, continued: lift / Spearman pair
+    # (queries/analytics_r6j.py, never graded)
+    "events_type_cooccurrence_lift",
+    "agg_spearman_corr",
     "set_intersect",
     "set_except",
     "set_intersect_all",

@@ -1037,3 +1037,23 @@ def test_uptime_span_is_broadcast_scalar(spark):
     plan = plan_of(spark, "events_uptime_pct")
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_r6j_lift_and_spearman_shapes(spark):
+    """Lift: the basket self-join is hash equi on (user, minute)
+    with the type ordering as residual — never cartesian; supports
+    broadcast. Spearman: one scan, windows over the calendar-bounded
+    frame, corr reuses the event_type partitioning — no join."""
+    import re
+
+    plan = plan_of(spark, "events_type_cooccurrence_lift")
+    ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+    assert "CartesianProduct" not in plan
+    # The only nested loop is the 1-row basket-total broadcast.
+    assert len([o for o in ops if o == "BroadcastNestedLoopJoin"]) <= 1
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(spark, "agg_spearman_corr")
+    ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+    assert ops.count("Scan") == 1
+    assert not [o for o in ops if "Join" in o]
