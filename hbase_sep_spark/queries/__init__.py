@@ -41,6 +41,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r6h,
     analytics_r6i,
     analytics_r6j,
+    analytics_r6k,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -211,6 +212,11 @@ _GRADE_FIRST = [
     # (queries/analytics_r6j.py, never graded)
     "events_type_cooccurrence_lift",
     "agg_spearman_corr",
+    # round-6 lead-in, continued: profile / OLS / drawdown block
+    # (queries/analytics_r6k.py, never graded)
+    "scan_table_profile",
+    "agg_ols_two_factor",
+    "ts_max_drawdown",
     "set_intersect",
     "set_except",
     "set_intersect_all",

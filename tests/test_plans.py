@@ -1057,3 +1057,22 @@ def test_r6j_lift_and_spearman_shapes(spark):
     ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
     assert ops.count("Scan") == 1
     assert not [o for o in ops if "Join" in o]
+
+
+def test_r6k_profile_ols_drawdown_shapes(spark):
+    """Profile and OLS: ONE scan each, global aggregates, no join
+    (per-column/per-moment scans would multiply reads). Drawdown:
+    the CUSUM discipline — one scan, shared event_type exchange,
+    no joins."""
+    import re
+
+    for name in ["agg_ols_two_factor", "ts_max_drawdown"]:
+        plan = plan_of(spark, name)
+        ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+        assert ops.count("Scan") == 1, name
+        assert not [o for o in ops if "Join" in o], name
+
+    plan = plan_of(spark, "scan_table_profile")
+    ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+    assert ops.count("Scan") == 1
+    assert not [o for o in ops if "Join" in o]
