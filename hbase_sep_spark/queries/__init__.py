@@ -42,6 +42,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r6i,
     analytics_r6j,
     analytics_r6k,
+    analytics_r6l,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -217,6 +218,7 @@ _GRADE_FIRST = [
     "scan_table_profile",
     "agg_ols_two_factor",
     "ts_max_drawdown",
+    "agg_benford_price_audit",
     "set_intersect",
     "set_except",
     "set_intersect_all",
