@@ -68,30 +68,36 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = emb.crossJoin(cdf).select(
             "vec_id", "embedding", "cid", d2.alias("d2")
         )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        # min_by aggregation instead of a per-point window: the
+        # argmin combines MAP-SIDE (each mapper emits one candidate
+        # per point), so the shuffle carries one row per point, not
+        # k — and there's no per-key sort. Ties break on (d2, cid).
         # Persist: both the stats fold and the M-step read the
         # assignment; without the cache the E-step executes twice
         # per round.
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cid", "d2")
+            scored.groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "embedding", "d2"),
+                    F.struct("d2", "cid"),
+                ).alias("s")
+            )
+            .select(
+                "vec_id",
+                F.col("s.embedding").alias("embedding"),
+                F.col("s.cid").alias("cid"),
+                F.col("s.d2").alias("d2"),
+            )
             .persist()
         )
+        # One action per round: the per-cluster stats (size, inertia)
+        # and the M-step centroid join before a single collect of
+        # k bounded rows.
         stats = assigned.groupBy("cid").agg(
             F.count(F.lit(1)).cast("bigint").alias("sz"),
             F.sum("d2").alias("inertia"),
         )
-        srows = stats.collect()
-        out_rows.append(
-            (
-                it,
-                float(sum(r["inertia"] for r in srows)),
-                int(max(r["sz"] for r in srows)),
-            )
-        )
-        # M-step: per-(cluster, dimension) mean, reassembled into
-        # centroid vectors; k·d rows reach the driver (bounded).
         newc = (
             assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -103,9 +109,16 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s["m"],
                 ).alias("cvec")
             )
-            .collect()
         )
-        cents = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in newc]
+        rows = stats.join(newc, "cid").collect()
+        out_rows.append(
+            (
+                it,
+                float(sum(r["inertia"] for r in rows)),
+                int(max(r["sz"] for r in rows)),
+            )
+        )
+        cents = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
         assigned.unpersist()
     return spark.createDataFrame(
         out_rows, "iteration int, inertia double, largest_cluster bigint"
