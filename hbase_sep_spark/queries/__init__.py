@@ -43,6 +43,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r6j,
     analytics_r6k,
     analytics_r6l,
+    tpch_suite2,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -219,6 +220,13 @@ _GRADE_FIRST = [
     "agg_ols_two_factor",
     "ts_max_drawdown",
     "agg_benford_price_audit",
+    # round-6 lead-in, continued: TPC-H completion part 2
+    # (queries/tpch_suite2.py — all 22 TPC-H now covered)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q16_parts_supplier_counts",
+    "tpch_q20_excess_stock_suppliers",
     "set_intersect",
     "set_except",
     "set_intersect_all",

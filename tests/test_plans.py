@@ -1076,3 +1076,28 @@ def test_r6k_profile_ols_drawdown_shapes(spark):
     ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
     assert ops.count("Scan") == 1
     assert not [o for o in ops if "Join" in o]
+
+
+def test_tpch_completion_part2_shapes(spark):
+    """Q6: all three predicates reach the parquet scan as
+    PushedFilters and the sum is partial+final. Q2/Q9/Q16/Q20: hash
+    equi-joins only — never a cartesian or nested loop beyond a
+    1-row broadcast scalar."""
+    import re
+
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThanOrEqual(l_discount,0.07)" in plan
+    assert "LessThan(l_quantity,24" in plan
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+
+    for name in [
+        "tpch_q2_min_cost_supplier",
+        "tpch_q9_product_profit",
+        "tpch_q16_parts_supplier_counts",
+        "tpch_q20_excess_stock_suppliers",
+    ]:
+        plan = plan_of(spark, name)
+        ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
+        assert "CartesianProduct" not in plan, name
+        assert len([o for o in ops if o == "BroadcastNestedLoopJoin"]) <= 1, name
