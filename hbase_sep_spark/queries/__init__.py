@@ -44,6 +44,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r6k,
     analytics_r6l,
     tpch_suite2,
+    analytics_r6m,
     relational_ext,
     sources_formats,
     analytics_ext,
@@ -227,6 +228,9 @@ _GRADE_FIRST = [
     "tpch_q9_product_profit",
     "tpch_q16_parts_supplier_counts",
     "tpch_q20_excess_stock_suppliers",
+    # round-6 lead-in, continued: consumer rebalance plan
+    # (queries/analytics_r6m.py, never graded)
+    "events_consumer_rebalance_plan",
     "set_intersect",
     "set_except",
     "set_intersect_all",

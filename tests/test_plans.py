@@ -1101,3 +1101,15 @@ def test_tpch_completion_part2_shapes(spark):
         ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
         assert "CartesianProduct" not in plan, name
         assert len([o for o in ops if o == "BroadcastNestedLoopJoin"]) <= 1, name
+
+
+def test_rebalance_rank_is_two_level(spark):
+    """The descending volume rank must partition its data-sized
+    window by bucket (two-level decomposition) with broadcast
+    offsets — never a single global ordered window over all keys."""
+    import re
+
+    plan = plan_of(spark, "events_consumer_rebalance_plan")
+    assert re.search(r"hashpartitioning\(bucket#", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
