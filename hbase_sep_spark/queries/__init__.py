@@ -204,8 +204,8 @@ _GRADE_FIRST = [
     # (queries/analytics_r6f.py, never graded)
     "text_bpe_pair_stats",
     "agg_mannwhitney_u",
-    # round-6 lead-in, continued: KS drift test
-    # (queries/analytics_r6g.py, never graded)
+    # round-6 lead-in, continued: KS drift test (analytics_r6g.py)
+    # and Lloyd k-means (analytics_r6h.py, rows-only) — never graded
     "agg_ks_test",
     "vec_kmeans_lloyd",
     # round-6 lead-in, continued: weighted sampling / uptime
@@ -217,7 +217,8 @@ _GRADE_FIRST = [
     "events_type_cooccurrence_lift",
     "agg_spearman_corr",
     # round-6 lead-in, continued: profile / OLS / drawdown block
-    # (queries/analytics_r6k.py, never graded)
+    # (queries/analytics_r6k.py) plus the Benford audit
+    # (queries/analytics_r6l.py) — never graded
     "scan_table_profile",
     "agg_ols_two_factor",
     "ts_max_drawdown",

@@ -58,7 +58,7 @@ from hbase_sep_spark.registry import register
         UNION
         SELECT a.dst, b.lvl + 1
         FROM bfs b JOIN adj a ON a.src = b.node
-        WHERE b.lvl < 6
+        WHERE b.lvl < 6  -- 6-hop cap, mirrored by the impl's loop bound
     )
     SELECT node, CAST(min(lvl) AS INT) AS lvl
     FROM bfs GROUP BY node
@@ -104,7 +104,11 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = spark.createDataFrame([("p1", 0)], "node string, lvl int").persist()
     frontier = visited
     retained = [adj, visited]
-    for lvl in range(1, 20):
+    # Both sides cap at 6 hops: the oracle's recursion bound is
+    # lvl < 6, so the impl MUST stop at level 6 too — a deeper
+    # exploration would emit rows the oracle never produces on a
+    # sparser fixture (the current graphs have diameter ≤ 4).
+    for lvl in range(1, 7):
         nxt = (
             frontier.join(adj, F.col("node") == F.col("src"))
             .select(F.col("dst").alias("node"))

@@ -118,7 +118,11 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(max(r["sz"] for r in rows)),
             )
         )
-        cents = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
+        # Lloyd's empty-cluster rule: a centroid that captured no
+        # points keeps its previous position (dropping it would
+        # silently shrink k for every later round).
+        new_by_cid = {int(r["cid"]): [float(x) for x in r["cvec"]] for r in rows}
+        cents = [(c, new_by_cid.get(c, v)) for c, v in cents]
         assigned.unpersist()
     return spark.createDataFrame(
         out_rows, "iteration int, inertia double, largest_cluster bigint"

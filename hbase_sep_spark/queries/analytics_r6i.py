@@ -26,13 +26,10 @@ from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import text as T
 from hbase_sep_spark.registry import register
 
-_QUALITY_SQL = f"""round(
-             (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END) * 0.4
-           + (CASE WHEN CAST(n_chars AS DOUBLE) / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)
-                        BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END) * 0.4
-           + (CASE WHEN len(list_intersect(string_split(text, ' '),
-                 [{", ".join(f"'{s}'" for lst in T.STOPWORDS.values() for s in lst)}])) > 0
-              THEN 1.0 ELSE 0.7 END) * 0.2, 4)"""
+# The ONE DuckDB mirror of operators/text.quality_score — shared
+# with pipeline_training_prep's oracle so a band/weight/stopword
+# tweak can never desynchronize the two.
+from hbase_sep_spark.queries.llm_extras import _DUCK_QUALITY as _QUALITY_SQL
 
 
 @register(

@@ -25,9 +25,12 @@ adapted shape-preservingly and say so in their docstring):
   the fixtures give every customer at least one order)
 
 Portability: revenue/balance sums go through DECIMAL(18,6)
-(functions/portable.py dsum rule); quantity sums cast to BIGINT
-(l_quantity is integer-valued in the fixtures, verified 0 non-integer
-rows at every SF); ratios divide two exact-decimal-derived doubles
+(functions/portable.py dsum rule); quantity sums round-then-cast to
+BIGINT on BOTH sides (explicit round(q, 0) — a bare double→BIGINT
+cast truncates in Spark but rounds-to-nearest in DuckDB, a live
+divergence if a future fixture regeneration makes quantities
+fractional; today they are integer-valued so the round is an exact
+no-op); ratios divide two exact-decimal-derived doubles
 then round to 4 dp with the -0.0 guard; Q15's max-revenue equality
 compares EXACT decimals, never rounded doubles; counts cast to
 BIGINT on both sides; dates emit as yyyy-MM-dd strings; every top-k
@@ -459,7 +462,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH partavg AS (
         SELECT l_partkey AS ap_partkey,
-               sum(CAST(l_quantity AS BIGINT)) / count(*) AS avg_qty
+               sum(CAST(round(l_quantity, 0) AS BIGINT)) / count(*) AS avg_qty
         FROM lineitem GROUP BY l_partkey
     )
     SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
@@ -491,7 +494,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partavg = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (
-            F.sum(F.col("l_quantity").cast("bigint")) / F.count(F.lit(1))
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")) / F.count(F.lit(1))
         ).alias("avg_qty")
     )
     brand = (
@@ -520,14 +523,14 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_name, c_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS o_date,
            o_totalprice,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+        HAVING sum(CAST(round(l_quantity, 0) AS BIGINT)) > 250
     )
     GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
     ORDER BY o_totalprice DESC, o_orderkey
@@ -549,7 +552,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 250)
         .select(F.col("l_orderkey").alias("big_orderkey"), "sum_qty")
     )

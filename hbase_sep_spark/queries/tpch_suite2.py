@@ -28,7 +28,7 @@ unique tiebreaks, dates as strings.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from hbase_sep_spark.functions.portable import DEC
 from hbase_sep_spark.io import t
@@ -96,8 +96,6 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
-    from pyspark.sql import Window
-
     cand = ps.join(F.broadcast(eur), F.col("sk") == F.col("s_suppkey")).withColumn(
         "best", F.min("cost").over(Window.partitionBy("pk"))
     )
@@ -276,7 +274,7 @@ def tpch_q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     WITH shipped AS (
         SELECT l_partkey AS pk, l_suppkey AS sk,
-               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sq
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
@@ -324,7 +322,7 @@ def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
         t(spark, sf_dir, "lineitem")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sq"))
+        .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).cast("bigint").alias("sq"))
     )
     tot = shipped.groupBy("pk").agg(F.sum("sq").cast("bigint").alias("t"))
     dom = (
