@@ -54,6 +54,8 @@ HEADLINE = [
     "graph_pagerank",         # iterative graph (cached edges, 3 rounds)
     "ts_daily_gapfill_ffill", # calendar densify + forward-fill window
     "agg_cms_freq_sketch",    # declarative count-min sketch
+    "tpch_q21_waiting_suppliers",  # EXISTS+NOT-EXISTS double decorrelation
+    "graph_bfs_levels",       # iterative frontier BFS vs recursive CTE
 ]
 
 
