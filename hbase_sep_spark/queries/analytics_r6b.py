@@ -223,17 +223,19 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     ),
     pq AS (
-        SELECT CAST(wd AS DOUBLE) / CAST(sum(wd) OVER () AS BIGINT) AS p,
-               CAST(we AS DOUBLE) / CAST(sum(we) OVER () AS BIGINT) AS q,
-               (CAST(wd AS DOUBLE) / CAST(sum(wd) OVER () AS BIGINT)
-                + CAST(we AS DOUBLE) / CAST(sum(we) OVER () AS BIGINT)) / 2
-                   AS m
+        SELECT CASE WHEN CAST(sum(wd) OVER () AS BIGINT) > 0
+                    THEN CAST(wd AS DOUBLE) / CAST(sum(wd) OVER () AS BIGINT)
+                    ELSE 0.0 END AS p,
+               CASE WHEN CAST(sum(we) OVER () AS BIGINT) > 0
+                    THEN CAST(we AS DOUBLE) / CAST(sum(we) OVER () AS BIGINT)
+                    ELSE 0.0 END AS q
         FROM cnts
-    )
+    ),
+    pqm AS (SELECT p, q, (p + q) / 2 AS m FROM pq)
     SELECT round(sum(0.5 * (CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END)
                     + 0.5 * (CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END)),
                  4) + 0.0 AS js_nats
-    FROM pq
+    FROM pqm
     """,
     section="2.4",
 )
@@ -242,8 +244,11 @@ def agg_jensen_shannon_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type distributions — the bounded symmetric drift scalar
     (0 = identical mixes, ln 2 = disjoint) that mixture-monitoring
     uses where KL's asymmetry and unboundedness hurt. Zero-mass
-    guards on both terms; probabilities are exact count ratios; the
-    final 5-term sum rounds at 4 dp.
+    guards on both terms AND on both class totals (an all-weekday
+    fixture must degrade to p=0 identically on both engines —
+    Spark nulls a double division by zero where DuckDB yields
+    inf/NaN); probabilities are exact count ratios; the final
+    5-term sum rounds at 4 dp.
 
     Scale shape: ONE scan — a conditional-count aggregate over the
     feed (the weekend test folds into map-side partials); the totals
@@ -262,9 +267,13 @@ def agg_jensen_shannon_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wall = Window.partitionBy()
-    p = F.col("wd").cast("double") / F.sum("wd").over(wall).cast("bigint")
-    q = F.col("we").cast("double") / F.sum("we").over(wall).cast("bigint")
-    pq = cnts.select(p.alias("p"), q.alias("q"), ((p + q) / 2).alias("m"))
+    swd = F.sum("wd").over(wall).cast("bigint")
+    swe = F.sum("we").over(wall).cast("bigint")
+    p = F.when(swd > 0, F.col("wd").cast("double") / swd).otherwise(F.lit(0.0))
+    q = F.when(swe > 0, F.col("we").cast("double") / swe).otherwise(F.lit(0.0))
+    pq = cnts.select(p.alias("p"), q.alias("q")).select(
+        "p", "q", ((F.col("p") + F.col("q")) / 2).alias("m")
+    )
     term_p = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / F.col("m"))).otherwise(0.0)
     term_q = F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / F.col("m"))).otherwise(0.0)
     return pq.agg(

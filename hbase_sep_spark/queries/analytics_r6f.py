@@ -118,8 +118,10 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n1 AS n_weekend, n2 AS n_weekday,
            CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2_weekend,
-           round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * n1 * n2), 4)
-               + 0.0 AS auc_weekend
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                           / (2.0 * n1 * n2), 4) + 0.0
+                ELSE CAST(NULL AS DOUBLE) END AS auc_weekend
     FROM s
     """,
     section="2.4",
@@ -130,7 +132,10 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact tie handling — tied values share their block's average
     rank. Everything rides a ×2 integer grid (2·avg_rank =
     2·cum − n + 1 is always integral), so U is EXACT int64 on both
-    engines and the AUC ratio U/(n₁n₂) is the only float (4 dp).
+    engines and the AUC ratio U/(n₁n₂) is the only float (4 dp,
+    NULL-guarded against an empty class: Spark nulls the zero
+    division where DuckDB yields inf/NaN, so the guard makes the
+    degenerate fixture case degrade identically).
     AUC ≈ 0.5 ⇒ no weekend shift; the same statistic read as
     P(weekend value > weekday value).
 
@@ -180,8 +185,11 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_weekend"),
         F.col("n2").alias("n_weekday"),
         u2.cast("bigint").alias("u2_weekend"),
-        (
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
             F.round(u2.cast("double") / (2.0 * F.col("n1") * F.col("n2")), 4)
-            + F.lit(0.0)
-        ).alias("auc_weekend"),
+            + F.lit(0.0),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("auc_weekend"),
     )

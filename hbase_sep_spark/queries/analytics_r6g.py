@@ -49,15 +49,21 @@ from hbase_sep_spark.registry import register
         FROM ranked
     ),
     d AS (
-        SELECT max(abs(CAST(cuma AS DOUBLE) / n1
-                       - CAST(cumb AS DOUBLE) / n2)) AS ks
+        SELECT max(CASE WHEN n1 > 0 AND n2 > 0
+                   THEN abs(CAST(cuma AS DOUBLE) / n1
+                            - CAST(cumb AS DOUBLE) / n2)
+                   ELSE 0.0 END) AS ks
         FROM ranked, tot
     )
     SELECT n1 AS n_weekend, n2 AS n_weekday,
            round(ks, 6) + 0.0 AS ks_d,
-           round(1.358 * sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2)),
-                 6) + 0.0 AS crit_5pct,
-           CAST(CASE WHEN ks > 1.358 * sqrt((CAST(n1 AS DOUBLE) + n2)
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN round(1.358 * sqrt((CAST(n1 AS DOUBLE) + n2)
+                                        / (CAST(n1 AS DOUBLE) * n2)),
+                           6) + 0.0
+                ELSE CAST(NULL AS DOUBLE) END AS crit_5pct,
+           CAST(CASE WHEN n1 > 0 AND n2 > 0
+                      AND ks > 1.358 * sqrt((CAST(n1 AS DOUBLE) + n2)
                                             / (CAST(n1 AS DOUBLE) * n2))
                      THEN 1 ELSE 0 END AS INT) AS reject_5pct
     FROM d, tot
@@ -71,7 +77,9 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap only changes at observed values, so evaluating at each
     distinct value is exact, and both CDFs come from integer
     cumulative counts; gap, critical value, and flag use mirrored
-    double arithmetic.
+    double arithmetic, all guarded on n1>0 AND n2>0 so an
+    empty-class fixture degrades identically (Spark nulls a zero
+    division where DuckDB yields inf/NaN).
 
     Scale shape: ties collapse in the per-value aggregate; the
     data-sized cumulative window partitions by value-range bucket
@@ -113,14 +121,18 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cuma").cast("bigint").alias("n1"),
         F.max("cumb").cast("bigint").alias("n2"),
     )
+    both = (F.col("n1") > 0) & (F.col("n2") > 0)
     d = (
         ranked.crossJoin(F.broadcast(tot))
         .agg(
             F.max(
-                F.abs(
-                    F.col("cuma").cast("double") / F.col("n1")
-                    - F.col("cumb").cast("double") / F.col("n2")
-                )
+                F.when(
+                    both,
+                    F.abs(
+                        F.col("cuma").cast("double") / F.col("n1")
+                        - F.col("cumb").cast("double") / F.col("n2")
+                    ),
+                ).otherwise(F.lit(0.0))
             ).alias("ks"),
             F.max("n1").alias("n1"),
             F.max("n2").alias("n2"),
@@ -134,6 +146,11 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_weekend"),
         F.col("n2").alias("n_weekday"),
         (F.round(F.col("ks"), 6) + F.lit(0.0)).alias("ks_d"),
-        (F.round(crit, 6) + F.lit(0.0)).alias("crit_5pct"),
-        F.when(F.col("ks") > crit, 1).otherwise(0).cast("int").alias("reject_5pct"),
+        F.when(both, F.round(crit, 6) + F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("crit_5pct"),
+        F.when(both & (F.col("ks") > crit), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("reject_5pct"),
     )

@@ -34,7 +34,9 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the post-assignment total squared distance and the largest
     cluster's size. Deterministic: centroids initialize to the
     first k vectors by vec_id; distance ties assign to the lowest
-    centroid id; means divide exact per-dimension sums.
+    centroid id; means and inertia come from decimal-cast sums
+    (order-independent across partitionings), summed driver-side in
+    cid order and rounded at 4 dp.
 
     Scale shape: the E-step is a broadcast of k·d floats against
     the point table (constant ×k fan-out, never a shuffled
@@ -94,14 +96,27 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # One action per round: the per-cluster stats (size, inertia)
         # and the M-step centroid join before a single collect of
         # k bounded rows.
+        # Decimal-cast sums (the portable.dsum discipline): each d2 /
+        # coordinate snaps to a fixed decimal grid before summing, so
+        # the aggregates are order-independent across shuffle configs
+        # and partitionings (ADVICE r5: raw double F.sum/F.avg leak
+        # combine-order low bits into the emitted inertia and the next
+        # round's centroids).
         stats = assigned.groupBy("cid").agg(
             F.count(F.lit(1)).cast("bigint").alias("sz"),
-            F.sum("d2").alias("inertia"),
+            F.sum(F.col("d2").cast("decimal(38,8)")).cast("double").alias("inertia"),
         )
         newc = (
             assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,12)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
             .groupBy("cid")
             .agg(
                 F.transform(
@@ -111,10 +126,21 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = stats.join(newc, "cid").collect()
+        # Sum in fixed cid order and round at 4 dp: collect() row
+        # order is nondeterministic, and the emitted inertia must be
+        # stable if rows-only outputs are ever diffed across runs.
         out_rows.append(
             (
                 it,
-                float(sum(r["inertia"] for r in rows)),
+                round(
+                    float(
+                        sum(
+                            r["inertia"]
+                            for r in sorted(rows, key=lambda r: int(r["cid"]))
+                        )
+                    ),
+                    4,
+                ),
                 int(max(r["sz"] for r in rows)),
             )
         )

@@ -29,22 +29,34 @@ from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
 
+def _fmt2(col: F.Column) -> F.Column:
+    """2-dp string formatting via round-then-decimal-cast, NOT printf:
+    Java format_string %.2f rounds HALF_UP where DuckDB printf is C
+    round-half-even, so a .xx5 tie would diverge. round() first (Spark
+    HALF_UP == DuckDB half-away-from-zero on an exact grid point, and
+    never a tie on ≤2-decimal inputs), nz the -0.0, then DECIMAL(18,2)
+    → string renders the fixed 2-dp form identically on both engines.
+    SQL mirror: CAST(CAST(round(x, 2) + 0.0 AS DECIMAL(18,2)) AS VARCHAR).
+    """
+    return (F.round(col, 2) + F.lit(0.0)).cast("decimal(18,2)").cast("string")
+
+
 @register(
     "scan_table_profile",
     oracle="""
     WITH s AS (
         SELECT CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_null,
                CAST(count(DISTINCT l_quantity) AS BIGINT) AS q_dist,
-               printf('%.2f', min(l_quantity)) AS q_min,
-               printf('%.2f', max(l_quantity)) AS q_max,
+               CAST(CAST(round(min(l_quantity), 2) + 0.0 AS DECIMAL(18,2)) AS VARCHAR) AS q_min,
+               CAST(CAST(round(max(l_quantity), 2) + 0.0 AS DECIMAL(18,2)) AS VARCHAR) AS q_max,
                CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_null,
                CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS p_dist,
-               printf('%.2f', min(l_extendedprice)) AS p_min,
-               printf('%.2f', max(l_extendedprice)) AS p_max,
+               CAST(CAST(round(min(l_extendedprice), 2) + 0.0 AS DECIMAL(18,2)) AS VARCHAR) AS p_min,
+               CAST(CAST(round(max(l_extendedprice), 2) + 0.0 AS DECIMAL(18,2)) AS VARCHAR) AS p_max,
                CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_null,
                CAST(count(DISTINCT l_discount) AS BIGINT) AS d_dist,
-               printf('%.2f', min(l_discount)) AS d_min,
-               printf('%.2f', max(l_discount)) AS d_max,
+               CAST(CAST(round(min(l_discount), 2) + 0.0 AS DECIMAL(18,2)) AS VARCHAR) AS d_min,
+               CAST(CAST(round(max(l_discount), 2) + 0.0 AS DECIMAL(18,2)) AS VARCHAR) AS d_max,
                CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_null,
                CAST(count(DISTINCT l_returnflag) AS BIGINT) AS f_dist,
                min(l_returnflag) AS f_min,
@@ -64,8 +76,8 @@ def scan_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     null count, exact distinct count, min, max — the
     data-quality/table-stats report that seeds CBO statistics and
     ingest validation. Doubles format at their native 2-decimal
-    precision so the string cells are repr-portable; strings pass
-    through.
+    precision via `_fmt2` (round-then-decimal-cast — printf tie
+    semantics differ between engines); strings pass through.
 
     Scale shape: ONE scan, one global aggregate carrying all 16
     statistics (distinct counts expand to grouping sets internally
@@ -75,16 +87,16 @@ def scan_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = li.agg(
         F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).cast("bigint").alias("q_null"),
         F.count_distinct(F.col("l_quantity")).cast("bigint").alias("q_dist"),
-        F.format_string("%.2f", F.min("l_quantity")).alias("q_min"),
-        F.format_string("%.2f", F.max("l_quantity")).alias("q_max"),
+        _fmt2(F.min("l_quantity")).alias("q_min"),
+        _fmt2(F.max("l_quantity")).alias("q_max"),
         F.sum(F.when(F.col("l_extendedprice").isNull(), 1).otherwise(0)).cast("bigint").alias("p_null"),
         F.count_distinct(F.col("l_extendedprice")).cast("bigint").alias("p_dist"),
-        F.format_string("%.2f", F.min("l_extendedprice")).alias("p_min"),
-        F.format_string("%.2f", F.max("l_extendedprice")).alias("p_max"),
+        _fmt2(F.min("l_extendedprice")).alias("p_min"),
+        _fmt2(F.max("l_extendedprice")).alias("p_max"),
         F.sum(F.when(F.col("l_discount").isNull(), 1).otherwise(0)).cast("bigint").alias("d_null"),
         F.count_distinct(F.col("l_discount")).cast("bigint").alias("d_dist"),
-        F.format_string("%.2f", F.min("l_discount")).alias("d_min"),
-        F.format_string("%.2f", F.max("l_discount")).alias("d_max"),
+        _fmt2(F.min("l_discount")).alias("d_min"),
+        _fmt2(F.max("l_discount")).alias("d_max"),
         F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).cast("bigint").alias("f_null"),
         F.count_distinct(F.col("l_returnflag")).cast("bigint").alias("f_dist"),
         F.min("l_returnflag").alias("f_min"),
