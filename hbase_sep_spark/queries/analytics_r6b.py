@@ -58,12 +58,31 @@ from hbase_sep_spark.registry import register
                lag(v, 3) OVER w AS l3
         FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
     ),
+    guarded AS (
+        SELECT event_type, v, l1, l2, l3,
+               count(l1) OVER wt >= 2
+                 AND min(CASE WHEN l1 IS NOT NULL THEN v END) OVER wt
+                     <> max(CASE WHEN l1 IS NOT NULL THEN v END) OVER wt
+                 AND min(l1) OVER wt <> max(l1) OVER wt AS ok1,
+               count(l2) OVER wt >= 2
+                 AND min(CASE WHEN l2 IS NOT NULL THEN v END) OVER wt
+                     <> max(CASE WHEN l2 IS NOT NULL THEN v END) OVER wt
+                 AND min(l2) OVER wt <> max(l2) OVER wt AS ok2,
+               count(l3) OVER wt >= 2
+                 AND min(CASE WHEN l3 IS NOT NULL THEN v END) OVER wt
+                     <> max(CASE WHEN l3 IS NOT NULL THEN v END) OVER wt
+                 AND min(l3) OVER wt <> max(l3) OVER wt AS ok3
+        FROM lagged WINDOW wt AS (PARTITION BY event_type)
+    ),
     per AS (
         SELECT event_type,
-               round(corr(v, l1), 4) + 0.0 AS a1,
-               round(corr(v, l2), 4) + 0.0 AS a2,
-               round(corr(v, l3), 4) + 0.0 AS a3
-        FROM lagged GROUP BY event_type
+               round(corr(CASE WHEN ok1 THEN v END,
+                          CASE WHEN ok1 THEN l1 END), 4) + 0.0 AS a1,
+               round(corr(CASE WHEN ok2 THEN v END,
+                          CASE WHEN ok2 THEN l2 END), 4) + 0.0 AS a2,
+               round(corr(CASE WHEN ok3 THEN v END,
+                          CASE WHEN ok3 THEN l3 END), 4) + 0.0 AS a3
+        FROM guarded GROUP BY event_type
     )
     SELECT event_type, CAST(1 AS INT) AS lag_k, a1 AS acf FROM per
     UNION ALL
@@ -79,7 +98,10 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seasonality/persistence detector. Daily sums are exact
     decimals cast to double (unrounded — full precision feeds the
     corr); corr rounds to 4 dp with the -0.0 guard; lag-undefined
-    head rows drop out of corr as null pairs on both engines.
+    head rows drop out of corr as null pairs on both engines; a
+    degenerate group (one pair, or zero variance) is nulled out
+    before corr on BOTH sides — ANSI Spark corr would otherwise
+    throw DIVIDE_BY_ZERO where DuckDB returns NULL.
 
     Scale shape: one shuffle to daily grain, ONE window pass produces
     all three lag columns (shared sort), and the per-type corr
@@ -98,10 +120,65 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("v", 2).over(w).alias("l2"),
         F.lag("v", 3).over(w).alias("l3"),
     )
-    per = lagged.groupBy("event_type").agg(
-        (F.round(F.corr("v", "l1"), 4) + F.lit(0.0)).alias("a1"),
-        (F.round(F.corr("v", "l2"), 4) + F.lit(0.0)).alias("a2"),
-        (F.round(F.corr("v", "l3"), 4) + F.lit(0.0)).alias("a3"),
+    # Degenerate-group guard (same hazard family as ADVICE r5): ANSI
+    # corr THROWS DIVIDE_BY_ZERO on a 1-pair or zero-variance group
+    # (probed: n=1 and constant-input both raise; n=0 returns NULL on
+    # both engines). A regenerated short-span fixture could leave a
+    # type with a single lag-k pair, crashing the whole job. Nulling
+    # both corr inputs on unsafe groups turns those into the safe
+    # n=0 case; min≠max is an exact zero-variance test. The guard
+    # windows ride the SAME event_type exchange — no extra shuffle.
+    wt = Window.partitionBy("event_type")
+
+    def ok(lk: str):
+        vp = F.when(F.col(lk).isNotNull(), F.col("v"))
+        return (
+            (F.count(lk).over(wt) >= 2)
+            & (F.min(vp).over(wt) != F.max(vp).over(wt))
+            & (F.min(lk).over(wt) != F.max(lk).over(wt))
+        )
+
+    guarded = lagged.select(
+        "event_type",
+        "v",
+        "l1",
+        "l2",
+        "l3",
+        ok("l1").alias("ok1"),
+        ok("l2").alias("ok2"),
+        ok("l3").alias("ok3"),
+    )
+    per = guarded.groupBy("event_type").agg(
+        (
+            F.round(
+                F.corr(
+                    F.when(F.col("ok1"), F.col("v")),
+                    F.when(F.col("ok1"), F.col("l1")),
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("a1"),
+        (
+            F.round(
+                F.corr(
+                    F.when(F.col("ok2"), F.col("v")),
+                    F.when(F.col("ok2"), F.col("l2")),
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("a2"),
+        (
+            F.round(
+                F.corr(
+                    F.when(F.col("ok3"), F.col("v")),
+                    F.when(F.col("ok3"), F.col("l3")),
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("a3"),
     )
     return per.select(
         "event_type",

@@ -219,14 +219,18 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
                  + (CAST(n - na AS DOUBLE) / n) * (CAST(n - nb AS DOUBLE) / n),
                  4) + 0.0 AS pe,
-           round((CAST(2 * n11 + n - na - nb AS DOUBLE) / n
+           CASE WHEN ((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+                      + (CAST(n - na AS DOUBLE) / n)
+                        * (CAST(n - nb AS DOUBLE) / n)) < 1
+                THEN round((CAST(2 * n11 + n - na - nb AS DOUBLE) / n
                   - ((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
                      + (CAST(n - na AS DOUBLE) / n)
                        * (CAST(n - nb AS DOUBLE) / n)))
                  / (1 - ((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
                          + (CAST(n - na AS DOUBLE) / n)
                            * (CAST(n - nb AS DOUBLE) / n))),
-                 4) + 0.0 AS kappa
+                 4) + 0.0
+                ELSE CAST(NULL AS DOUBLE) END AS kappa
     FROM c
     """,
     section="2.11",
@@ -266,7 +270,12 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         (F.round(po, 4) + F.lit(0.0)).alias("po"),
         (F.round(pe, 4) + F.lit(0.0)).alias("pe"),
-        (F.round((po - pe) / (1 - pe), 4) + F.lit(0.0)).alias("kappa"),
+        # pe = 1 (both labelers saturated — possible if a regenerated
+        # fixture makes every doc long) would put 0/0 here: Spark
+        # nulls it, DuckDB yields NaN. Guard so both degrade to NULL.
+        F.when(pe < 1, F.round((po - pe) / (1 - pe), 4) + F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("kappa"),
     )
 
 

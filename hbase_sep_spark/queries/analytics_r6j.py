@@ -143,10 +143,18 @@ def events_type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame
                + (CAST(count(*) OVER (PARTITION BY event_type, v) AS DOUBLE)
                   - 1) / 2 AS r
         FROM daily
+    ),
+    guarded AS (
+        SELECT event_type, i, r,
+               count(*) OVER wt >= 2
+                 AND min(r) OVER wt <> max(r) OVER wt AS ok
+        FROM ranked WINDOW wt AS (PARTITION BY event_type)
     )
-    SELECT event_type, round(corr(i, r), 4) + 0.0 AS spearman_rho,
+    SELECT event_type,
+           round(corr(CASE WHEN ok THEN i END, CASE WHEN ok THEN r END), 4)
+               + 0.0 AS spearman_rho,
            CAST(count(*) AS BIGINT) AS n_days
-    FROM ranked GROUP BY event_type
+    FROM guarded GROUP BY event_type
     """,
     section="2.4",
 )
@@ -155,7 +163,10 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     value: Pearson corr of (day index, tie-averaged value rank) —
     the monotonic-trend detector. Ranks use rank() + (ties−1)/2
     (exact half-integer grid, identical both engines); the corr
-    fold spans the 30-row bounded daily frame and rounds at 4 dp.
+    fold spans the 30-row bounded daily frame and rounds at 4 dp;
+    degenerate groups (one day, or all ranks tied) are nulled out
+    before corr on both sides — ANSI Spark corr would otherwise
+    throw where DuckDB returns NULL.
 
     Scale shape: daily-grain aggregate, then windows over the
     CALENDAR-BOUNDED per-type frame (30 rows/key) sharing one
@@ -185,7 +196,26 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2
         ).alias("r"),
     )
-    return ranked.groupBy("event_type").agg(
-        (F.round(F.corr("i", "r"), 4) + F.lit(0.0)).alias("spearman_rho"),
+    # Degenerate-group guard (the ts_autocorrelation pattern): ANSI
+    # corr throws DIVIDE_BY_ZERO on a 1-row or all-tied-rank group;
+    # nulling both inputs degrades those to the safe n=0 → NULL case
+    # identically on both engines. Same event_type exchange, no extra
+    # shuffle; i = row_number always varies when n ≥ 2.
+    wt = Window.partitionBy("event_type")
+    ok = (F.count(F.lit(1)).over(wt) >= 2) & (
+        F.min("r").over(wt) != F.max("r").over(wt)
+    )
+    guarded = ranked.select("event_type", "i", "r", ok.alias("ok"))
+    return guarded.groupBy("event_type").agg(
+        (
+            F.round(
+                F.corr(
+                    F.when(F.col("ok"), F.col("i")),
+                    F.when(F.col("ok"), F.col("r")),
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("spearman_rho"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
