@@ -139,10 +139,12 @@ _GRADE_FIRST = [
     "agg_mannwhitney_u",
     "agg_ks_test",
     "vec_kmeans_lloyd",
-    # never graded: table profile + OLS (analytics_r6k; the profile
-    # carries the ADVICE-r5 formatting fix)
+    # never graded: table profile (analytics_r6k; carries the
+    # ADVICE-r5 formatting fix)
     "scan_table_profile",
-    "agg_ols_two_factor",
+    # changed since green (r5): zero-variance guard found by the
+    # round-6 pathological-fixture sweep — must re-grade
+    "agg_skew_kurtosis_portable",
     # --- ~50-entry grading boundary (driver grades a bounded prefix).
     # Positions 51+ cost nothing and pay off if the bound is larger:
     # first stream_stateful_latest (rows-only; refactored this round
@@ -153,6 +155,7 @@ _GRADE_FIRST = [
     # remaining never-graded names, then the stalest pre-regeneration
     # greens (r1 filters/joins/aggs, then the r2 tail) per VERDICT r5
     # item 3.
+    "agg_ols_two_factor",
     "stream_stateful_latest",
     "ts_max_drawdown",
     "sample_quality_weighted",

@@ -1546,10 +1546,15 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
-                 / pow(m2r - m1 * m1, 1.5), 4) + 0.0 AS skewness_pop,
-           round((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1)
-                 / pow(m2r - m1 * m1, 2) - 3, 4) + 0.0 AS excess_kurtosis_pop
+           CASE WHEN m2r - m1 * m1 > 0
+                THEN round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+                     / pow(m2r - m1 * m1, 1.5), 4) + 0.0
+                ELSE CAST(NULL AS DOUBLE) END AS skewness_pop,
+           CASE WHEN m2r - m1 * m1 > 0
+                THEN round((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r
+                            - 3 * m1 * m1 * m1 * m1)
+                     / pow(m2r - m1 * m1, 2) - 3, 4) + 0.0
+                ELSE CAST(NULL AS DOUBLE) END AS excess_kurtosis_pop
     FROM m
     """,
     section="2.4",
@@ -1593,9 +1598,16 @@ def agg_skew_kurtosis_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     kurt = (m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1) / F.pow(
         var, 2
     ) - 3
+    # var = 0 (a constant or single-row group) would divide by zero:
+    # ANSI Spark throws where DuckDB yields inf/NaN (found by the
+    # pathological-fixture sweep, round 6). Guard both sides to NULL.
     return m.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
-        (F.round(skew, 4) + F.lit(0.0)).alias("skewness_pop"),
-        (F.round(kurt, 4) + F.lit(0.0)).alias("excess_kurtosis_pop"),
+        F.when(var > 0, F.round(skew, 4) + F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("skewness_pop"),
+        F.when(var > 0, F.round(kurt, 4) + F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("excess_kurtosis_pop"),
     )

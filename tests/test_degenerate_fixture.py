@@ -32,6 +32,7 @@ GUARDED = [
     "agg_cohens_kappa",          # pe = 1 → kappa 0/0 guard
     "ts_autocorrelation",        # 1-pair / zero-variance corr groups
     "agg_spearman_corr",         # 1-day groups → n=1 corr
+    "agg_skew_kurtosis_portable",  # zero-variance group → pow(0,..) div
 ]
 
 
@@ -52,10 +53,17 @@ def degenerate_sf(tmp_path_factory):
     # one type confined to a single day (1-day spearman group, 0 lag
     # pairs), another with exactly 2 days (1 lag-1 pair — the ANSI
     # corr crash case without the guard).
+    # Explicit casts: VALUES literals infer INT32/DECIMAL, but the
+    # real fixture schema is int64/double (FIXTURES.md) — a schema
+    # drift here makes every events query emit Decimal cells and
+    # breaks the streaming source's declared long/double schema.
     con.execute(
         f"""
         COPY (
-            SELECT * FROM (VALUES
+            SELECT CAST(event_id AS BIGINT) AS event_id, ts,
+                   CAST(user_id AS BIGINT) AS user_id, event_type,
+                   CAST(value AS DOUBLE) AS value, props
+            FROM (VALUES
                 (1, TIMESTAMP '2024-01-03 10:00:00', 1, 'click',    1.5, '{{"k": 1}}'),
                 (2, TIMESTAMP '2024-01-03 11:00:00', 2, 'click',    2.5, '{{"k": 2}}'),
                 (3, TIMESTAMP '2024-01-04 10:00:00', 1, 'click',    3.5, '{{"k": 3}}'),
@@ -64,6 +72,7 @@ def degenerate_sf(tmp_path_factory):
                 (6, TIMESTAMP '2024-01-04 12:00:00', 1, 'view',     4.0, '{{"k": 6}}'),
                 (7, TIMESTAMP '2024-01-04 13:00:00', 2, 'view',     4.0, '{{"k": 7}}')
             ) t(event_id, ts, user_id, event_type, value, props)
+            ORDER BY ts, event_id
         ) TO '{dst}/events.parquet' (FORMAT PARQUET)
         """
     )
