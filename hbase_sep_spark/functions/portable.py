@@ -94,6 +94,25 @@ def round_nz(col, scale: int) -> Column:
     return F.round(_c(col), scale) + F.lit(0.0)
 
 
+KNUTH = 2654435761
+HASH_MOD = 4294967296  # 2^32
+# Reduce the id modulo 2^31 BEFORE the Knuth multiply: (2^31 - 1) * K
+# ≤ 7.02e18 < 2^63 for every multiplier ≤ 2^32, so the product can
+# never hit ANSI ARITHMETIC_OVERFLOW however large the id grows (a
+# bare id * K throws once id exceeds ~2.8e9 — realistic at 100 TB).
+# Values are unchanged for id < 2^31, which covers every fixture SF.
+HASH_ID_MOD = 2147483648  # 2^31
+
+
+def knuth_hash(col, k: int = KNUTH, m: int = HASH_MOD) -> Column:
+    """Overflow-safe multiplicative (Knuth) hash of an integer id.
+
+    SQL mirror (use verbatim in oracles):
+      ((id % 2147483648) * <k>) % <m>
+    """
+    return ((_c(col) % F.lit(HASH_ID_MOD)) * F.lit(k)) % F.lit(m)
+
+
 def arr_str(arr, fmt: str | None = None, sep: str = ",") -> Column:
     """Serialize an array column to a delimited string so the result
     never carries a list cell past the driver's canonicalizer.

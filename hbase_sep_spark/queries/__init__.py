@@ -154,9 +154,20 @@ _GRADE_FIRST = [
     # queued here per the changed-since-green prudence), then the 7
     # remaining never-graded names, then the stalest pre-regeneration
     # greens (r1 filters/joins/aggs, then the r2 tail) per VERDICT r5
-    # item 3.
+    # item 3.  The five hash-hardened greens (overflow-safe
+    # knuth_hash rewrite, round 6) sit here rather than inside the
+    # bound: their outputs are PROVABLY unchanged at fixture scale
+    # (id < 2^31 ⇒ (id % 2^31) = id, re-confirmed by the harness
+    # value-hash under two shuffle configs), and displacing five
+    # never-graded first-grades would cost more than re-confirming
+    # values already proven identical. They lead round 7.
     "agg_ols_two_factor",
     "stream_stateful_latest",
+    "agg_cms_freq_sketch",
+    "pipeline_dataset_split",
+    "agg_kmv_distinct_sketch",
+    "sample_bernoulli_hash",
+    "pipeline_mixture_sample",
     "ts_max_drawdown",
     "sample_quality_weighted",
     "events_uptime_pct",

@@ -34,6 +34,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hbase_sep_spark.functions.portable import knuth_hash
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import text as T
 from hbase_sep_spark.registry import register
@@ -312,15 +313,21 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Four independent integer hash rows (Knuth + xxhash-family odd
-# multipliers). (user_id+1)*K stays < 2^52 — exact in both engines'
-# int64 arithmetic, so the oracle replays the sketch bit-for-bit.
+# multipliers). The id reduces mod 2^31 BEFORE the multiply
+# (portable.knuth_hash rule): (2^31 - 1) * K < 2^63 for every
+# multiplier, so ANSI can never ARITHMETIC_OVERFLOW at any id scale
+# (a bare (user_id+1) * K throws once ids exceed ~2.8e9 — realistic
+# at 100 TB), values unchanged for fixture-scale ids, and the oracle
+# replays the sketch bit-for-bit in exact int64.
 _CMS_KS = (2654435761, 2246822519, 3266489917, 668265263)
 _CMS_W = 256
 _CMS_M = 4294967296
 
 
 def _cms_bucket_sql(i: int) -> str:
-    return f"(((user_id + 1) * {_CMS_KS[i]}) % {_CMS_M}) % {_CMS_W}"
+    return (
+        f"((((user_id + 1) % 2147483648) * {_CMS_KS[i]}) % {_CMS_M}) % {_CMS_W}"
+    )
 
 
 @register(
@@ -372,7 +379,7 @@ def agg_cms_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    (((F.col("user_id") + 1) * F.lit(k)) % _CMS_M) % _CMS_W
+                    knuth_hash(F.col("user_id") + 1, k=k, m=_CMS_M) % _CMS_W
                     for k in _CMS_KS
                 ]
             )
@@ -399,8 +406,10 @@ def agg_cms_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT lang, n_chars, doc_id,
-               CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-                    WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+               CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
+                         % 100 < 80 THEN 'train'
+                    WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
+                         % 100 < 90 THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
     )
@@ -425,7 +434,7 @@ def pipeline_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no salt); the audit is one map-side-combinable aggregate
     on a 15-cell key space."""
     d = t(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    bucket = knuth_hash("doc_id") % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -513,7 +522,7 @@ _KMV_K = 32
     oracle=f"""
     WITH h AS (
         SELECT DISTINCT event_type,
-               ((user_id + 1) * 2654435761) % 4294967296 AS hv
+               (((user_id + 1) % 2147483648) * 2654435761) % 4294967296 AS hv
         FROM events
     ),
     rk AS (
@@ -560,7 +569,7 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     h = ev.select(
         "event_type",
-        (((F.col("user_id") + 1) * 2654435761) % 4294967296).alias("hv"),
+        knuth_hash(F.col("user_id") + 1).alias("hv"),
     ).distinct()
     rn = F.row_number().over(Window.partitionBy("event_type").orderBy("hv"))
     sk = (

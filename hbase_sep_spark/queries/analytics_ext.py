@@ -21,6 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hbase_sep_spark.functions.portable import knuth_hash
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import text as T
 from hbase_sep_spark.registry import register
@@ -220,7 +221,7 @@ _MIX_RATE_SQL = "CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.8 ELSE 1.0 END"
     oracle=f"""
     WITH flagged AS (
         SELECT lang,
-               (doc_id * 2654435761) % 4294967296
+               ((doc_id % 2147483648) * 2654435761) % 4294967296
                    < ({_MIX_RATE_SQL}) * 4294967296 AS kept
         FROM documents
     )
@@ -241,8 +242,9 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike rand()-based sampling the mixture is reproducible across
     runs, engines, and repartitionings — the property that makes a
-    training-data mix auditable.  Exact integer arithmetic throughout
-    (doc_id·knuth ≪ 2^63).  Scale shape: the keep decision is a scan
+    training-data mix auditable.  Overflow-safe exact integer
+    arithmetic throughout (portable.knuth_hash: id reduced mod 2^31
+    before the multiply).  Scale shape: the keep decision is a scan
     predicate (no shuffle); the report is one tiny hash aggregate."""
     d = t(spark, sf_dir, "documents")
     rate = (
@@ -250,7 +252,7 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("lang") == "zh", 0.8)
         .otherwise(1.0)
     )
-    kept = ((F.col("doc_id") * 2654435761) % 4294967296) < rate * 4294967296
+    kept = knuth_hash("doc_id") < rate * 4294967296
     return (
         d.select("lang", kept.alias("kept"))
         .groupBy("lang")

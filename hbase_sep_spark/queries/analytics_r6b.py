@@ -37,7 +37,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from hbase_sep_spark.functions.portable import DEC
+from hbase_sep_spark.functions.portable import DEC, knuth_hash
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import text as T
 from hbase_sep_spark.registry import register
@@ -366,7 +366,8 @@ def agg_jensen_shannon_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, event_id,
                row_number() OVER (
                    PARTITION BY event_type
-                   ORDER BY (event_id * 2654435761) % 4294967296, event_id
+                   ORDER BY ((event_id % 2147483648) * 2654435761)
+                            % 4294967296, event_id
                ) AS rk
         FROM events
     )
@@ -380,14 +381,16 @@ def sample_reservoir_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform without-replacement reservoir sample, but reproducible
     across engines, runs, and repartitionings (rand()-based
     reservoirs are none of these), so the sample is auditable and
-    re-joinable downstream. Exact integer hash (event_id·knuth ≤
-    2.7e14 ≪ 2^63); hash ties break on event_id.
+    re-joinable downstream. Overflow-safe exact integer hash
+    (portable.knuth_hash: id reduced mod 2^31 before the multiply,
+    so ANSI can never overflow at any id scale); hash ties break on
+    event_id.
 
     Scale shape: one hash-partitioned window per key with the
     rk ≤ 20 predicate — Spark plans WindowGroupLimit, so each map
     partition keeps a 20-row heap per key BEFORE the shuffle;
     per-key state is O(k), never the key's full row set."""
-    h = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    h = knuth_hash("event_id")
     w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
     return (
         t(spark, sf_dir, "events")

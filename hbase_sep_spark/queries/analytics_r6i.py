@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from hbase_sep_spark.functions.portable import knuth_hash
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import text as T
 from hbase_sep_spark.registry import register
@@ -41,7 +42,8 @@ from hbase_sep_spark.queries.llm_extras import _DUCK_QUALITY as _QUALITY_SQL
     )
     SELECT doc_id, lang, quality
     FROM scored
-    WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+    WHERE CAST(((doc_id % 2147483648) * 2654435761) % 4294967296
+               AS DOUBLE)
           < quality * 0.5 * 4294967296
     """,
     section="2.11",
@@ -59,7 +61,7 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan, one filter — the quality expression and
     the hash are both scan-level codegen; no shuffle, no state."""
     d = t(spark, sf_dir, "documents")
-    h = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).cast("double")
+    h = knuth_hash("doc_id").cast("double")
     q = T.quality_score()
     return (
         d.select("doc_id", "lang", q.alias("quality"))

@@ -28,6 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hbase_sep_spark.functions.portable import knuth_hash
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -764,7 +765,7 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_sep_spark.operators.dedup import minhash_near_dup_pairs
 
     docs = t(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296 % 100
+    bucket = knuth_hash("doc_id") % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )

@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from hbase_sep_spark.functions import arr_str
+from hbase_sep_spark.functions.portable import knuth_hash
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import dedup as D
 from hbase_sep_spark.operators import text as T
@@ -763,7 +764,8 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang, n_chars
     FROM documents
-    WHERE (doc_id * 2654435761) % 4294967296 < 0.2 * 4294967296
+    WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296
+          < 0.2 * 4294967296
     """,
     section=SECTION,
 )
@@ -774,9 +776,11 @@ def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     nondeterministic across engines, runs, and partitionings; a pure
     arithmetic hash on the key is identical everywhere and stable
     under repartitioning, so the sample is auditable and re-joinable
-    at any later stage). Exact integer arithmetic: doc_id * knuth ≈
-    2.7e14 ≪ 2^63, portable across both engines. The filter is a
-    scan-level predicate — no shuffle, no state."""
+    at any later stage). Overflow-safe exact integer arithmetic
+    (portable.knuth_hash: id reduced mod 2^31 before the multiply, so
+    ANSI can never overflow at any id scale), portable across both
+    engines. The filter is a scan-level predicate — no shuffle, no
+    state."""
     d = t(spark, sf_dir, "documents")
-    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    u = knuth_hash("doc_id")
     return d.filter(u < F.lit(0.2 * 4294967296)).select("doc_id", "lang", "n_chars")

@@ -886,14 +886,17 @@ def test_drift_block_is_single_scan_no_joins(spark):
 
 
 def test_autocorrelation_single_window_pass(spark):
-    """All three lag columns must come from ONE Window operator
-    (shared partition+sort); the per-type corr aggregate reuses the
-    window's event_type partitioning."""
+    """All three lag columns must come from ONE sorted Window
+    operator, and the round-6 degenerate-group guard (unordered
+    per-type min/max, a SECOND Window spec) plus the per-type corr
+    aggregate must REUSE the same event_type exchange — still two
+    exchanges total (daily grain + event_type), one scan, one Sort."""
     import re
 
     plan = plan_of(spark, "ts_autocorrelation")
     ops = [m.split()[-1] for m in re.findall(r"\(\d+\) \w+", plan)]
-    assert ops.count("Window") == 1
+    assert ops.count("Window") == 2
+    assert ops.count("Sort") == 1
     assert ops.count("Scan") == 1
     assert ops.count("Exchange") == 2
 
