@@ -52,10 +52,13 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out_rows = []
     for it in range(_ITERS):
+        # cid is the seeding vec_id — BIGINT, not int: a 100 TB
+        # embedding table has ids past 2^31 (the big-id sweep caught
+        # the int schema overflowing at vec_id = 5e9).
         cdf = F.broadcast(
             spark.createDataFrame(
                 [Row(cid=c, cvec=v) for c, v in cents],
-                "cid int, cvec array<double>",
+                "cid bigint, cvec array<double>",
             )
         )
         d2 = F.aggregate(
