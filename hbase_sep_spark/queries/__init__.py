@@ -168,6 +168,18 @@ _GRADE_FIRST = [
     "agg_kmv_distinct_sketch",
     "sample_bernoulli_hash",
     "pipeline_mixture_sample",
+    # ... and the eight null-policy greens (round-6 null sweep:
+    # NULL-value min_by/max_by, NULL-text shingles/payloads, NULL
+    # props, and the tie-free integer average) — values unchanged on
+    # null-free data, harness value-hash re-confirmed.
+    "ts_weekly_ohlc",
+    "json_to_map",
+    "text_fingerprint",
+    "text_repetition_ratio",
+    "text_contamination_check",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "events_hourly_seasonality",
     "ts_max_drawdown",
     "sample_quality_weighted",
     "events_uptime_pct",
@@ -221,7 +233,6 @@ _GRADE_FIRST = [
     "cond_case_coalesce",
     "cast_types",
     "json_extract_props",
-    "json_to_map",
     "arr_construct_contains",
     "arr_explode",
     "arr_sort_distinct_slice",

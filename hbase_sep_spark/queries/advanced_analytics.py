@@ -1498,6 +1498,34 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _iavg4():
+    """Exact integer half-away-from-zero 4-dp average of `value` over
+    count(*) — the davg form without the double rounding-tie.
+
+    round(sum/count, s) on a DOUBLE quotient diverges between engines
+    whenever the quotient TERMINATES exactly one digit past the scale
+    (found by the round-6 null sweep: sum 319.03 / count 8 = 39.87875
+    exactly — Spark's round works on the shortest decimal repr and
+    HALF_UPs to .8788, DuckDB rounds the binary, which sits below the
+    tie, to .8787). The integer form computes
+    sign · (2·|S₆| + C·10^(6-s)) div (2·C·10^(6-s)) over exact micros
+    — no double ever holds an unrounded quotient, so no tie exists.
+    SQL mirror: the CASE/abs/`//` expression in the oracle above.
+    Floor-vs-truncate is moot: both operands are non-negative after
+    abs, and all intermediates (≤ ~2e9 here) are far below 2^53 so
+    Spark's floor(a/b) equals integer division exactly.
+    """
+    s6 = F.sum(F.round(F.col("value") * 1000000, 0).cast("long"))
+    d = F.count(F.lit(1)) * 100  # C · 10^(6-4)
+    q = F.floor((2 * F.abs(s6) + d) / (2 * d)).cast("long")
+    return (
+        F.when(s6.isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            (F.when(s6 < 0, -1).otherwise(1) * q).cast("double") / F.lit(10000.0)
+        )
+    )
+
+
 @register(
     "events_hourly_seasonality",
     oracle="""
@@ -1505,8 +1533,14 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_part('hour', ts) AS INT) AS hour,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 4) AS avg_value
+           CAST(CASE WHEN sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                          IS NULL THEN NULL
+                ELSE (CASE WHEN sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                                < 0 THEN -1 ELSE 1 END)
+                     * ((2 * abs(sum(CAST(round(value * 1000000, 0) AS BIGINT)))
+                         + count(*) * 100)
+                        // (2 * count(*) * 100)) END AS DOUBLE) / 10000.0
+               AS avg_value
     FROM events GROUP BY 1, 2
     """,
     section="2.5",
@@ -1530,11 +1564,7 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            4,
-        ).alias("avg_value"),
+        _iavg4().alias("avg_value"),
     )
 
 

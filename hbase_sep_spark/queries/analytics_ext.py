@@ -173,7 +173,8 @@ def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition_ratio",
     oracle="""
     WITH w AS (
-        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+        FROM documents
     ),
     sh AS (
         SELECT doc_id,
@@ -204,7 +205,14 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct would run on xxhash64(shingle) digests (kept as
     strings here so the oracle replays equality exactly)."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(T.shingles("text", 5)).alias("shingle"))
+    # NULL text → '' on BOTH sides (round-6 null sweep: a NULL doc
+    # otherwise yields a NULL shingle in DuckDB but '' in Spark).
+    sh = d.select(
+        "doc_id",
+        F.explode(T.shingles(F.coalesce(F.col("text"), F.lit("")), 5)).alias(
+            "shingle"
+        ),
+    )
     ratio = 1.0 - F.count_distinct("shingle").cast("double") / F.count(F.lit(1))
     return sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles"),

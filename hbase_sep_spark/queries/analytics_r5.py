@@ -192,12 +192,17 @@ def ts_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapper, never the events. Single Exchange, pinned."""
     ev = t(spark, sf_dir, "events")
     okey = F.format_string("%020d-%010d", F.unix_micros("ts"), F.col("event_id"))
+    # NULL-value rows must not win open/close: DuckDB arg_min/arg_max
+    # skip rows whose VALUE argument is NULL, but Spark min_by/max_by
+    # return them (probed, round-6 null sweep). Nulling the ORDER key
+    # for null values makes Spark skip the same rows.
+    vkey = F.when(F.col("value").isNotNull(), okey)
     return ev.groupBy(
         "user_id",
         F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
     ).agg(
-        F.min_by("value", okey).alias("open_v"),
-        F.max_by("value", okey).alias("close_v"),
+        F.min_by("value", vkey).alias("open_v"),
+        F.max_by("value", vkey).alias("close_v"),
         F.min("value").alias("low_v"),
         F.max("value").alias("high_v"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),

@@ -96,7 +96,7 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH vals AS (
         SELECT value AS v,
                CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     grouped AS (
         SELECT v, CAST(count(*) AS BIGINT) AS n,
@@ -147,8 +147,13 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast offsets, then a fully parallel within-bucket
     cumulative. The final aggregate carries three int64s."""
     weekend = F.dayofweek("ts").isin(1, 7)
+    # Rank tests are defined over observed values: drop NULLs on BOTH
+    # sides (a null-bearing fixture would otherwise diverge — the
+    # impl's bucket equi-join silently drops the NULL bucket while
+    # the oracle's global window ranks it).
     grouped = (
         t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
         .select(F.col("value").alias("v"), F.when(weekend, 1).otherwise(0).alias("a"))
         .groupBy("v")
         .agg(

@@ -29,7 +29,7 @@ from hbase_sep_spark.registry import register
     WITH vals AS (
         SELECT value AS v,
                CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     grouped AS (
         SELECT v, CAST(count(*) AS BIGINT) AS n,
@@ -87,8 +87,12 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern — the oracle's single global ordered window is the
     thing that cannot scale); the final fold carries four numbers."""
     weekend = F.dayofweek("ts").isin(1, 7)
+    # NULL values drop on BOTH sides (the Mann-Whitney rationale:
+    # the bucket equi-join would silently drop the NULL bucket while
+    # the oracle's global window ranks it).
     grouped = (
         t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
         .select(F.col("value").alias("v"), F.when(weekend, 1).otherwise(0).alias("a"))
         .groupBy("v")
         .agg(

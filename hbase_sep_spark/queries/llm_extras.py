@@ -245,9 +245,11 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           sha256(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' '))
+           sha256(array_to_string(list_sort(list_distinct(
+               string_split(lower(trim(coalesce(text, ''))), ' '))), ' '))
                AS fingerprint,
-           CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS INT) AS vocab_size
+           CAST(len(list_distinct(string_split(lower(trim(coalesce(text, ''))), ' ')))
+                AS INT) AS vocab_size
     FROM documents
     """,
     section=SECTION,
@@ -258,7 +260,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact hash misses; the rolling-hash/winnowing variant is the
     MinHash path in operators.dedup)."""
     d = t(spark, sf_dir, "documents")
-    norm_words = F.split(F.lower(F.trim(F.col("text"))), " ")
+    # NULL text → '' on BOTH sides (round-6 null sweep: Spark's
+    # concat_ws silently skips a NULL array, hashing '' while DuckDB
+    # NULLs the whole row).
+    norm_words = F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), " ")
     return d.select(
         "doc_id",
         F.sha2(F.concat_ws(" ", F.array_sort(F.array_distinct(norm_words))), 256).alias("fingerprint"),
@@ -270,10 +275,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_stub",
     oracle="""
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           lower(hex(encode(substring(text, 1, 8)))) AS head_hex,
-           CAST(1 + (octet_length(encode(text)) * 31) % 1024 AS INT) AS width,
-           CAST(1 + (octet_length(encode(text)) * 17) % 768 AS INT) AS height,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+           lower(hex(encode(substring(coalesce(text, ''), 1, 8)))) AS head_hex,
+           CAST(1 + (octet_length(encode(coalesce(text, ''))) * 31) % 1024
+                AS INT) AS width,
+           CAST(1 + (octet_length(encode(coalesce(text, ''))) * 17) % 768
+                AS INT) AS height,
            false AS decoded,
            lang
     FROM documents
@@ -299,9 +306,12 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus would need blob slicing on the oracle side.)
     """
     d = t(spark, sf_dir, "documents")
+    # NULL text → empty payload on BOTH sides: a null-bearing fixture
+    # would otherwise crash the Python worker on len(None) (null
+    # sweep, round 6) while the oracle NULLed the whole row.
     with_payload = d.select(
         "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
         F.struct("lang", "source", "n_chars").alias("meta"),
     )
 
@@ -625,7 +635,7 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     oracle="""
     WITH f AS (
-        SELECT doc_id, octet_length(encode(text)) AS n_bytes
+        SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n_bytes
         FROM documents
     ),
     s AS (
@@ -658,7 +668,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes by input split. The oracle recomputes the stub
     arithmetic in SQL, so the fan-out path is value-checked."""
     d = t(spark, sf_dir, "documents")
-    with_payload = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # NULL text → empty payload (see multimodal_decode_stub).
+    with_payload = d.select(
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
+    )
 
     out_schema = (
         "doc_id long, n_bytes long, frame_idx int, frame_offset long, frame_sig long"
@@ -696,7 +710,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_contamination_check",
     oracle="""
     WITH w AS (
-        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+        FROM documents
     ),
     sh AS (
         SELECT doc_id,
@@ -736,7 +751,13 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 digests instead, same plan, 8-byte keys; kept as strings
     here so the DuckDB oracle can replay the join exactly)."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(T.shingles("text", 3)).alias("shingle"))
+    # NULL text → '' on BOTH sides (round-6 null sweep).
+    sh = d.select(
+        "doc_id",
+        F.explode(T.shingles(F.coalesce(F.col("text"), F.lit("")), 3)).alias(
+            "shingle"
+        ),
+    )
     bench = (
         sh.filter(F.col("doc_id") % 13 == 0).select("shingle").distinct()
     )

@@ -58,7 +58,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_to_map",
     oracle="""
     SELECT event_id,
-           'k' AS prop_keys,
+           CASE WHEN props IS NULL THEN NULL ELSE 'k' END AS prop_keys,
            CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS VARCHAR) AS prop_values,
            CAST(json_extract(props, '$.k') AS INTEGER) AS k_from_map
     FROM events
@@ -70,7 +70,10 @@ def json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload → MapType, access by key. The map itself can't cross
     the oracle boundary (engines render maps differently), so the
     output projects map_keys/map_values serialized to CSV strings
-    (driver-safe, see portable.arr_str) and a by-key lookup."""
+    (driver-safe, see portable.arr_str) and a by-key lookup. A NULL
+    payload NULLs every derived column on both sides (round-6 null
+    sweep: the oracle's constant 'k' key had assumed non-null
+    props)."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 3000)
     m = F.from_json("props", "map<string,int>")
     return ev.select(
