@@ -180,6 +180,20 @@ _GRADE_FIRST = [
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "events_hourly_seasonality",
+    # ... and the rounding-tie-hardened greens (round-6: oracles now
+    # round the shortest-repr decimal — Spark's exact semantics — for
+    # every terminating-rational double quotient; Spark sides
+    # untouched, values identical off-tie, harness-confirmed under
+    # two shuffle configs).
+    "agg_global",
+    "agg_groupby_basic",
+    "events_interarrival_stats",
+    "pipeline_quality_gate_report",
+    "events_watermark_lag_audit",
+    "events_order_repair",
+    "text_unigram_logprob",
+    "win_leave_one_out_avg",
+    "pipeline_training_prep",
     "ts_max_drawdown",
     "sample_quality_weighted",
     "events_uptime_pct",
@@ -208,8 +222,6 @@ _GRADE_FIRST = [
     "join_theta_range",
     "join_interval_events",
     "join_asof_latest_event",
-    "agg_global",
-    "agg_groupby_basic",
     "agg_having",
     "agg_count_distinct",
     "agg_min_max_stats",

@@ -26,7 +26,7 @@ SECTION = "2.4"
     oracle="""
     SELECT count(*) AS n_rows,
            CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 2) AS avg_price,
+           CAST(round(CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS avg_price,
            round(min(l_discount), 2) AS min_disc,
            round(max(l_tax), 2) AS max_tax
     FROM lineitem
@@ -54,9 +54,9 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
            CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
            CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 2) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 2) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount), 2) AS avg_disc,
+           CAST(round(CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS avg_qty,
+           CAST(round(CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS avg_price,
+           CAST(round(CAST(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus

@@ -187,7 +187,7 @@ def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_shingles,
            CAST(count(DISTINCT shingle) AS BIGINT) AS n_unique,
-           round(1.0 - CAST(count(DISTINCT shingle) AS DOUBLE) / count(*), 4) + 0.0
+           CAST(round(CAST(CAST(1.0 - CAST(count(DISTINCT shingle) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0
                AS rep_ratio
     FROM sh GROUP BY doc_id
     """,
@@ -236,8 +236,8 @@ _MIX_RATE_SQL = "CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.8 ELSE 1.0 END"
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_total,
            CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-           round(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 4) AS achieved_rate
+           CAST(round(CAST(CAST(CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS achieved_rate
     FROM flagged GROUP BY lang
     """,
     section="2.11",

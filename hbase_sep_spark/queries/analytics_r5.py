@@ -112,7 +112,7 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(gap_us) AS BIGINT) AS n_gaps,
            CAST(min(gap_us) AS BIGINT) AS min_gap_us,
            CAST(max(gap_us) AS BIGINT) AS max_gap_us,
-           round(CAST(sum(gap_us) AS BIGINT) / 1000000.0 / count(gap_us), 3)
+           CAST(round(CAST(CAST(CAST(sum(gap_us) AS BIGINT) / 1000000.0 / count(gap_us) AS VARCHAR) AS DECIMAL(38,18)), 3) AS DOUBLE)
                + 0.0 AS avg_gap_s
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY user_id
@@ -236,13 +236,13 @@ def ts_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flags
     )
     SELECT 'too_short' AS rule, r1 AS n_docs,
-           round(r1 * 100.0 / total, 3) + 0.0 AS pct FROM agg
+           CAST(round(CAST(CAST(r1 * 100.0 / total AS VARCHAR) AS DECIMAL(38,18)), 3) AS DOUBLE) + 0.0 AS pct FROM agg
     UNION ALL SELECT 'too_few_tokens', r2,
-           round(r2 * 100.0 / total, 3) + 0.0 FROM agg
+           CAST(round(CAST(CAST(r2 * 100.0 / total AS VARCHAR) AS DECIMAL(38,18)), 3) AS DOUBLE) + 0.0 FROM agg
     UNION ALL SELECT 'low_diversity', r3,
-           round(r3 * 100.0 / total, 3) + 0.0 FROM agg
+           CAST(round(CAST(CAST(r3 * 100.0 / total AS VARCHAR) AS DECIMAL(38,18)), 3) AS DOUBLE) + 0.0 FROM agg
     UNION ALL SELECT 'passed_all', passed,
-           round(passed * 100.0 / total, 3) + 0.0 FROM agg
+           CAST(round(CAST(CAST(passed * 100.0 / total AS VARCHAR) AS DECIMAL(38,18)), 3) AS DOUBLE) + 0.0 FROM agg
     """,
     section="2.11",
 )

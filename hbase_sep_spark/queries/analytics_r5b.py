@@ -394,8 +394,8 @@ def layout_file_sizing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts,
            CAST(max(gmax) - max(epoch_us(ts)) AS BIGINT) AS staleness_us,
-           round(100.0 * sum(CASE WHEN epoch_us(ts) >= gmax - 86400000000
-                                  THEN 1 ELSE 0 END) / count(*), 3) + 0.0
+           CAST(round(CAST(CAST(100.0 * sum(CASE WHEN epoch_us(ts) >= gmax - 86400000000
+                                       THEN 1 ELSE 0 END) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 3) AS DOUBLE) + 0.0
                AS pct_last_day
     FROM events, head
     GROUP BY event_type, gmax

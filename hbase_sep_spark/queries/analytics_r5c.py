@@ -42,10 +42,10 @@ from hbase_sep_spark.registry import register
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(max(abs(r_ts - r_id)) AS BIGINT) AS max_displacement,
-           round(sum(abs(r_ts - r_id)) * 1.0 / count(*), 4) + 0.0
+           CAST(round(CAST(CAST(sum(abs(r_ts - r_id)) * 1.0 / count(*) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0
                AS avg_displacement,
-           round(100.0 * sum(CASE WHEN r_ts = r_id THEN 1 ELSE 0 END)
-                 / count(*), 3) + 0.0 AS pct_in_place
+           CAST(round(CAST(CAST(100.0 * sum(CASE WHEN r_ts = r_id THEN 1 ELSE 0 END)
+                      / count(*) AS VARCHAR) AS DECIMAL(38,18)), 3) AS DOUBLE) + 0.0 AS pct_in_place
     FROM r
     GROUP BY user_id
     """,
@@ -109,7 +109,7 @@ def events_order_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(CAST(sum(surprisal) AS DOUBLE) / count(*), 4) + 0.0
+           CAST(round(CAST(CAST(CAST(sum(surprisal) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0
                AS avg_surprisal
     FROM scored
     GROUP BY doc_id

@@ -157,7 +157,7 @@ def map_lambda_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_id,
            CASE WHEN loo_n > 0
-                THEN round(CAST(loo_us AS DOUBLE) / 1000000.0 / loo_n, 4) + 0.0
+                THEN CAST(round(CAST(CAST(CAST(loo_us AS DOUBLE) / 1000000.0 / loo_n AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0
            END AS loo_avg
     FROM f
     """,

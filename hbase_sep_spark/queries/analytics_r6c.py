@@ -214,22 +214,21 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(a * b) AS BIGINT) AS n11
         FROM lab
     )
-    SELECT round(CAST(2 * n11 + n - na - nb AS DOUBLE) / n, 4) + 0.0
+    SELECT CAST(round(CAST(CAST(CAST(2 * n11 + n - na - nb AS DOUBLE) / n AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0
                AS po,
-           round((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
-                 + (CAST(n - na AS DOUBLE) / n) * (CAST(n - nb AS DOUBLE) / n),
-                 4) + 0.0 AS pe,
+           CAST(round(CAST(CAST((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+                      + (CAST(n - na AS DOUBLE) / n)
+                        * (CAST(n - nb AS DOUBLE) / n) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0 AS pe,
            CASE WHEN ((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
                       + (CAST(n - na AS DOUBLE) / n)
                         * (CAST(n - nb AS DOUBLE) / n)) < 1
-                THEN round((CAST(2 * n11 + n - na - nb AS DOUBLE) / n
+                THEN CAST(round(CAST(CAST((CAST(2 * n11 + n - na - nb AS DOUBLE) / n
                   - ((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
                      + (CAST(n - na AS DOUBLE) / n)
                        * (CAST(n - nb AS DOUBLE) / n)))
                  / (1 - ((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
                          + (CAST(n - na AS DOUBLE) / n)
-                           * (CAST(n - nb AS DOUBLE) / n))),
-                 4) + 0.0
+                           * (CAST(n - nb AS DOUBLE) / n))) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0
                 ELSE CAST(NULL AS DOUBLE) END AS kappa
     FROM c
     """,
@@ -294,7 +293,7 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily
     )
     SELECT event_type,
-           round(CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(e), 2)
+           CAST(round(CAST(CAST(CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(e) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE)
                AS mae,
            round(max(e), 2) + 0.0 AS max_abs_err,
            CAST(count(e) AS BIGINT) AS n_days

@@ -226,17 +226,17 @@ def win_hampel_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(count(*) AS DOUBLE) AS n_docs,
                CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
                    AS total_tokens,
-               round(CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
-                          AS DOUBLE) / count(*), 2) AS mean_doc_tokens,
-               round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-                          AS DOUBLE) / count(*), 4) + 0.0 AS en_share,
+               CAST(round(CAST(CAST(CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                               AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS mean_doc_tokens,
+               CAST(round(CAST(CAST(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                               AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0 AS en_share,
                round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
                round(quantile_cont(n_chars, 0.9), 2) AS p90_chars
         FROM documents
     ),
     dup AS (
-        SELECT round(CAST(count(*) - count(DISTINCT sha256(lower(trim(text))))
-                          AS DOUBLE) / count(*), 4) + 0.0 AS dup_rate
+        SELECT CAST(round(CAST(CAST(CAST(count(*) - count(DISTINCT sha256(lower(trim(text))))
+                               AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0 AS dup_rate
         FROM documents
     ),
     vocab AS (

@@ -119,8 +119,8 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1 AS n_weekend, n2 AS n_weekday,
            CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u2_weekend,
            CASE WHEN n1 > 0 AND n2 > 0
-                THEN round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
-                           / (2.0 * n1 * n2), 4) + 0.0
+                THEN CAST(round(CAST(CAST(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                                / (2.0 * n1 * n2) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0
                 ELSE CAST(NULL AS DOUBLE) END AS auc_weekend
     FROM s
     """,

@@ -434,8 +434,8 @@ def scan_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l.l_linestatus,
            CAST(count(*) AS BIGINT) AS n_kept,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)))
-                      AS DOUBLE) / count(*), 2) + 0.0 AS trimmed_mean
+           CAST(round(CAST(CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                           AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) + 0.0 AS trimmed_mean
     FROM lineitem l JOIN q ON l.l_linestatus = q.l_linestatus
     WHERE l.l_extendedprice >= q.p05 AND l.l_extendedprice <= q.p95
     GROUP BY l.l_linestatus

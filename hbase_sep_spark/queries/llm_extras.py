@@ -523,7 +523,7 @@ _DUCK_QUALITY = f"""
            count(*) AS n_docs,
            CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_dropped,
            CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS total_tokens,
-           round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_quality
+           CAST(round(CAST(CAST(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS avg_quality
     FROM kept
     GROUP BY lang_pred
     """,
@@ -732,7 +732,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.doc_id,
            CAST(t.n_shingles AS BIGINT) AS n_shingles,
            CAST(h.n_contaminated AS BIGINT) AS n_contaminated,
-           round(CAST(h.n_contaminated AS DOUBLE) / t.n_shingles, 4)
+           CAST(round(CAST(CAST(CAST(h.n_contaminated AS DOUBLE) / t.n_shingles AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE)
                AS contamination_ratio
     FROM totals t JOIN hits h ON t.doc_id = h.doc_id
     """,
