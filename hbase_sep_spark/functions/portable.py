@@ -113,6 +113,29 @@ def knuth_hash(col, k: int = KNUTH, m: int = HASH_MOD) -> Column:
     return ((_c(col) % F.lit(HASH_ID_MOD)) * F.lit(k)) % F.lit(m)
 
 
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+# SQL mirror (use verbatim in oracles, with the column spliced in):
+ASCII_LOWER_SQL = f"translate({{}}, '{_ASCII_UP}', '{_ASCII_LO}')"
+
+
+def ascii_lower(col) -> Column:
+    """Engine-identical lowering: fold A-Z only, leave every other
+    code point untouched.
+
+    Full-Unicode lower() DIVERGES between engines (round-6 unicode
+    sweep): Java/Spark lowercases U+0130 'İ' to "i" + COMBINING DOT
+    (two code points, the full Unicode mapping) while DuckDB's
+    utf8proc uses the simple mapping to plain "i" — so any hash,
+    token extraction, or distinct over lower(text) silently disagrees
+    the moment a regenerated corpus carries Turkish/azeri dotted
+    capitals (ditto other full-vs-simple mapping gaps). translate()
+    is a code-point-wise substitution in both engines, identical to
+    lower() on ASCII corpora, and locale-independent.
+    """
+    return F.translate(_c(col), _ASCII_UP, _ASCII_LO)
+
+
 def arr_str(arr, fmt: str | None = None, sep: str = ",") -> Column:
     """Serialize an array column to a delimited string so the result
     never carries a list cell past the driver's canonicalizer.

@@ -18,12 +18,21 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from hbase_sep_spark.functions.portable import ascii_lower
 from hbase_sep_spark.operators.text import shingles, words
 
 
 def normalize_text(text_col="text"):
+    """Dedup canonicalization: trim + A-Z-only case fold.
+
+    ascii_lower, not lower(): digests must be bit-identical across
+    engines, and full-Unicode lower() applies FULL case mappings in
+    Java (lower('İ') = "i"+COMBINING DOT) but SIMPLE ones in DuckDB
+    ("i") — a silent digest/merge divergence on non-ASCII corpora
+    (round-6 unicode sweep). SQL mirror for oracles:
+    translate(trim(text), 'A..Z', 'a..z')."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.lower(F.trim(c))
+    return ascii_lower(F.trim(c))
 
 
 def exact_dedup_groups(df: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:

@@ -163,6 +163,17 @@ _GRADE_FIRST = [
     # values already proven identical. They lead round 7.
     "agg_ols_two_factor",
     "stream_stateful_latest",
+    # changed since green (round-6 adversarial sweeps #2/#3): the one
+    # tie-unsafe pick in the registry (bare-ts arg_max → composite
+    # (ts, event_id) key) and the unicode lower() fold (full-Unicode
+    # lower() diverges between engines on İ-class case mappings →
+    # portable.ascii_lower). Values re-confirmed identical on current
+    # data under two shuffle configs; text_fingerprint and
+    # multimodal_decode_stub (also unicode-touched) already sit in
+    # the null-policy block below.
+    "agg_argmax_misc",
+    "text_entropy_score",
+    "dedup_exact_docs",
     "agg_cms_freq_sketch",
     "pipeline_dataset_split",
     "agg_kmv_distinct_sketch",

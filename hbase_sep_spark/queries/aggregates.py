@@ -485,8 +485,10 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argmax_misc",
     oracle="""
     SELECT user_id,
-           arg_max(event_type, ts) AS latest_type,
-           arg_min(event_type, ts) AS first_type,
+           arg_max(event_type, printf('%020d-%010d', epoch_us(ts), event_id))
+               AS latest_type,
+           arg_min(event_type, printf('%020d-%010d', epoch_us(ts), event_id))
+               AS first_type,
            CAST(count(*) FILTER (WHERE value > 250) AS BIGINT) AS n_high,
            bool_or(value > 480) AS any_extreme,
            bool_and(value > 0) AS all_positive
@@ -498,12 +500,17 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_argmax_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by (argmax aggregates), count_if, bool_and/bool_or —
     the 'latest attribute per key' one-pass form that replaces a
-    window + filter when only the argmax is needed. Deterministic:
-    (user_id, ts) is unique in the feed (verified at every SF)."""
+    window + filter when only the argmax is needed. The argmax key is
+    the composite (ts, event_id) ordering string (the ts_weekly_ohlc
+    pattern): on a bare ts both engines pick an ARBITRARY row when two
+    events share (user_id, ts) — the one divergence the round-6
+    tie-injection sweep found across the registry. Values are
+    unchanged on a ts-unique feed (every fixture SF to date)."""
     ev = t(spark, sf_dir, "events")
+    okey = F.format_string("%020d-%010d", F.unix_micros(F.col("ts")), F.col("event_id"))
     return ev.groupBy("user_id").agg(
-        F.max_by("event_type", "ts").alias("latest_type"),
-        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_type", okey).alias("latest_type"),
+        F.min_by("event_type", okey).alias("first_type"),
         F.count_if(F.col("value") > 250).alias("n_high"),
         F.bool_or(F.col("value") > 480).alias("any_extreme"),
         F.bool_and(F.col("value") > 0).alias("all_positive"),

@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from hbase_sep_spark.functions.portable import knuth_hash
+from hbase_sep_spark.functions.portable import ascii_lower, knuth_hash
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import text as T
 from hbase_sep_spark.registry import register
@@ -128,7 +128,11 @@ def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_entropy_score",
     oracle="""
     WITH tok AS (
-        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        SELECT doc_id,
+               unnest(regexp_extract_all(
+                   translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                   'abcdefghijklmnopqrstuvwxyz'),
+                   '[a-z0-9]+')) AS w
         FROM documents
     ),
     freq AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
@@ -155,9 +159,19 @@ def text_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable hash aggregates keyed on doc_id — text itself
     never shuffles, only (doc_id, token) pairs."""
     d = t(spark, sf_dir, "documents")
+    # ascii_lower, not lower(): full-Unicode lowering diverges between
+    # engines on full-vs-simple case mappings (İ → "i̇" vs "i", round-6
+    # unicode sweep); the A-Z fold is engine-identical and equivalent
+    # here since the token class is ASCII anyway.
     tok = d.select(
         "doc_id",
-        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("w"),
+        F.explode(
+            F.expr(
+                "regexp_extract_all(translate(text,"
+                " 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),"
+                " '[a-z0-9]+', 0)"
+            )
+        ).alias("w"),
     )
     freq = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     n = F.sum("c").cast("double")

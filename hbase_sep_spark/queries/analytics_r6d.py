@@ -30,7 +30,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from hbase_sep_spark.functions.portable import DEC
+from hbase_sep_spark.functions.portable import DEC, ascii_lower
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import text as T
 from hbase_sep_spark.registry import register
@@ -235,7 +235,9 @@ def win_hampel_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     dup AS (
-        SELECT CAST(round(CAST(CAST(CAST(count(*) - count(DISTINCT sha256(lower(trim(text))))
+        SELECT CAST(round(CAST(CAST(CAST(count(*) - count(DISTINCT sha256(
+                               translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                         'abcdefghijklmnopqrstuvwxyz')))
                                AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0 AS dup_rate
         FROM documents
     ),
@@ -297,7 +299,7 @@ def pipeline_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (
                     F.count(F.lit(1))
-                    - F.count_distinct(F.sha2(F.lower(F.trim(F.col("text"))), 256))
+                    - F.count_distinct(F.sha2(ascii_lower(F.trim(F.col("text"))), 256))
                 ).cast("double")
                 / F.count(F.lit(1)),
                 4,

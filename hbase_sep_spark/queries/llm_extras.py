@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from hbase_sep_spark.functions import arr_str
-from hbase_sep_spark.functions.portable import knuth_hash
+from hbase_sep_spark.functions.portable import ascii_lower, knuth_hash
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import dedup as D
 from hbase_sep_spark.operators import text as T
@@ -245,10 +245,15 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           sha256(array_to_string(list_sort(list_distinct(
-               string_split(lower(trim(coalesce(text, ''))), ' '))), ' '))
+           sha256(array_to_string(list_sort(list_distinct(string_split(
+               translate(trim(coalesce(text, '')),
+                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         'abcdefghijklmnopqrstuvwxyz'), ' '))), ' '))
                AS fingerprint,
-           CAST(len(list_distinct(string_split(lower(trim(coalesce(text, ''))), ' ')))
+           CAST(len(list_distinct(string_split(
+               translate(trim(coalesce(text, '')),
+                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         'abcdefghijklmnopqrstuvwxyz'), ' ')))
                 AS INT) AS vocab_size
     FROM documents
     """,
@@ -258,12 +263,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint: sha256 over the sorted distinct
     word set (word-order-invariant — catches shuffled plagiarism the
     exact hash misses; the rolling-hash/winnowing variant is the
-    MinHash path in operators.dedup)."""
+    MinHash path in operators.dedup). Case folding is the A-Z-only
+    ascii_lower: full-Unicode lower() hashes DIFFERENT bytes per
+    engine on full-vs-simple case-mapping gaps (İ, round-6 unicode
+    sweep), and a fingerprint must be bit-stable across engines."""
     d = t(spark, sf_dir, "documents")
     # NULL text → '' on BOTH sides (round-6 null sweep: Spark's
     # concat_ws silently skips a NULL array, hashing '' while DuckDB
     # NULLs the whole row).
-    norm_words = F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), " ")
+    norm_words = F.split(ascii_lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), " ")
     return d.select(
         "doc_id",
         F.sha2(F.concat_ws(" ", F.array_sort(F.array_distinct(norm_words))), 256).alias("fingerprint"),
@@ -276,7 +284,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
-           lower(hex(encode(substring(coalesce(text, ''), 1, 8)))) AS head_hex,
+           substring(lower(hex(encode(coalesce(text, '')))), 1, 16) AS head_hex,
            CAST(1 + (octet_length(encode(coalesce(text, ''))) * 31) % 1024
                 AS INT) AS width,
            CAST(1 + (octet_length(encode(coalesce(text, ''))) * 17) % 768
@@ -301,9 +309,10 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batch iteration, schema, partition behavior — is real
     either way, and the ORACLE recomputes the fallback features from
     the source text, so the mapInPandas path is value-checked, not
-    just executed. (The oracle's char-prefix == byte-prefix equality
-    relies on the fixture corpus being ASCII — verified; a multibyte
-    corpus would need blob slicing on the oracle side.)
+    just executed. The oracle slices the BYTE prefix (hex the whole
+    encoded blob, take 16 hex chars) — slicing 8 *characters* before
+    encoding diverges on any multibyte corpus (round-6 unicode sweep;
+    DuckDB 1.0 has no BLOB substring, hex-then-slice is equivalent).
     """
     d = t(spark, sf_dir, "documents")
     # NULL text → empty payload on BOTH sides: a null-bearing fixture
@@ -506,7 +515,8 @@ _DUCK_QUALITY = f"""
     ),
     scored AS (
         SELECT doc_id,
-               sha256(lower(trim(text))) AS digest,
+               sha256(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                'abcdefghijklmnopqrstuvwxyz')) AS digest,
                {_DUCK_QUALITY} AS quality,
                len(string_split(text, ' ')) AS n_tokens,
                {_DUCK_LANGID}
@@ -554,7 +564,7 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = corpus.select(
         "doc_id",
-        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("digest"),
+        F.sha2(ascii_lower(F.trim(F.col("text"))), 256).alias("digest"),
         T.quality_score().alias("quality"),
         T.token_count_ws().cast("long").alias("n_tokens"),
         pred.alias("lang_pred"),

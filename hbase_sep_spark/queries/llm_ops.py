@@ -57,7 +57,8 @@ _DUCK_DOCS_REDELIVERED = """
     SELECT min(doc_id) AS canonical_doc_id,
            count(*) AS n_copies
     FROM corpus
-    GROUP BY lower(trim(text))
+    GROUP BY translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                       'abcdefghijklmnopqrstuvwxyz')
     """,
     section=SECTION,
 )

@@ -1,0 +1,115 @@
+"""Fixture-assumption canary (fails LOUD if /root/testdata changes).
+
+The driver regenerates /root/testdata between rounds (it did before
+round 4: new content AND new physical types). Queries keep a small set
+of data-shape assumptions whose violation would cause SILENT
+cross-engine divergence rather than an error — exactly the failure
+mode that costs a driver CORRECTNESS row. This module pins each
+load-bearing assumption with a fast DuckDB-only check, so a
+regeneration that breaks one fails here by name at the next session's
+first pytest run, before any debugging of "regressions".
+
+Assumptions pinned, and why they're load-bearing:
+- primary ids are unique: event_id / doc_id / vec_id are the
+  TIE-BREAK keys in every ordered window, arg pick, and top-k (the
+  round-6 tie-injection sweep proved the registry tie-safe GIVEN
+  unique ids; duplicated ids would reopen the class).
+- o_orderkey unique: TPC-H rank/topn tie-breaks (win_row_number
+  orders by (o_orderdate, o_orderkey)).
+- events.ts physical type is one io.t() dispatches on (int64 nanos or
+  a parquet timestamp): a third encoding would mis-scan every
+  events query.
+
+NOT pinned (deliberately):
+- (user_id, ts) uniqueness — queries no longer rely on it
+  (agg_argmax_misc was the last, fixed round 6), and over-
+  constraining the canary would fire without a real hazard.
+- (l_orderkey, l_linenumber) uniqueness — writing this canary
+  DISCOVERED it does not hold in the driver's TPC-H-ish fixture
+  (~12k duplicate key pairs at sf0.01, differing in their other
+  columns). Standing rule derived from that: l_linenumber must never
+  serve as a window/rank tie-break — use o_orderkey/l_orderkey plus
+  value columns, or tie-invariant rank outputs (win_rank_dense).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_ORACLE, SF_UNIT
+
+SF_DIRS = sorted({SF_UNIT, SF_ORACLE})
+
+UNIQUE_KEYS = [
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+    ("orders", ["o_orderkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("nation", ["n_nationkey"]),
+    ("region", ["r_regionkey"]),
+]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("table,keys", UNIQUE_KEYS, ids=[t for t, _ in UNIQUE_KEYS])
+def test_key_uniqueness(sf_dir, table, keys):
+    path = f"{sf_dir}/{table}.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing")
+    con = duckdb.connect()
+    try:
+        klist = ", ".join(keys)
+        dupes = con.execute(
+            f"SELECT {klist}, count(*) AS n FROM read_parquet('{path}') "
+            f"GROUP BY {klist} HAVING count(*) > 1 LIMIT 5"
+        ).fetchall()
+    finally:
+        con.close()
+    assert not dupes, (
+        f"{table} ({sf_dir}): key {keys} no longer unique — tie-break "
+        f"keys across the registry assume it (see module docstring). "
+        f"Sample dupes: {dupes}"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_physical_type_is_dispatchable(sf_dir):
+    """io.t() dispatches on the SCANNED dtype: bigint → nanos rebuild,
+    timestamp → session-tz cast. Any other physical encoding (string,
+    int32 days, …) would need a new dispatch arm — fail by name."""
+    path = f"{sf_dir}/events.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing")
+    ts_type = str(pq.read_schema(path).field("ts").type)
+    assert ts_type.startswith("timestamp") or ts_type == "int64", (
+        f"events.ts physical type changed to {ts_type!r} — extend the "
+        f"io.t() dtype dispatch before trusting any events query"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_required_columns_non_null(sf_dir):
+    """event_id/ts/user_id/event_type NULLs would break keying and
+    grouping in ways the null sweep deliberately did not model (it
+    injected NULL value/props/text — the payload columns — per the
+    pinned NULL policies)."""
+    path = f"{sf_dir}/events.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing")
+    con = duckdb.connect()
+    try:
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{path}') "
+            f"WHERE event_id IS NULL OR ts IS NULL OR user_id IS NULL "
+            f"OR event_type IS NULL"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert n == 0, f"events ({sf_dir}): {n} rows with NULL key columns"

@@ -22,13 +22,22 @@ from hbase_sep_spark.operators.text import quality_score, shingles, token_count_
 
 def test_exact_dedup_unicode_and_whitespace(spark):
     df = spark.createDataFrame(
-        [(1, "héllo wörld"), (2, "  HÉLLO WÖRLD "), (3, "unrelated 文本")],
+        [
+            (1, "hello wörld"),
+            (2, "  HELLO wörld "),
+            (3, "HÉLLO WÖRLD"),
+            (4, "unrelated 文本"),
+        ],
         ["doc_id", "text"],
     )
     groups = exact_dedup_groups(df).collect()
     by_canon = {r["canonical_doc_id"]: r["n_copies"] for r in groups}
-    # lower+trim folds 1 and 2 together; the CJK doc stands alone.
-    assert by_canon == {1: 2, 3: 1}
+    # trim + A-Z-only fold merges 1 and 2; the ACCENTED-case doc 3
+    # deliberately does NOT merge — normalize_text folds ASCII only,
+    # because full-Unicode lower() is not engine-identical (Java full
+    # mappings vs utf8proc simple mappings; round-6 unicode sweep) and
+    # dedup digests must be bit-stable across engines.
+    assert by_canon == {1: 2, 3: 1, 4: 1}
 
 
 def test_shingles_short_doc_fallback(spark):
