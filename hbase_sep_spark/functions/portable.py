@@ -136,6 +136,35 @@ def ascii_lower(col) -> Column:
     return F.translate(_c(col), _ASCII_UP, _ASCII_LO)
 
 
+def json_int(col, path: str = "$.k") -> Column:
+    """Tolerant typed payload extraction: JSON path → INT, degrading
+    every malformed/mistyped payload to NULL instead of crashing.
+
+    Under ANSI (the driver's plain session), `get_json_object(...)
+    .cast("int")` THROWS CAST_INVALID_INPUT the moment a feed carries
+    a nested/string-typed/malformed payload value (round-6 props
+    sweep crashed seven queries this way) — and an event transport
+    must treat payloads as untrusted. try_cast matches DuckDB's
+    TRY_CAST semantics EXACTLY on every probed variant (int, quoted
+    int, missing key, nested object, JSON null, malformed, empty,
+    SQL NULL).
+
+    SQL mirror (use verbatim in oracles): json_int_sql().
+    """
+    return F.get_json_object(_c(col), path).try_cast("int")
+
+
+def json_int_sql(col: str = "props", key: str = "k") -> str:
+    """DuckDB mirror of json_int(): json_valid guard (DuckDB's json_*
+    functions ERROR on malformed input where Spark's get_json_object
+    yields NULL) + json_extract_string (unquotes scalars exactly like
+    get_json_object, minifies nested objects identically) + TRY_CAST."""
+    return (
+        f"TRY_CAST(CASE WHEN json_valid({col}) THEN "
+        f"json_extract_string({col}, '$.{key}') END AS INTEGER)"
+    )
+
+
 def arr_str(arr, fmt: str | None = None, sep: str = ",") -> Column:
     """Serialize an array column to a delimited string so the result
     never carries a list cell past the driver's canonicalizer.

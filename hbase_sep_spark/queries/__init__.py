@@ -174,6 +174,20 @@ _GRADE_FIRST = [
     "agg_argmax_misc",
     "text_entropy_score",
     "dedup_exact_docs",
+    # changed since green (round-6 adversarial sweep #4, extreme
+    # values + payload variants): tolerant typed payload extraction
+    # (portable.json_int ↔ TRY_CAST oracle mirror), BIGINT map cells,
+    # from_json-exact json_to_map oracle, CSV NULL sentinel. Values
+    # re-confirmed identical on current data under two shuffle
+    # configs (json_to_map itself sits in the null-policy block).
+    "events_payload_extract",
+    "json_extract_props",
+    "filter_null_handling",
+    "cast_types",
+    "agg_bitwise",
+    "agg_regr_slope",
+    "map_lambda_ops",
+    "source_csv_roundtrip",
     "agg_cms_freq_sketch",
     "pipeline_dataset_split",
     "agg_kmv_distinct_sketch",
@@ -218,7 +232,6 @@ _GRADE_FIRST = [
     "filter_range_between",
     "filter_in",
     "filter_like",
-    "filter_null_handling",
     "filter_boolean_combo",
     "select_distinct",
     "join_inner_broadcast",
@@ -254,7 +267,6 @@ _GRADE_FIRST = [
     "date_trunc_arith",
     "math_basic",
     "cond_case_coalesce",
-    "cast_types",
     "json_extract_props",
     "arr_construct_contains",
     "arr_explode",

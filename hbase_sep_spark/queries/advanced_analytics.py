@@ -1615,6 +1615,15 @@ def agg_skew_kurtosis_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable.py decimal-cast-sums rule. Only the post-aggregate
     moment algebra touches doubles.
 
+    ENVELOPE: exactness costs range — Σv⁴ must fit DECIMAL(38,8),
+    i.e. |v|⁴·n < 10^30 (|v| ≤ 1e5 keeps 10^7 rows/group safe; under
+    ANSI an overflow THROWS rather than silently nulling — the
+    round-6 extreme-value sweep hit this at |v| ≈ 3e9). The
+    fixture-assumption canary (tests/test_fixture_assumptions.py)
+    pins |value| ≤ 1e5 so a regenerated feed outside the envelope
+    fails loudly by name; a wider-range feed needs a rescaled value
+    (constant power-of-10 prescale keeps decimal exactness).
+
     Scale shape: one map-side-combinable aggregate (4 power sums per
     group); the moment algebra is post-aggregate scalar math on
     group-cardinality rows."""

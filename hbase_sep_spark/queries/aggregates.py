@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hbase_sep_spark import io as io_mod
-from hbase_sep_spark.functions import arr_str, davg, dsum
+from hbase_sep_spark.functions import arr_str, davg, dsum, json_int
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import quantiles
 from hbase_sep_spark.registry import register
@@ -398,9 +398,9 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_bitwise",
     oracle="""
     SELECT user_id % 10 AS user_bucket,
-           bit_and(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_and,
-           bit_or(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_or,
-           bit_xor(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_xor
+           bit_and(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)) AS k_and,
+           bit_or(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)) AS k_or,
+           bit_xor(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)) AS k_xor
     FROM events
     GROUP BY user_bucket
     """,
@@ -411,7 +411,7 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative/commutative, so shuffle order is irrelevant by
     construction."""
     ev = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = json_int("props")
     return (
         ev.select((F.col("user_id") % 10).alias("user_bucket"), k.alias("k"))
         .groupBy("user_bucket")
@@ -427,8 +427,8 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_regr_slope",
     oracle="""
     SELECT user_id % 10 AS user_bucket,
-           round(regr_slope(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS slope,
-           round(regr_intercept(value, CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS intercept,
+           round(regr_slope(value, TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)), 6) AS slope,
+           round(regr_intercept(value, TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)), 6) AS intercept,
            count(*) AS n
     FROM events
     GROUP BY user_bucket
@@ -440,7 +440,7 @@ def agg_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in regression aggregates — the grouped-analytics primitive
     (one pass, partial+final like any aggregate)."""
     ev = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = json_int("props")
     return (
         ev.select((F.col("user_id") % 10).alias("user_bucket"), F.col("value"), k.alias("k"))
         .groupBy("user_bucket")

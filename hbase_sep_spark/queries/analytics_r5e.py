@@ -84,9 +84,10 @@ def set_union_by_name_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT event_id,
-               CAST(json_extract(props, '$.k') AS INTEGER) * 2 AS kk,
-               CAST(user_id % 100 AS INTEGER) * 3 AS uu,
-               CAST(floor(value) AS INTEGER) * 5 AS vv
+               TRY_CAST(CASE WHEN json_valid(props) THEN
+                   json_extract_string(props, '$.k') END AS BIGINT) * 2 AS kk,
+               CAST(user_id % 100 AS BIGINT) * 3 AS uu,
+               TRY_CAST(floor(value) AS BIGINT) * 5 AS vv
         FROM events WHERE event_id <= 3000
     )
     SELECT event_id,
@@ -120,15 +121,19 @@ def map_lambda_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 3000)
     m = F.map_from_arrays(
         F.array(F.lit("k"), F.lit("u"), F.lit("v")),
+        # BIGINT cell values + tolerant extraction: an int32 map cell
+        # overflows under ANSI once value*weight passes 2^31 (round-6
+        # extreme-value sweep — a 1e9-scale feed value is realistic),
+        # and a mistyped payload must degrade to NULL, not crash.
         F.array(
-            F.get_json_object("props", "$.k").cast("int"),
-            (F.col("user_id") % 100).cast("int"),
-            F.floor(F.col("value")).cast("int"),
+            F.get_json_object("props", "$.k").try_cast("long"),
+            (F.col("user_id") % 100).cast("long"),
+            F.floor(F.col("value")).try_cast("long"),
         ),
     )
     weights = F.map_from_arrays(
         F.array(F.lit("k"), F.lit("u"), F.lit("v")),
-        F.array(F.lit(2), F.lit(3), F.lit(5)),
+        F.array(F.lit(2).cast("long"), F.lit(3).cast("long"), F.lit(5).cast("long")),
     )
     zipped = F.map_zip_with(m, weights, lambda _k, a, b: a * b)
     kept = F.map_filter(zipped, lambda _k, x: x >= 100)

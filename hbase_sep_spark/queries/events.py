@@ -16,6 +16,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hbase_sep_spark.functions import json_int
 from hbase_sep_spark.io import scratch_dir, t
 from hbase_sep_spark.registry import register
 
@@ -65,7 +66,7 @@ def scan_events_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            user_id,
            event_type,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS payload_k,
+           TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS payload_k,
            value
     FROM events
     """,
@@ -81,7 +82,7 @@ def events_payload_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("int").alias("payload_k"),
+        json_int("props").alias("payload_k"),
         "value",
     )
 

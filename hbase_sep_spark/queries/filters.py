@@ -11,6 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from hbase_sep_spark.functions import json_int
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -139,12 +140,12 @@ def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            user_id,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
-           CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) IS NULL
+           TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS k_val,
+           CASE WHEN TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) IS NULL
                 THEN 'missing' ELSE 'present' END AS k_state
     FROM events
-    WHERE CAST(json_extract(props, '$.k') AS INTEGER) IS NULL
-       OR CAST(json_extract(props, '$.k') AS INTEGER) > 50
+    WHERE TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) IS NULL
+       OR TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) > 50
     """,
     section=SECTION,
 )
@@ -152,7 +153,7 @@ def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IS NULL / three-valued logic over a nullable JSON extraction
     (the reference's payloads are optional blobs — SURVEY §1.1)."""
     ev = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = json_int("props")
     return ev.select(
         "event_id",
         "user_id",

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from hbase_sep_spark.functions import arr_str
+from hbase_sep_spark.functions import arr_str, json_int
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -234,8 +234,8 @@ def cond_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cast_types",
     oracle="""
     SELECT event_id,
-           CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS BIGINT) AS k_int,
-           CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS DOUBLE) AS k_double,
+           CAST(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS BIGINT) AS k_int,
+           CAST(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS DOUBLE) AS k_double,
            CAST(user_id AS VARCHAR) AS user_str,
            CAST(CAST(trunc(value) AS BIGINT) AS BIGINT) AS value_trunc,
            CAST(value AS VARCHAR) IS NOT NULL AS value_str_ok
@@ -250,7 +250,7 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides spell out trunc() to pin the semantics. double→string is
     asserted non-null rather than compared (repr differs)."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = json_int("props")
     return ev.select(
         "event_id",
         k.cast("long").alias("k_int"),

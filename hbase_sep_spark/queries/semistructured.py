@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from hbase_sep_spark.functions import arr_str, dsum
+from hbase_sep_spark.functions import arr_str, dsum, json_int
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -27,11 +27,11 @@ SECTION = "2.9"
 @register(
     "json_extract_props",
     oracle="""
-    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+    SELECT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) % 10 AS k_bucket,
            count(*) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
-           min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
-           max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+           min(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)) AS min_k,
+           max(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)) AS max_k
     FROM events
     GROUP BY k_bucket
     """,
@@ -41,7 +41,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON payload extraction feeding an aggregate — extraction
     happens in the scan stage, so only the extracted int shuffles."""
     ev = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = json_int("props")
     return (
         ev.select((k % 10).alias("k_bucket"), "value", k.alias("k"))
         .groupBy("k_bucket")
@@ -57,12 +57,32 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_to_map",
     oracle="""
+    WITH ok AS (
+      SELECT event_id,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                       AND json_type(props) = 'OBJECT'
+                       AND len(list_filter(json_keys(props), kk ->
+                            json_type(props, '$."' || kk || '"')
+                                NOT IN ('UBIGINT', 'BIGINT', 'NULL')
+                            OR (json_type(props, '$."' || kk || '"') <> 'NULL'
+                                AND TRY_CAST(json_extract_string(props,
+                                    '$."' || kk || '"') AS INTEGER) IS NULL)
+                       )) = 0
+                  THEN props END AS p
+      FROM events WHERE event_id <= 3000
+    )
     SELECT event_id,
-           CASE WHEN props IS NULL THEN NULL ELSE 'k' END AS prop_keys,
-           CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS VARCHAR) AS prop_values,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS k_from_map
-    FROM events
-    WHERE event_id <= 3000
+           CASE WHEN p IS NOT NULL
+                THEN coalesce(array_to_string(json_keys(p), ','), '')
+           END AS prop_keys,
+           CASE WHEN p IS NOT NULL
+                THEN coalesce(array_to_string(list_filter(
+                         list_transform(json_keys(p), kk ->
+                             json_extract_string(p, '$."' || kk || '"')),
+                         x -> x IS NOT NULL), ','), '')
+           END AS prop_values,
+           TRY_CAST(json_extract_string(p, '$.k') AS INTEGER) AS k_from_map
+    FROM ok
     """,
     section=SECTION,
 )
@@ -73,7 +93,15 @@ def json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     (driver-safe, see portable.arr_str) and a by-key lookup. A NULL
     payload NULLs every derived column on both sides (round-6 null
     sweep: the oracle's constant 'k' key had assumed non-null
-    props)."""
+    props).
+
+    The oracle replicates Spark from_json('map<string,int>') PARSE
+    semantics, probed variant by variant (round-6 props sweep): any
+    non-object root, malformed doc, or value that isn't an int32-range
+    integer or JSON null fails the WHOLE row to a NULL map; JSON-null
+    values parse (key kept, value dropped from the CSV — both sides
+    emit '' not NULL, hence the coalesce: DuckDB array_to_string of an
+    empty/all-NULL list is NULL where Spark array_join yields '')."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 3000)
     m = F.from_json("props", "map<string,int>")
     return ev.select(

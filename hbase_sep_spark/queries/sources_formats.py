@@ -69,8 +69,17 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("source_csv_roundtrip", oracle=_ORACLE, section=SECTION)
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → CSV (header, quoted) → back. props contains commas,
-    quotes and braces — quoting/escaping must survive the trip."""
-    return _roundtrip(spark, sf_dir, "csv", header="true", quote='"', escape='"')
+    quotes and braces — quoting/escaping must survive the trip.
+
+    nullValue pins a distinct NULL sentinel (the postgres \\N
+    convention): with the default (empty string) an empty-string cell
+    and a NULL both serialize to the same empty field, so ''
+    deserializes as NULL and the roundtrip is LOSSY (round-6
+    extreme-value sweep, empty-props row). The option applies to both
+    writer and reader, making '' vs NULL bit-faithful."""
+    return _roundtrip(
+        spark, sf_dir, "csv", header="true", quote='"', escape='"', nullValue="\\N"
+    )
 
 
 @register("source_orc_roundtrip", oracle=_ORACLE, section=SECTION)

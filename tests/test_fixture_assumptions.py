@@ -95,6 +95,30 @@ def test_events_ts_physical_type_is_dispatchable(sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_value_within_decimal_moment_envelope(sf_dir):
+    """agg_skew_kurtosis_portable sums v..v^4 as exact DECIMAL(38,8)
+    for order-independence (portable.py); Σv⁴ must stay under 10^30
+    or ANSI Spark THROWS (round-6 extreme-value sweep reproduced at
+    |v| ≈ 3e9). |v| ≤ 1e5 leaves 10^7 rows/group of headroom; a
+    regenerated feed outside this fails here by name — rescale value
+    by a constant power of 10 in the moment queries if it ever does."""
+    path = f"{sf_dir}/events.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing")
+    con = duckdb.connect()
+    try:
+        mx = con.execute(
+            f"SELECT max(abs(value)) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert mx is None or mx <= 1e5, (
+        f"events.value magnitude {mx} exceeds the decimal fourth-moment "
+        f"envelope (see agg_skew_kurtosis_portable docstring)"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_events_required_columns_non_null(sf_dir):
     """event_id/ts/user_id/event_type NULLs would break keying and
     grouping in ways the null sweep deliberately did not model (it
