@@ -118,6 +118,41 @@ def test_events_value_within_decimal_moment_envelope(sf_dir):
     )
 
 
+MONEY_2DP = [
+    ("events", ["value"]),
+    ("lineitem", ["l_extendedprice", "l_discount", "l_tax", "l_quantity"]),
+    ("orders", ["o_totalprice"]),
+]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("table,cols", MONEY_2DP, ids=[t for t, _ in MONEY_2DP])
+def test_money_columns_are_two_decimal(sf_dir, table, cols):
+    """The portable.dsum/davg exactness contract (portable.py module
+    docstring) assumes base numeric columns carry at most 2 true
+    decimal digits, so products carry ≤6 and DECIMAL(18,6) casts
+    recover exact values — making decimal sums order-independent
+    across engines and shuffle configs. A regenerated fixture with
+    full-precision doubles would turn every decimal cast into an
+    engine-specific rounding (the binary-tie class the round-6
+    rounding migration eliminated) — fail here by name instead."""
+    path = f"{sf_dir}/{table}.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing")
+    cond = " OR ".join(f"{c} <> round({c}, 2)" for c in cols)
+    con = duckdb.connect()
+    try:
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{path}') WHERE {cond}"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert n == 0, (
+        f"{table} ({sf_dir}): {n} rows break the 2-decimal money "
+        f"envelope that portable.dsum exactness relies on"
+    )
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_events_required_columns_non_null(sf_dir):
     """event_id/ts/user_id/event_type NULLs would break keying and
