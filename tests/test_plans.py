@@ -1143,3 +1143,22 @@ def test_ewma_is_single_window_single_shuffle(spark):
     plan = plan_of(spark, "ts_ewma_halflife")
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_json_extraction_is_scan_stage_and_tolerant(spark):
+    """json_extract_props extracts the payload field in the scan-stage
+    projection (one Exchange total — only the extracted int shuffles,
+    never the props blob), and the extraction is the TOLERANT form
+    (try_cast): a plain ANSI cast here crashed on mistyped payloads
+    (round-6 extreme-value sweep). Both properties are load-bearing:
+    the first is the 100 TB shuffle-bytes shape, the second is the
+    untrusted-payload contract in portable.json_int."""
+    import re
+
+    plan = plan_of(spark, "json_extract_props")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # The tolerant extraction appears verbatim in the projection...
+    assert "try_cast(get_json_object" in plan
+    # ...and the PARTIAL aggregate runs over the extracted k — i.e.
+    # extraction happened map-side, before the single exchange.
+    assert re.search(r"partial_min\(k#", plan)
