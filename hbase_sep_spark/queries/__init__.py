@@ -58,128 +58,47 @@ from hbase_sep_spark.streaming import queries as _streaming_queries  # noqa: F40
 
 from hbase_sep_spark import registry as _registry
 
-# Driver-grading prefix for round 6 (VERDICT r5 items 1-3):
-# 1-50  = the never-driver-graded round-6 lead-in blocks, rotated to
-#         the front per the standing policy.  Within the block the
-#         tpch_suite2 five are pulled up to sit right after the
-#         tpch_suite twelve so ALL 22 TPC-H queries land inside the
-#         ~50 grading bound, and the five ADVICE-r5-touched queries
-#         (agg_jensen_shannon_drift, agg_mannwhitney_u, agg_ks_test,
-#         vec_kmeans_lloyd, scan_table_profile — zero-class guards,
-#         decimal-exact k-means, round-then-decimal formatting) all
-#         sit inside the bound too.
-# 51-57 = the remaining never-graded tail (ts_max_drawdown,
-#         sample_quality_weighted, events_uptime_pct,
-#         events_type_cooccurrence_lift, agg_spearman_corr,
-#         agg_benford_price_audit, events_consumer_rebalance_plan) —
-#         graded only if the bound exceeds 50; otherwise they lead
-#         round 7.
-# then  = the stalest pre-regeneration greens for re-confirmation
-#         (VERDICT r5 item 3): the round-1 filters/joins/aggregates
-#         block first (graded once, on pre-regeneration data), then
-#         the round-2 tail (sets tail, scalars, semistructured, UDFs,
-#         LLM ops).  Everything else follows in registration order.
+# Driver-grading prefix for round 7 (standing rotation policy; round 6
+# graded exactly positions 1-50 — 50/50 green, CORRECTNESS_r06):
+# 1-8   = the eight never-driver-graded names the round-6 bound cut
+#         off (the only registry entries with no CORRECTNESS row).
+# 9-11  = the three ADVICE-r6-touched queries, changed THIS round:
+#         json_to_map (hostile-key guard on both sides),
+#         source_csv_roundtrip (implausible NULL sentinel),
+#         events_hourly_seasonality (_iavg4 exact integral `div`).
+# 12-42 = the round-6 changed-since-green re-entries the bound cut
+#         off, in round-6 queue order: stream_stateful_latest
+#         (rows-only; behavior-preserving refactor), the tie/unicode
+#         fixes, the extreme-payload fixes, the five hash-hardened
+#         greens, the null-policy block, the rounding-tie block.
+# 43-50 = the stalest round-1 greens (graded once, on
+#         PRE-regeneration data) for re-confirmation.
+# then  = the remaining r1 greens, the r2 tail, and the r3-graded
+#         block (text/multimodal/sampling, formats, streaming) in
+#         grade-age order; r4/r5/r6 greens follow in registration
+#         order.  All prefix names re-verified against the local
+#         oracle on current data before commit (tests.harness).
 _GRADE_FIRST = [
-    # never graded: analytics_r6prep
-    "agg_geometric_mean",
-    "events_session_duration_histogram",
-    "graph_label_propagation",
-    "scan_rowgroup_stats_audit",
-    "agg_weighted_median",
-    "scan_incremental_manifest",
-    "agg_trimmed_mean",
-    "ts_stl_decompose_lite",
-    "agg_gini_activity",
-    "agg_median_abs_deviation",
-    "pipeline_split_leakage_audit",
-    # never graded: the TPC-H completion (tpch_suite + tpch_suite2 —
-    # together with the r5-graded Q3/Q5/Q10 composites and Q11, all
-    # 22 TPC-H queries are inside this round's bound)
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q12_priority_class",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_inactive_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q9_product_profit",
-    "tpch_q16_parts_supplier_counts",
-    "tpch_q20_excess_stock_suppliers",
-    # never graded: drift/sampling/allocation (analytics_r6b;
-    # agg_jensen_shannon_drift carries the ADVICE-r5 zero-class guard)
-    "ts_autocorrelation",
-    "ts_cusum_drift",
-    "agg_jensen_shannon_drift",
-    "sample_reservoir_topk_hash",
-    "pipeline_token_budget_alloc",
-    # never graded: traversal/robust-stat/agreement (analytics_r6c)
-    "graph_bfs_levels",
-    "win_rolling_median",
-    "agg_cohens_kappa",
-    "ts_seasonal_naive_mae",
-    "tpch_q11_important_parts",
-    # never graded: robust trend/outlier/card (analytics_r6d)
-    "agg_theil_sen_slope",
-    "win_hampel_outlier",
-    "pipeline_dataset_card_report",
-    # never graded: similarity/chi2/WAU (analytics_r6e)
-    "text_source_similarity_matrix",
-    "agg_chi_square_independence",
-    "events_rolling_wau",
-    # never graded: BPE/Mann-Whitney/KS/k-means (analytics_r6f/g/h;
-    # the latter three carry ADVICE-r5 fixes)
-    "text_bpe_pair_stats",
-    "agg_mannwhitney_u",
-    "agg_ks_test",
-    "vec_kmeans_lloyd",
-    # never graded: table profile (analytics_r6k; carries the
-    # ADVICE-r5 formatting fix)
-    "scan_table_profile",
-    # changed since green (r5): zero-variance guard found by the
-    # round-6 pathological-fixture sweep — must re-grade
-    "agg_skew_kurtosis_portable",
-    # --- ~50-entry grading boundary (driver grades a bounded prefix).
-    # Positions 51+ cost nothing and pay off if the bound is larger:
-    # first stream_stateful_latest (rows-only; refactored this round
-    # into the reusable stateful_latest_over helper for the
-    # at-least-once property test — behavior-preserving, and the new
-    # test is a STRONGER check than the driver's rows-only run, but
-    # queued here per the changed-since-green prudence), then the 7
-    # remaining never-graded names, then the stalest pre-regeneration
-    # greens (r1 filters/joins/aggs, then the r2 tail) per VERDICT r5
-    # item 3.  The five hash-hardened greens (overflow-safe
-    # knuth_hash rewrite, round 6) sit here rather than inside the
-    # bound: their outputs are PROVABLY unchanged at fixture scale
-    # (id < 2^31 ⇒ (id % 2^31) = id, re-confirmed by the harness
-    # value-hash under two shuffle configs), and displacing five
-    # never-graded first-grades would cost more than re-confirming
-    # values already proven identical. They lead round 7.
+    # never graded (round-6 bound cut-off)
     "agg_ols_two_factor",
+    "ts_max_drawdown",
+    "sample_quality_weighted",
+    "events_uptime_pct",
+    "events_type_cooccurrence_lift",
+    "agg_spearman_corr",
+    "agg_benford_price_audit",
+    "events_consumer_rebalance_plan",
+    # changed round 7 (ADVICE-r6 fixes)
+    "json_to_map",
+    "source_csv_roundtrip",
+    "events_hourly_seasonality",
+    # changed round 6, displaced past the bound: rows-only refactor
     "stream_stateful_latest",
-    # changed since green (round-6 adversarial sweeps #2/#3): the one
-    # tie-unsafe pick in the registry (bare-ts arg_max → composite
-    # (ts, event_id) key) and the unicode lower() fold (full-Unicode
-    # lower() diverges between engines on İ-class case mappings →
-    # portable.ascii_lower). Values re-confirmed identical on current
-    # data under two shuffle configs; text_fingerprint and
-    # multimodal_decode_stub (also unicode-touched) already sit in
-    # the null-policy block below.
+    # round-6 tie/unicode sweep fixes
     "agg_argmax_misc",
     "text_entropy_score",
     "dedup_exact_docs",
-    # changed since green (round-6 adversarial sweep #4, extreme
-    # values + payload variants): tolerant typed payload extraction
-    # (portable.json_int ↔ TRY_CAST oracle mirror), BIGINT map cells,
-    # from_json-exact json_to_map oracle, CSV NULL sentinel. Values
-    # re-confirmed identical on current data under two shuffle
-    # configs (json_to_map itself sits in the null-policy block).
+    # round-6 extreme-value/payload sweep fixes
     "events_payload_extract",
     "json_extract_props",
     "filter_null_handling",
@@ -187,29 +106,20 @@ _GRADE_FIRST = [
     "agg_bitwise",
     "agg_regr_slope",
     "map_lambda_ops",
-    "source_csv_roundtrip",
+    # round-6 hash-hardened greens (overflow-safe knuth_hash)
     "agg_cms_freq_sketch",
     "pipeline_dataset_split",
     "agg_kmv_distinct_sketch",
     "sample_bernoulli_hash",
     "pipeline_mixture_sample",
-    # ... and the eight null-policy greens (round-6 null sweep:
-    # NULL-value min_by/max_by, NULL-text shingles/payloads, NULL
-    # props, and the tie-free integer average) — values unchanged on
-    # null-free data, harness value-hash re-confirmed.
+    # round-6 null-policy greens
     "ts_weekly_ohlc",
-    "json_to_map",
     "text_fingerprint",
     "text_repetition_ratio",
     "text_contamination_check",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
-    "events_hourly_seasonality",
-    # ... and the rounding-tie-hardened greens (round-6: oracles now
-    # round the shortest-repr decimal — Spark's exact semantics — for
-    # every terminating-rational double quotient; Spark sides
-    # untouched, values identical off-tie, harness-confirmed under
-    # two shuffle configs).
+    # round-6 rounding-tie greens (oracle-side VARCHAR-decimal wrap)
     "agg_global",
     "agg_groupby_basic",
     "events_interarrival_stats",
@@ -219,14 +129,7 @@ _GRADE_FIRST = [
     "text_unigram_logprob",
     "win_leave_one_out_avg",
     "pipeline_training_prep",
-    "ts_max_drawdown",
-    "sample_quality_weighted",
-    "events_uptime_pct",
-    "events_type_cooccurrence_lift",
-    "agg_spearman_corr",
-    "agg_benford_price_audit",
-    "events_consumer_rebalance_plan",
-    # stale round-1 greens (graded once, pre-regeneration data)
+    # stale round-1 greens (pre-regeneration data) — fill to 50
     "project_alias",
     "filter_eq",
     "filter_range_between",
@@ -235,6 +138,9 @@ _GRADE_FIRST = [
     "filter_boolean_combo",
     "select_distinct",
     "join_inner_broadcast",
+    # --- ~50-entry grading boundary; positions below pay off only if
+    # the driver's bound is larger, and set the round-8 queue order.
+    # remaining stale round-1 greens
     "join_inner_shuffle",
     "join_multiway_star",
     "join_left_outer",
@@ -267,7 +173,6 @@ _GRADE_FIRST = [
     "date_trunc_arith",
     "math_basic",
     "cond_case_coalesce",
-    "json_extract_props",
     "arr_construct_contains",
     "arr_explode",
     "arr_sort_distinct_slice",
@@ -278,11 +183,56 @@ _GRADE_FIRST = [
     "udf_pandas_vectorized",
     "udaf_pandas_group",
     "udtf_python",
-    "dedup_exact_docs",
     "dedup_minhash_near",
     "simsearch_cosine_topk",
     "simsearch_knn_join",
     "vec_normalize_norm",
+    # round-3 greens in their r3 grading order (the next-stalest)
+    "text_tokenize_wordcount",
+    "text_ngrams",
+    "text_tfidf",
+    "text_lang_filter_stats",
+    "multimodal_struct_cols",
+    "simsearch_lsh_bucketed",
+    "simsearch_ivf_coarse",
+    "vec_quantize_int8",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_langid_heuristic",
+    "text_quality_score",
+    "text_token_count",
+    "dedup_clusters",
+    "sample_stratified_docs",
+    "text_chunk_documents",
+    "text_redact_numbers",
+    "reshape_pivot",
+    "reshape_unpivot",
+    "subq_scalar_correlated",
+    "subq_in_uncorrelated",
+    "agg_approx_percentile",
+    "sink_partitioned_prune",
+    "join_range_binned",
+    "join_skew_salted",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_schema_evolution",
+    "stream_sep_source",
+    "stream_tumbling_count",
+    "stream_sliding_avg",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_dedup_watermark",
+    "stream_bootstrap_then_tail",
+    "stream_latest_op_wins",
+    "stream_static_join",
+    "stream_foreach_batch_sink",
+    "stream_stream_interval_join",
+    "stream_incremental_upsert_view",
+    "agg_collect_sorted",
+    "sink_parquet_roundtrip",
+    "join_dpp_partition_prune",
+    "pipeline_sequence_pack",
 ]
 
 

@@ -1512,12 +1512,15 @@ def _iavg4():
     — no double ever holds an unrounded quotient, so no tie exists.
     SQL mirror: the CASE/abs/`//` expression in the oracle above.
     Floor-vs-truncate is moot: both operands are non-negative after
-    abs, and all intermediates (≤ ~2e9 here) are far below 2^53 so
-    Spark's floor(a/b) equals integer division exactly.
+    abs. The quotient is computed with `div` (Spark's IntegralDivide
+    over longs — bit-exact at ANY magnitude), not floor(a/b): double
+    division loses ulps once 2·|Σ value_micros| exceeds 2^53, i.e. a
+    per-group |value| sum of ~4.5e9, which a 100 TB feed can reach
+    (ADVICE-r6). DuckDB's `//` on BIGINTs is the exact mirror.
     """
     s6 = F.sum(F.round(F.col("value") * 1000000, 0).cast("long"))
-    d = F.count(F.lit(1)) * 100  # C · 10^(6-4)
-    q = F.floor((2 * F.abs(s6) + d) / (2 * d)).cast("long")
+    d = (F.count(F.lit(1)) * 100).cast("long")  # C · 10^(6-4)
+    q = F.call_function("div", 2 * F.abs(s6) + d, 2 * d)
     return (
         F.when(s6.isNull(), F.lit(None).cast("double"))
         .otherwise(

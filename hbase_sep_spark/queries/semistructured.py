@@ -59,9 +59,12 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ok AS (
       SELECT event_id,
-             CASE WHEN props IS NOT NULL AND json_valid(props)
-                       AND json_type(props) = 'OBJECT'
-                       AND len(list_filter(json_keys(props), kk ->
+             CASE WHEN props IS NULL OR NOT json_valid(props)
+                       OR json_type(props) <> 'OBJECT' THEN NULL
+                  WHEN len(list_filter(json_keys(props), kk ->
+                            contains(kk, '"') OR contains(kk, '\\')
+                            OR kk = '')) > 0 THEN NULL
+                  WHEN len(list_filter(json_keys(props), kk ->
                             json_type(props, '$."' || kk || '"')
                                 NOT IN ('UBIGINT', 'BIGINT', 'NULL')
                             OR (json_type(props, '$."' || kk || '"') <> 'NULL'
@@ -101,9 +104,27 @@ def json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer or JSON null fails the WHOLE row to a NULL map; JSON-null
     values parse (key kept, value dropped from the CSV — both sides
     emit '' not NULL, hence the coalesce: DuckDB array_to_string of an
-    empty/all-NULL list is NULL where Spark array_join yields '')."""
+    empty/all-NULL list is NULL where Spark array_join yields '').
+
+    Hostile-key policy (ADVICE-r6): the oracle addresses values by
+    building DuckDB JSON paths from the keys, and a key containing a
+    double-quote or backslash — or the empty key, which DuckDB's path
+    parser rejects outright — yields a malformed path that ERRORS
+    where Spark's from_json parses the row fine. Both sides therefore
+    fail any row whose payload has such a key to a NULL map: Spark
+    via an `exists` guard over map_keys, the oracle via a lazy CASE
+    branch that never constructs a path from a hostile key (DuckDB
+    CASE branch laziness probed with quote/backslash/empty-key docs;
+    `'\\'` is a single literal backslash in DuckDB standard strings).
+    The kitchen-sink/extreme fixtures carry quoted-key, backslash-key
+    and empty-key payload variants to pin this."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 3000)
-    m = F.from_json("props", "map<string,int>")
+    raw = F.from_json("props", "map<string,int>")
+    hostile = F.exists(
+        F.map_keys(raw),
+        lambda k: k.contains('"') | k.contains("\\") | (k == F.lit("")),
+    )
+    m = F.when(hostile, F.lit(None).cast("map<string,int>")).otherwise(raw)
     return ev.select(
         "event_id",
         arr_str(F.map_keys(m)).alias("prop_keys"),

@@ -71,14 +71,26 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → CSV (header, quoted) → back. props contains commas,
     quotes and braces — quoting/escaping must survive the trip.
 
-    nullValue pins a distinct NULL sentinel (the postgres \\N
-    convention): with the default (empty string) an empty-string cell
-    and a NULL both serialize to the same empty field, so ''
-    deserializes as NULL and the roundtrip is LOSSY (round-6
-    extreme-value sweep, empty-props row). The option applies to both
-    writer and reader, making '' vs NULL bit-faithful."""
+    nullValue pins a distinct NULL sentinel: with the default (empty
+    string) an empty-string cell and a NULL both serialize to the
+    same empty field, so '' deserializes as NULL and the roundtrip is
+    LOSSY (round-6 extreme-value sweep, empty-props row). The option
+    applies to both writer and reader, making '' vs NULL
+    bit-faithful.
+
+    Sentinel choice (ADVICE-r6): Spark's CSV layer cannot make ANY
+    sentinel collision-proof — a data cell equal to the sentinel is
+    written verbatim and read back as NULL, and quoteAll does not
+    help (probed: the reader applies nullValue AFTER unquoting, so a
+    quoted data ``\\N`` and a writer-emitted NULL are byte-identical
+    on disk). The postgres ``\\N`` convention is therefore replaced
+    by a token no real payload plausibly contains; the residual
+    lossiness for a cell equal to THIS exact token is accepted and
+    documented. (The lossless alternative at 100 TB is a typed
+    format — parquet/ORC — which the sibling roundtrips cover.)"""
     return _roundtrip(
-        spark, sf_dir, "csv", header="true", quote='"', escape='"', nullValue="\\N"
+        spark, sf_dir, "csv", header="true", quote='"', escape='"',
+        nullValue="__CSV_NULL_SENTINEL_c7f3a9__",
     )
 
 

@@ -84,6 +84,10 @@ def extreme_sf(tmp_path_factory):
                    WHEN event_id % 19 = 7 THEN value * 1e-9    -- tiny
                    ELSE value END AS value,
                  CASE
+                   WHEN event_id % 29 = 4  THEN '{{"a\\"b": 3}}'       -- quote in key (ADVICE-r6)
+                   WHEN event_id % 29 = 9  THEN '{{"a\\\\b": 3}}'      -- backslash in key
+                   WHEN event_id % 29 = 14 THEN '{{"": 3}}'            -- empty key (path-breaking)
+                   WHEN event_id % 29 = 19 THEN '\\N'                  -- legacy CSV sentinel literal
                    WHEN event_id % 23 = 3  THEN '{{"x": 1}}'           -- key missing
                    WHEN event_id % 23 = 7  THEN '{{"k": "12"}}'        -- string-typed
                    WHEN event_id % 23 = 11 THEN '{{"k": {{"a": 1}}}}'  -- nested object

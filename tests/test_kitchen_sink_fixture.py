@@ -65,6 +65,10 @@ def sink_sf(tmp_path_factory):
                      ELSE value END AS value,
                    CASE
                      WHEN event_id % 13 = 5  THEN NULL
+                     WHEN event_id % 29 = 4  THEN '{{"a\\"b": 3}}'
+                     WHEN event_id % 29 = 9  THEN '{{"a\\\\b": 3}}'
+                     WHEN event_id % 29 = 14 THEN '{{"": 3}}'
+                     WHEN event_id % 29 = 19 THEN '\\N'
                      WHEN event_id % 23 = 3  THEN '{{"x": 1}}'
                      WHEN event_id % 23 = 7  THEN '{{"k": "12"}}'
                      WHEN event_id % 23 = 11 THEN '{{"k": {{"a": 1}}}}'
