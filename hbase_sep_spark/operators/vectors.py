@@ -16,6 +16,59 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
+_INF = float("inf")
+
+
+def _nonfinite(x: Column) -> Column:
+    return F.isnan(x) | (F.abs(x) == F.lit(_INF))
+
+
+def has_nonfinite(a) -> Column:
+    """True when any component is NaN/±Inf (NULL array → NULL)."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.exists(a, _nonfinite)
+
+
+def finite_only(a) -> Column:
+    """The array filtered to finite components (NULL array → NULL)."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.filter(a, lambda x: ~_nonfinite(x))
+
+
+def is_valid(a, dim: int = 64, require_nonzero: bool = True) -> Column:
+    """Embedding validity gate — apply at the scan before ANY
+    geometry (round-7 hostile-embeddings sweep). A real 100 TB
+    embedding feed carries NULL rows, truncated/empty arrays, and
+    NaN/Inf components from upstream model crashes; under ANSI a
+    zero-norm vector turns every cosine into DIVIDE_BY_ZERO, and a
+    ragged array crashes element_at / np.stack. Valid = non-null,
+    exactly `dim` components, all finite, and (where the operator
+    needs a direction) at least one nonzero component — float32
+    inputs can't underflow a float64 square to zero, so nonzero ⇒
+    norm > 0 exactly. Pure codegen predicate (size + two exists),
+    pushed into the scan stage by Catalyst. SQL mirror:
+    valid_sql()."""
+    a = F.col(a) if isinstance(a, str) else a
+    ok = a.isNotNull() & (F.size(a) == dim) & ~F.exists(a, _nonfinite)
+    if require_nonzero:
+        ok = ok & F.exists(a, lambda x: x != 0.0)
+    return ok
+
+
+def valid_sql(col: str, dim: int = 64, require_nonzero: bool = True) -> str:
+    """DuckDB mirror of is_valid() for query oracles. NaN-safe by
+    construction: the finite conjunct rejects NaN/Inf rows before
+    any comparison could hit DuckDB's total-order NaN semantics
+    (NaN > 0 is TRUE there, IEEE-false in Spark)."""
+    parts = [
+        f"{col} IS NOT NULL",
+        f"len({col}) = {dim}",
+        f"len(list_filter({col}, x -> NOT isfinite(x))) = 0",
+    ]
+    if require_nonzero:
+        parts.append(f"len(list_filter({col}, x -> x <> 0)) > 0")
+    return "(" + " AND ".join(parts) + ")"
+
 
 def dot(a, b) -> Column:
     """Σ a_i·b_i as a left fold in element order (portable)."""

@@ -673,6 +673,9 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sqrt(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS retention
     FROM embeddings
+    WHERE (embedding IS NOT NULL AND len(embedding) = 64
+           AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+           AND len(list_filter(embedding, x -> x <> 0)) > 0)
     """,
     section="2.11",
 )
@@ -685,10 +688,16 @@ def vec_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pure per-row codegen lambdas over the array column
     (slice + fold), no shuffle at all — the audit aggregate a real
-    pipeline would add on top is map-side-combinable."""
+    pipeline would add on top is map-side-combinable.
+
+    Scan applies the V.is_valid gate (round-7 hostile-embeddings
+    sweep): retention divides by the FULL norm, so the zero-norm /
+    ragged / non-finite rows a real feed carries must not reach the
+    division (a valid vector's all-zero PREFIX is fine — that's a
+    0/x retention of 0.0, a legitimate audit result)."""
     from hbase_sep_spark.operators import vectors as V
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").filter(V.is_valid("embedding"))
     n_full = V.l2_norm("embedding")
     n_16 = V.l2_norm(F.slice("embedding", 1, 16))
     return e.select(

@@ -485,9 +485,9 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argmax_misc",
     oracle="""
     SELECT user_id,
-           arg_max(event_type, printf('%020d-%010d', epoch_us(ts), event_id))
+           arg_max(event_type, printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, event_id))
                AS latest_type,
-           arg_min(event_type, printf('%020d-%010d', epoch_us(ts), event_id))
+           arg_min(event_type, printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, event_id))
                AS first_type,
            CAST(count(*) FILTER (WHERE value > 250) AS BIGINT) AS n_high,
            bool_or(value > 480) AS any_extreme,
@@ -505,9 +505,15 @@ def agg_argmax_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern): on a bare ts both engines pick an ARBITRARY row when two
     events share (user_id, ts) — the one divergence the round-6
     tie-injection sweep found across the registry. Values are
-    unchanged on a ts-unique feed (every fixture SF to date)."""
+    unchanged on a ts-unique feed (every fixture SF to date). The
+    epoch is biased by 2^62 (both sides) so a pre-1970 row can never
+    format a sign into %020d and lexically invert the pick order."""
     ev = t(spark, sf_dir, "events")
-    okey = F.format_string("%020d-%010d", F.unix_micros(F.col("ts")), F.col("event_id"))
+    okey = F.format_string(
+        "%020d-%010d",
+        F.unix_micros(F.col("ts")) + F.lit(4611686018427387904),
+        F.col("event_id"),
+    )
     return ev.groupBy("user_id").agg(
         F.max_by("event_type", okey).alias("latest_type"),
         F.min_by("event_type", okey).alias("first_type"),

@@ -296,6 +296,8 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
         SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
         FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+        WHERE (embedding IS NOT NULL AND len(embedding) = 64
+               AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)
     ),
     cent AS (SELECT label, pos, avg(x) AS cx FROM x GROUP BY label, pos)
     SELECT x.vec_id, x.label,
@@ -317,8 +319,18 @@ def vec_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2) centroids fold back to one array row per label (tiny) and
     BROADCAST against the corpus, where zip_with + aggregate compute
     the distance inside codegen — the embedding array itself never
-    shuffles.  The oracle replays the same math relationally."""
-    e = t(spark, sf_dir, "embeddings")
+    shuffles.  The oracle replays the same math relationally.
+
+    Scan applies the V.is_valid gate without the nonzero requirement
+    (distance needs no division; zero vectors are legitimate
+    outliers) — NULL/ragged arrays would skew the per-position
+    centroid and NaN components poison every distance in the label
+    (round-7 hostile-embeddings sweep)."""
+    from hbase_sep_spark.operators import vectors as V
+
+    e = t(spark, sf_dir, "embeddings").filter(
+        V.is_valid("embedding", require_nonzero=False)
+    )
     x = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
     ).withColumn("x", F.col("x").cast("double"))

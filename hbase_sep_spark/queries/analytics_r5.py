@@ -158,9 +158,9 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
-           arg_min(value, printf('%020d-%010d', epoch_us(ts), event_id))
+           arg_min(value, printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, event_id))
                AS open_v,
-           arg_max(value, printf('%020d-%010d', epoch_us(ts), event_id))
+           arg_max(value, printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, event_id))
                AS close_v,
            min(value) AS low_v,
            max(value) AS high_v,
@@ -179,7 +179,10 @@ def ts_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exact-decimal volume. First/last are picked by a composite
     '%020d-%010d' (epoch_us, event_id) string key, so ties on ts are
     broken identically on both engines and the pick is fully
-    deterministic (the repo-wide event_id tie-break rule); open and
+    deterministic (the repo-wide event_id tie-break rule); the epoch
+    is biased by 2^62 so a pre-1970 row (negative epoch) can never
+    format with a sign, which would lexically invert the order among
+    such rows on BOTH engines (agreeing but wrong picks); open and
     close are raw per-row values (never rounded), the volume sum
     runs in exact decimal.
 
@@ -191,7 +194,11 @@ def ts_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, so the shuffle moves one fixed-width pair per group per
     mapper, never the events. Single Exchange, pinned."""
     ev = t(spark, sf_dir, "events")
-    okey = F.format_string("%020d-%010d", F.unix_micros("ts"), F.col("event_id"))
+    okey = F.format_string(
+        "%020d-%010d",
+        F.unix_micros("ts") + F.lit(4611686018427387904),
+        F.col("event_id"),
+    )
     # NULL-value rows must not win open/close: DuckDB arg_min/arg_max
     # skip rows whose VALUE argument is NULL, but Spark min_by/max_by
     # return them (probed, round-6 null sweep). Nulling the ORDER key
@@ -447,10 +454,15 @@ def simsearch_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, no shuffle); candidate generation is the bucketed
     equi-join, never all-pairs; the stage-2 rerank input is
     probes × 20 rows — at 100 TB the full-precision arithmetic
-    touches a vanishing fraction of the corpus."""
+    touches a vanishing fraction of the corpus.
+
+    Scan applies the V.is_valid gate (round-7 hostile-embeddings
+    sweep: the symmetric int8 grid divides by the vector norm, so
+    zero-norm / ragged / non-finite rows must not reach
+    quantization)."""
     from hbase_sep_spark.operators import vectors as V
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").filter(V.is_valid("embedding"))
 
     # Symmetric int8 grid over the UNIT-normalized vector: q_i =
     # round(v_i / ||v|| × 127). The integer dot of two such vectors

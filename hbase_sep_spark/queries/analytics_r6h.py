@@ -44,8 +44,20 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     simsearch_ivf_coarse); the M-step is a posexplode +
     (cluster, dim) aggregate — map-side combined, k·d output rows.
     Driver state per round is the k×d centroid matrix (bounded, the
-    PCA-moment precedent); no data-sized collect anywhere."""
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    PCA-moment precedent); no data-sized collect anywhere.
+
+    Scan applies the V.is_valid gate without the nonzero requirement
+    (L2 distance needs no division; the zero vector is a legitimate
+    point) — a NULL embedding among the first k rows crashed the
+    seed collect, and ragged arrays NULL-poison zip_with distances
+    (round-7 hostile-embeddings sweep)."""
+    from hbase_sep_spark.operators import vectors as V
+
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .filter(V.is_valid("embedding", require_nonzero=False))
+        .select("vec_id", "embedding")
+    )
     cents = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.orderBy("vec_id").limit(_K).collect()

@@ -106,6 +106,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS cos_raw
         FROM embeddings a
         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE (a.embedding IS NOT NULL AND len(a.embedding) = 64
+               AND len(list_filter(a.embedding, x -> NOT isfinite(x))) = 0
+               AND len(list_filter(a.embedding, x -> x <> 0)) > 0)
+          AND (b.embedding IS NOT NULL AND len(b.embedding) = 64
+               AND len(list_filter(b.embedding, x -> NOT isfinite(x))) = 0
+               AND len(list_filter(b.embedding, x -> x <> 0)) > 0)
     )
     SELECT id_a, id_b, round(cos_raw, 4) + 0.0 AS cos_sim
     FROM pairs
@@ -117,10 +123,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: top-20 most-similar pairs within
     label blocks (blocking bounds the pair space; at 100 TB the block
-    key is vectors.lsh_bucket instead of the label)."""
+    key is vectors.lsh_bucket instead of the label). Both join sides
+    pass the V.is_valid gate (round-7 hostile-embeddings sweep: a
+    zero-norm vector in any pair is ANSI DIVIDE_BY_ZERO)."""
     from hbase_sep_spark.operators import vectors as V
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").filter(V.is_valid("embedding"))
     a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
     cos = V.cosine(F.col("ea"), F.col("eb"))

@@ -85,12 +85,13 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simsearch_cosine_topk",
     oracle=f"""
-    WITH p AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    WITH p AS (SELECT embedding FROM embeddings
+               WHERE vec_id = 0 AND {V.valid_sql('embedding')})
     SELECT a.vec_id,
            round({_DUCK_DOT.format(a='a', b='p')} /
                  ({_DUCK_NORM.format(a='a')} * {_DUCK_NORM.format(a='p')}), 4) + 0.0 AS cos_sim
     FROM embeddings a, p
-    WHERE a.vec_id <> 0
+    WHERE a.vec_id <> 0 AND {V.valid_sql('a.embedding')}
     ORDER BY {_DUCK_DOT.format(a='a', b='p')} /
              ({_DUCK_NORM.format(a='a')} * {_DUCK_NORM.format(a='p')}) DESC, a.vec_id
     LIMIT 10
@@ -102,8 +103,12 @@ def simsearch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline for ANN. The probe is a 1-row broadcast (no collect);
     per-row dot products run in codegen; TakeOrderedAndProject keeps
     only k rows per partition. Ordering uses the UNrounded cosine
-    (bitwise-identical across engines) with vec_id tie-break."""
-    e = t(spark, sf_dir, "embeddings")
+    (bitwise-identical across engines) with vec_id tie-break.
+    Probe and corpus pass the V.is_valid gate (round-7
+    hostile-embeddings sweep: a zero-norm vector is ANSI
+    DIVIDE_BY_ZERO); an invalid probe yields an empty result on
+    both sides."""
+    e = t(spark, sf_dir, "embeddings").filter(V.is_valid("embedding"))
     probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe_emb"))
     cos = V.dot("embedding", "probe_emb") / (V.l2_norm("embedding") * V.l2_norm("probe_emb"))
     return (
@@ -119,14 +124,15 @@ def simsearch_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simsearch_knn_join",
     oracle=f"""
-    WITH probes AS (SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id < 5),
+    WITH probes AS (SELECT vec_id AS probe_id, embedding FROM embeddings
+                    WHERE vec_id < 5 AND {V.valid_sql('embedding')}),
     scored AS (
         SELECT p.probe_id,
                a.vec_id AS neighbor_id,
                {_DUCK_DOT.format(a='a', b='p')} /
                ({_DUCK_NORM.format(a='a')} * {_DUCK_NORM.format(a='p')}) AS cos_raw
         FROM embeddings a, probes p
-        WHERE a.vec_id <> p.probe_id
+        WHERE a.vec_id <> p.probe_id AND {V.valid_sql('a.embedding')}
     )
     SELECT probe_id, neighbor_id,
            round(cos_raw, 4) + 0.0 AS cos_sim,
@@ -142,8 +148,10 @@ def simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probes broadcast against the corpus (block-nested at scale:
     probes are the small side by construction); per-probe top-k via
     window, no global sort. The 100 TB variant pre-buckets both sides
-    with vectors.lsh_bucket and equi-joins on bucket id."""
-    e = t(spark, sf_dir, "embeddings")
+    with vectors.lsh_bucket and equi-joins on bucket id. Probes and
+    corpus pass the V.is_valid gate (round-7 hostile-embeddings
+    sweep)."""
+    e = t(spark, sf_dir, "embeddings").filter(V.is_valid("embedding"))
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
     )
@@ -168,13 +176,18 @@ def simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> printf('%.4f', round(CAST(x AS DOUBLE) / {_DUCK_NORM.format(a='embeddings')}, 4) + 0.0)), ',')
                AS unit_vec
     FROM embeddings
+    WHERE {V.valid_sql('embeddings.embedding')}
     """,
     section=SECTION,
 )
 def vec_normalize_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit vector serialized %.4f per element — array outputs crash
-    the driver canonicalizer (portable.arr_str)."""
-    e = t(spark, sf_dir, "embeddings")
+    the driver canonicalizer (portable.arr_str). Normalization needs
+    a direction, so the scan applies the V.is_valid gate (NULL /
+    ragged / non-finite / zero-norm vectors excluded — round-7
+    hostile-embeddings sweep: a zero vector here is ANSI
+    DIVIDE_BY_ZERO)."""
+    e = t(spark, sf_dir, "embeddings").filter(V.is_valid("embedding"))
     return e.select(
         "vec_id",
         "label",
@@ -309,7 +322,9 @@ def text_lang_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            d.source,
            src.n_docs_in_source,
            e.label,
-           round({_DUCK_NORM.format(a='e')}, 6) AS emb_norm
+           CASE WHEN e.embedding IS NOT NULL AND len(e.embedding) > 0
+                     AND len(list_filter(e.embedding, x -> NOT isfinite(x))) = 0
+                THEN round({_DUCK_NORM.format(a='e')}, 6) END AS emb_norm
     FROM documents d
     JOIN embeddings e ON d.doc_id = e.vec_id
     JOIN src USING (source)
@@ -320,10 +335,21 @@ def multimodal_struct_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assemble a multimodal record: text metadata + embedding stats +
     source context as a nested struct, then flatten for the oracle
     (structs don't cross engines). The struct stage is the real
-    product shape; flattening is only the comparison projection."""
+    product shape; flattening is only the comparison projection.
+    Record assembly KEEPS rows with malformed embeddings (metadata
+    still has value) and NULLs the derived norm instead — defined
+    only for a non-null, non-empty, all-finite vector of any length
+    (round-7 hostile-embeddings sweep: DuckDB's sum-over-empty is
+    NULL where Spark's fold seed is 0.0, and NaN norms don't cross
+    engines)."""
     d = t(spark, sf_dir, "documents")
     e = t(spark, sf_dir, "embeddings")
     src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_in_source"))
+    norm_defined = (
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & ~V.has_nonfinite("embedding")
+    )
     record = (
         d.join(e, d.doc_id == e.vec_id)
         .join(F.broadcast(src), "source")
@@ -332,7 +358,9 @@ def multimodal_struct_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct("lang", "source", "n_chars").alias("text_meta"),
             F.struct(
                 F.col("label"),
-                F.round(V.l2_norm("embedding"), 6).alias("emb_norm"),
+                F.when(norm_defined, F.round(V.l2_norm("embedding"), 6)).alias(
+                    "emb_norm"
+                ),
             ).alias("vec_meta"),
             "n_docs_in_source",
         )
@@ -356,8 +384,10 @@ def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded key, distinct-ed, never all-pairs; the index side
     still stores ONE bucket per table per vector. Recall vs brute
     force gated in tests/test_ann.py. rows-only: xxhash64 plane
-    family."""
-    e = t(spark, sf_dir, "embeddings")
+    family. Scan applies the V.is_valid gate (round-7
+    hostile-embeddings sweep: cosine over a zero-norm candidate is
+    ANSI DIVIDE_BY_ZERO)."""
+    e = t(spark, sf_dir, "embeddings").filter(V.is_valid("embedding"))
     keys = V.lsh_tables("embedding", n_tables=8, n_planes=4)
     probe_keys = V.lsh_multiprobe_tables("embedding", n_tables=8, n_planes=4)
     bucketed = e.select("vec_id", "embedding", F.explode(keys).alias("k")).select(
@@ -399,8 +429,10 @@ def simsearch_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is an equi-join on list id — the IVF shape at any corpus
     size. rows-only (depends on float assignment order only through
     deterministic expressions, but not SQL-oracle-expressible at
-    reasonable cost)."""
-    e = t(spark, sf_dir, "embeddings")
+    reasonable cost). Scan applies the V.is_valid gate (round-7
+    hostile-embeddings sweep: ragged arrays break the per-dimension
+    element_at sums, zero-norm vectors the cosine)."""
+    e = t(spark, sf_dir, "embeddings").filter(V.is_valid("embedding"))
     DIM = 64
 
     # Coarse centroids: mean embedding per label (a stand-in for
@@ -466,15 +498,20 @@ _DUCK_Q_MAXS = "[" + ", ".join(f"max(CAST(embedding[{i}] AS DOUBLE))" for i in r
 @register(
     "vec_quantize_int8",
     oracle=f"""
-    WITH stats AS (
-        SELECT {_DUCK_Q_MINS} AS mins, {_DUCK_Q_MAXS} AS maxs FROM embeddings
+    WITH v AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {V.valid_sql('embedding')}
+    ),
+    stats AS (
+        SELECT {_DUCK_Q_MINS} AS mins, {_DUCK_Q_MAXS} AS maxs FROM v AS embeddings
     ),
     q AS (
         SELECT vec_id, embedding, mins, maxs,
                list_transform(range(1, 65),
-                   i -> CAST(round((CAST(embedding[i] AS DOUBLE) - mins[i])
-                                   / ((maxs[i] - mins[i]) / 255.0), 0) AS INT)) AS qv
-        FROM embeddings, stats
+                   i -> CASE WHEN maxs[i] = mins[i] THEN 0
+                        ELSE CAST(round((CAST(embedding[i] AS DOUBLE) - mins[i])
+                                   / ((maxs[i] - mins[i]) / 255.0), 0) AS INT) END) AS qv
+        FROM v, stats
     ),
     d AS (
         SELECT vec_id, embedding, qv,
@@ -483,10 +520,11 @@ _DUCK_Q_MAXS = "[" + ", ".join(f"max(CAST(embedding[{i}] AS DOUBLE))" for i in r
         FROM q
     )
     SELECT vec_id,
-           round(list_sum(list_transform(range(1, 65),
-                     i -> CAST(embedding[i] AS DOUBLE) * deq[i]))
-                 / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(deq, x -> x * x)))), 6) + 0.0 AS fidelity_cos,
+           CASE WHEN sqrt(list_sum(list_transform(deq, x -> x * x))) > 0 THEN
+             round(list_sum(list_transform(range(1, 65),
+                       i -> CAST(embedding[i] AS DOUBLE) * deq[i]))
+                   / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(deq, x -> x * x)))), 6) + 0.0 END AS fidelity_cos,
            array_to_string(list_slice(qv, 1, 4), ',') AS q_head
     FROM d
     """,
@@ -502,8 +540,16 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN. The oracle replays the identical per-row IEEE arithmetic
     (bitwise-deterministic across engines; min/max aggregates are
     order-independent exactly), so the whole quantize→dequantize path
-    is value-checked."""
-    e = t(spark, sf_dir, "embeddings")
+    is value-checked.
+
+    Hostile-feed hardening (round-7 sweep): the scan applies the
+    V.is_valid gate (ragged arrays crash element_at, zero vectors the
+    fidelity cosine); a DEGENERATE DIMENSION (max = min across the
+    corpus — every quantizer's edge case) quantizes to code 0 and
+    dequantizes to the constant exactly instead of dividing by a
+    zero scale; a dequantized vector that lands exactly on the zero
+    point yields NULL fidelity rather than dividing by zero."""
+    e = t(spark, sf_dir, "embeddings").filter(V.is_valid("embedding"))
     DIM = 64
     mins = [F.min(F.element_at("embedding", i + 1).cast("double")).alias(f"mn{i}") for i in range(DIM)]
     maxs = [F.max(F.element_at("embedding", i + 1).cast("double")).alias(f"mx{i}") for i in range(DIM)]
@@ -521,9 +567,15 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = lambda i: (elem(F.col("maxs"), i) - elem(F.col("mins"), i)) / 255.0  # noqa: E731
     q = F.transform(
         idx,
-        lambda i: F.round(
-            (elem(F.col("embedding"), i).cast("double") - elem(F.col("mins"), i)) / scale(i), 0
-        ).cast("int"),
+        lambda i: F.when(
+            elem(F.col("maxs"), i) == elem(F.col("mins"), i), F.lit(0)
+        ).otherwise(
+            F.round(
+                (elem(F.col("embedding"), i).cast("double") - elem(F.col("mins"), i))
+                / scale(i),
+                0,
+            ).cast("int")
+        ),
     )
     quantized = with_stats.withColumn("q", q)
     deq = F.transform(
@@ -534,7 +586,9 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = V.dot("embedding", "deq") / (V.l2_norm("embedding") * V.l2_norm("deq"))
     return out.select(
         "vec_id",
-        (F.round(cos, 6) + F.lit(0.0)).alias("fidelity_cos"),
+        F.when(V.l2_norm("deq") > 0, F.round(cos, 6) + F.lit(0.0)).alias(
+            "fidelity_cos"
+        ),
         arr_str(F.slice("q", 1, 4)).alias("q_head"),
     )
 
@@ -555,10 +609,15 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals. Driver state is O(d²) — independent of corpus size.
     rows-only: eigenvector arithmetic is float-order sensitive at the
     last ulp; statistical gates (variance ordering, decorrelation)
-    run in tests/test_operators.py."""
+    run in tests/test_operators.py. Scan applies the V.is_valid gate
+    (non-zero not required — PCA handles zero vectors; NULL/ragged
+    arrays would crash np.stack in the moment workers, round-7
+    hostile-embeddings sweep)."""
     import numpy as np
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").filter(
+        V.is_valid("embedding", require_nonzero=False)
+    )
     DIM = 64
 
     def partial_moments(batches):
@@ -566,6 +625,8 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:  # a filtered-empty Arrow batch
+                continue
             X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             row = np.concatenate(
                 ([float(len(X))], X.sum(axis=0), (X.T @ X).ravel())

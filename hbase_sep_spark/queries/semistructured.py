@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hbase_sep_spark.functions import arr_str, dsum, json_int
 from hbase_sep_spark.io import t
+from hbase_sep_spark.operators import vectors as V
 from hbase_sep_spark.registry import register
 
 SECTION = "2.9"
@@ -202,9 +203,13 @@ def arr_sort_distinct_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arr_lambda_transform",
     oracle="""
     SELECT vec_id,
-           array_to_string(list_transform(embedding,
-               x -> printf('%.4f', round(CAST(x AS DOUBLE) * 2, 4) + 0.0)), ',') AS doubled,
-           round(CAST(embedding[1] AS DOUBLE) * 2, 4) + 0.0 AS first_doubled
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE coalesce(array_to_string(list_transform(embedding,
+                    x -> CASE WHEN isfinite(x)
+                         THEN printf('%.4f', round(CAST(x AS DOUBLE) * 2, 4) + 0.0) END),
+                    ','), '') END AS doubled,
+           CASE WHEN isfinite(embedding[1])
+                THEN round(CAST(embedding[1] AS DOUBLE) * 2, 4) + 0.0 END AS first_doubled
     FROM embeddings
     """,
     section=SECTION,
@@ -213,34 +218,77 @@ def arr_lambda_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order transform over the embedding vector. Elements are
     cast float→double BEFORE arithmetic on both sides (float32 math
     would diverge between engines); the rounded result is serialized
-    %.4f per element (driver-safe, see portable.arr_str)."""
+    %.4f per element (driver-safe, see portable.arr_str).
+
+    This is an ARRAY demo, not vector geometry, so hostile rows stay
+    (round-7 hostile-embeddings sweep): non-finite elements map to
+    NULL on both sides (Spark format_string says 'NaN'/'Infinity'
+    where DuckDB printf says 'nan'/'inf' — serialized they can never
+    agree; both engines then SKIP NULL elements in the join), the
+    head element goes through try_element_at (plain element_at on an
+    empty array is an ANSI crash), and an all-NULL/empty serialized
+    list is '' on both sides (DuckDB's array_to_string is NULL
+    there, hence the coalesce)."""
     e = t(spark, sf_dir, "embeddings")
-    doubled = F.transform("embedding", lambda x: F.round(x.cast("double") * 2, 4) + F.lit(0.0))
+    # NULL-guard AFTER formatting: format_string('%.4f', NULL) is the
+    # literal string 'null', so the non-finite guard must wrap the
+    # formatted element (array_join then skips the NULL).
+    doubled = F.transform(
+        "embedding",
+        lambda x: F.when(
+            ~(F.isnan(x) | (F.abs(x) == F.lit(float("inf")))),
+            F.format_string("%.4f", F.round(x.cast("double") * 2, 4) + F.lit(0.0)),
+        ),
+    )
+    head = F.try_element_at("embedding", F.lit(1))
+    first = F.when(
+        ~(F.isnan(head) | (F.abs(head) == F.lit(float("inf")))),
+        F.round(head.cast("double") * 2, 4) + F.lit(0.0),
+    )
     return e.select(
         "vec_id",
-        arr_str(doubled, "%.4f").alias("doubled"),
-        (F.round(F.element_at("embedding", 1).cast("double") * 2, 4) + F.lit(0.0)).alias("first_doubled"),
+        F.array_join(doubled, ",").alias("doubled"),
+        first.alias("first_doubled"),
     )
 
 
 @register(
     "arr_lambda_filter_agg",
     oracle="""
+    WITH f AS (
+        SELECT vec_id, embedding,
+               list_filter(embedding, x -> isfinite(x)) AS fin
+        FROM embeddings
+    )
     SELECT vec_id,
-           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
-           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) + 0.0 AS vec_sum,
-           round(list_sum(list_transform(list_filter(embedding, x -> x > 0),
-                                         x -> CAST(x AS DOUBLE))), 6) + 0.0 AS pos_sum
-    FROM embeddings
+           CAST(len(list_filter(fin, x -> x > 0)) AS INT) AS n_positive,
+           CASE WHEN embedding IS NULL THEN NULL ELSE
+               coalesce(round(list_sum(list_transform(fin, x -> CAST(x AS DOUBLE))), 6) + 0.0,
+                        0.0) END AS vec_sum,
+           CASE WHEN embedding IS NULL THEN NULL ELSE
+               coalesce(round(list_sum(list_transform(list_filter(fin, x -> x > 0),
+                                             x -> CAST(x AS DOUBLE))), 6) + 0.0,
+                        0.0) END AS pos_sum
+    FROM f
     """,
     section=SECTION,
 )
 def arr_lambda_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filter + aggregate (left fold) lambdas. Fold order is
     element order in both engines → bitwise-identical sums; rounded
-    anyway as belt-and-braces."""
+    anyway as belt-and-braces.
+
+    Hostile-row policy (round-7 hostile-embeddings sweep; rows stay —
+    this is an array demo, not geometry): non-finite elements are
+    dropped before counting and summing on BOTH sides — DuckDB's
+    total-order comparison says NaN > 0 where Spark's IEEE says
+    false, so an unfiltered NaN silently skews n_positive — and a
+    sum over no surviving elements is 0.0 on both sides (Spark's
+    fold seed; DuckDB list_sum yields NULL there, hence the
+    coalesce). A NULL array stays NULL throughout."""
     e = t(spark, sf_dir, "embeddings")
-    pos = F.filter("embedding", lambda x: x > 0)
+    fin = V.finite_only("embedding")
+    pos = F.filter(fin, lambda x: x > 0)
 
     def fold_sum(arr):
         return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
@@ -248,7 +296,7 @@ def arr_lambda_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size(pos).alias("n_positive"),
-        (F.round(fold_sum(F.col("embedding")), 6) + F.lit(0.0)).alias("vec_sum"),
+        (F.round(fold_sum(fin), 6) + F.lit(0.0)).alias("vec_sum"),
         (F.round(fold_sum(pos), 6) + F.lit(0.0)).alias("pos_sum"),
     )
 

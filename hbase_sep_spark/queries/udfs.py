@@ -163,6 +163,8 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> CAST(embedding[i] AS DOUBLE) * (CAST((i - 1) * 37 % 101 AS DOUBLE) / 101.0 - 0.5)))
            ))), 6) AS score
     FROM embeddings
+    WHERE (embedding IS NOT NULL AND len(embedding) = 64
+           AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)
     """,
     section=SECTION,
 )
@@ -171,8 +173,14 @@ def udf_pandas_vector_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     column through Arrow, dotting it with a fixed weight vector and
     squashing — the batch-inference calling convention (vector in,
     scalar out, numpy inside). Weights are derived arithmetically so
-    the oracle can reproduce them exactly."""
+    the oracle can reproduce them exactly. Scan applies the
+    V.is_valid gate without the nonzero requirement (the score is a
+    dot, no division) — a NULL or ragged array crashes np.stack in
+    the worker, the batch-inference failure mode a validation gate
+    exists to prevent (round-7 hostile-embeddings sweep)."""
     import numpy as np
+
+    from hbase_sep_spark.operators import vectors as V
 
     weights = np.array([((i * 37) % 101) / 101.0 - 0.5 for i in range(64)], dtype=np.float64)
 
@@ -182,5 +190,7 @@ def udf_pandas_vector_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         z = mat @ weights
         return pd.Series(1.0 / (1.0 + np.exp(-z)))
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").filter(
+        V.is_valid("embedding", require_nonzero=False)
+    )
     return e.select("vec_id", F.round(score("embedding"), 6).alias("score"))
