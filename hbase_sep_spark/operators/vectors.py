@@ -42,14 +42,27 @@ def is_valid(a, dim: int = 64, require_nonzero: bool = True) -> Column:
     NaN/Inf components from upstream model crashes; under ANSI a
     zero-norm vector turns every cosine into DIVIDE_BY_ZERO, and a
     ragged array crashes element_at / np.stack. Valid = non-null,
-    exactly `dim` components, all finite, and (where the operator
-    needs a direction) at least one nonzero component — float32
-    inputs can't underflow a float64 square to zero, so nonzero ⇒
-    norm > 0 exactly. Pure codegen predicate (size + two exists),
-    pushed into the scan stage by Catalyst. SQL mirror:
-    valid_sql()."""
+    exactly `dim` components, all non-NULL and finite, and (where
+    the operator needs a direction) at least one nonzero component —
+    float32 inputs can't underflow a float64 square to zero, so
+    nonzero ⇒ norm > 0 exactly. Pure codegen predicate (size + two
+    exists), pushed into the scan stage by Catalyst. SQL mirror:
+    valid_sql().
+
+    The NULL-ELEMENT conjunct is explicit and load-bearing on both
+    sides (round-7 review finding): without it, Spark's `exists`
+    over [1.0, NULL, ...] returns NULL (three-valued logic — the
+    filter silently drops the row) while DuckDB's list_filter drops
+    the NULL-predicate element and KEEPS the row — a kept-vs-dropped
+    divergence on exactly the upstream-crash class this gate
+    exists for. `x.isNull()` evaluates first in the exists lambda,
+    so the predicate is TRUE (never NULL) on a NULL element."""
     a = F.col(a) if isinstance(a, str) else a
-    ok = a.isNotNull() & (F.size(a) == dim) & ~F.exists(a, _nonfinite)
+    ok = (
+        a.isNotNull()
+        & (F.size(a) == dim)
+        & ~F.exists(a, lambda x: x.isNull() | _nonfinite(x))
+    )
     if require_nonzero:
         ok = ok & F.exists(a, lambda x: x != 0.0)
     return ok
@@ -59,10 +72,15 @@ def valid_sql(col: str, dim: int = 64, require_nonzero: bool = True) -> str:
     """DuckDB mirror of is_valid() for query oracles. NaN-safe by
     construction: the finite conjunct rejects NaN/Inf rows before
     any comparison could hit DuckDB's total-order NaN semantics
-    (NaN > 0 is TRUE there, IEEE-false in Spark)."""
+    (NaN > 0 is TRUE there, IEEE-false in Spark). The explicit
+    IS NULL conjunct mirrors is_valid's NULL-element rejection —
+    list_filter drops NULL-predicate elements, so the isfinite
+    conjunct alone would silently PASS a [1.0, NULL, ...] row that
+    Spark drops."""
     parts = [
         f"{col} IS NOT NULL",
         f"len({col}) = {dim}",
+        f"len(list_filter({col}, x -> x IS NULL)) = 0",
         f"len(list_filter({col}, x -> NOT isfinite(x))) = 0",
     ]
     if require_nonzero:

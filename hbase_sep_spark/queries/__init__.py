@@ -59,25 +59,37 @@ from hbase_sep_spark.streaming import queries as _streaming_queries  # noqa: F40
 from hbase_sep_spark import registry as _registry
 
 # Driver-grading prefix for round 7 (standing rotation policy; round 6
-# graded exactly positions 1-50 — 50/50 green, CORRECTNESS_r06):
-# 1-8   = the eight never-driver-graded names the round-6 bound cut
-#         off (the only registry entries with no CORRECTNESS row).
-# 9-11  = the three ADVICE-r6-touched queries, changed THIS round:
-#         json_to_map (hostile-key guard on both sides),
-#         source_csv_roundtrip (implausible NULL sentinel),
-#         events_hourly_seasonality (_iavg4 exact integral `div`).
-# 12-42 = the round-6 changed-since-green re-entries the bound cut
-#         off, in round-6 queue order: stream_stateful_latest
-#         (rows-only; behavior-preserving refactor), the tie/unicode
-#         fixes, the extreme-payload fixes, the five hash-hardened
-#         greens, the null-policy block, the rounding-tie block.
-# 43-50 = the stalest round-1 greens (graded once, on
-#         PRE-regeneration data) for re-confirmation.
-# then  = the remaining r1 greens, the r2 tail, and the r3-graded
-#         block (text/multimodal/sampling, formats, streaming) in
-#         grade-age order; r4/r5/r6 greens follow in registration
-#         order.  All prefix names re-verified against the local
-#         oracle on current data before commit (tests.harness).
+# graded exactly positions 1-50 — 50/50 green, CORRECTNESS_r06).
+# Ordered by re-grade value: never-graded first, then round-7
+# semantic changes (newest, least driver-validated), then the
+# round-6 changed-since-green re-entries the r6 bound cut off
+# (oldest debt last within the changed class):
+# 1-8   = the eight never-driver-graded names (the only registry
+#         entries with no CORRECTNESS row).
+# 9-11  = the ADVICE-r6 trio, changed THIS round: json_to_map
+#         (hostile-key guard both sides), source_csv_roundtrip
+#         (implausible NULL sentinel), events_hourly_seasonality
+#         (_iavg4 exact integral `div`).
+# 12-22 = the round-7 hostile-embeddings hardening, sql-hash members
+#         (V.is_valid scan gate + element-level finite/NULL guards).
+# 23-38 = round-6 re-entries: tie/unicode fixes (23-25),
+#         extreme-payload fixes (26-32), null-policy greens (33-38).
+# 39-47 = round-6 rounding-tie greens (oracle-only VARCHAR-decimal
+#         wrap; values identical off-tie).
+# 48-52 = round-6 hash-hardened greens (outputs PROVABLY unchanged
+#         at fixture scale — lowest re-grade risk, so they straddle
+#         the ~50 bound).
+# 53-58 = rows-only changed-since-green (r6 stream refactor + the
+#         five r7 vector rows-only members) — a rows-only re-grade
+#         adds little over the local oracle/property evidence, so
+#         they sit just past the bound (round-6 precedent).
+# 59+   = the stale r1 greens (NONE re-confirm this round — the
+#         changed-since-green load fills the bound; they lead the
+#         round-8 stale queue), then the r2 tail and the r3-graded
+#         block in grade-age order; r4/r5/r6 greens follow in
+#         registration order.  All prefix names re-verified against
+#         the local oracle on current data before commit
+#         (tests.harness + plain-session sweep).
 _GRADE_FIRST = [
     # never graded (round-6 bound cut-off)
     "agg_ols_two_factor",
@@ -202,29 +214,19 @@ _GRADE_FIRST = [
     "arr_construct_contains",
     "arr_explode",
     "arr_sort_distinct_slice",
-    "arr_lambda_transform",
-    "arr_lambda_filter_agg",
     "map_keys_values",
     "udf_python_scalar",
     "udf_pandas_vectorized",
     "udaf_pandas_group",
     "udtf_python",
     "dedup_minhash_near",
-    "simsearch_cosine_topk",
-    "simsearch_knn_join",
-    "vec_normalize_norm",
     # round-3 greens in their r3 grading order (the next-stalest)
     "text_tokenize_wordcount",
     "text_ngrams",
     "text_tfidf",
     "text_lang_filter_stats",
-    "multimodal_struct_cols",
-    "simsearch_lsh_bucketed",
-    "simsearch_ivf_coarse",
-    "vec_quantize_int8",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "text_langid_heuristic",
     "text_quality_score",
     "text_token_count",
@@ -267,6 +269,11 @@ def _reorder() -> None:
     missing = [n for n in _GRADE_FIRST if n not in reg]
     if missing:  # fail loudly at import — a typo here silently ungrades a query
         raise RuntimeError(f"_GRADE_FIRST names not registered: {missing}")
+    if len(set(_GRADE_FIRST)) != len(_GRADE_FIRST):
+        dupes = sorted({n for n in _GRADE_FIRST if _GRADE_FIRST.count(n) > 1})
+        # a duplicate's second entry is DEAD (first-wins) — the queue
+        # it appears to define doesn't exist; fail loudly instead
+        raise RuntimeError(f"_GRADE_FIRST has duplicate names: {dupes}")
     ordered = {n: reg[n] for n in _GRADE_FIRST}
     ordered.update((n, q) for n, q in reg.items() if n not in ordered)
     reg.clear()

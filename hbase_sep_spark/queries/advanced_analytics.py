@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from hbase_sep_spark.functions.portable import knuth_hash
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import text as T
+from hbase_sep_spark.operators import vectors as V
 from hbase_sep_spark.registry import register
 
 _DAMP = 0.85
@@ -662,7 +663,7 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vec_matryoshka_truncate",
-    oracle="""
+    oracle=f"""
     SELECT vec_id, label,
            round(sqrt(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm_full,
@@ -673,9 +674,7 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sqrt(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS retention
     FROM embeddings
-    WHERE (embedding IS NOT NULL AND len(embedding) = 64
-           AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
-           AND len(list_filter(embedding, x -> x <> 0)) > 0)
+    WHERE {V.valid_sql('embedding')}
     """,
     section="2.11",
 )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from hbase_sep_spark.functions.portable import ascii_lower, knuth_hash
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import text as T
+from hbase_sep_spark.operators import vectors as V
 from hbase_sep_spark.registry import register
 
 
@@ -292,12 +293,11 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vec_centroid_distance",
-    oracle="""
+    oracle=f"""
     WITH x AS (
         SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
         FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
-        WHERE (embedding IS NOT NULL AND len(embedding) = 64
-               AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)
+        WHERE {V.valid_sql('embedding', require_nonzero=False)}
     ),
     cent AS (SELECT label, pos, avg(x) AS cx FROM x GROUP BY label, pos)
     SELECT x.vec_id, x.label,
@@ -326,8 +326,6 @@ def vec_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     outliers) — NULL/ragged arrays would skew the per-position
     centroid and NaN components poison every distance in the label
     (round-7 hostile-embeddings sweep)."""
-    from hbase_sep_spark.operators import vectors as V
-
     e = t(spark, sf_dir, "embeddings").filter(
         V.is_valid("embedding", require_nonzero=False)
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from hbase_sep_spark.functions import arr_str
 from hbase_sep_spark.functions.portable import ascii_lower, knuth_hash
 from hbase_sep_spark.io import t
+from hbase_sep_spark.operators import vectors as V
 from hbase_sep_spark.operators import dedup as D
 from hbase_sep_spark.operators import text as T
 from hbase_sep_spark.registry import register
@@ -96,7 +97,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     WITH pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                list_sum(list_transform(range(1, 65),
@@ -106,12 +107,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS cos_raw
         FROM embeddings a
         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE (a.embedding IS NOT NULL AND len(a.embedding) = 64
-               AND len(list_filter(a.embedding, x -> NOT isfinite(x))) = 0
-               AND len(list_filter(a.embedding, x -> x <> 0)) > 0)
-          AND (b.embedding IS NOT NULL AND len(b.embedding) = 64
-               AND len(list_filter(b.embedding, x -> NOT isfinite(x))) = 0
-               AND len(list_filter(b.embedding, x -> x <> 0)) > 0)
+        WHERE {V.valid_sql('a.embedding')}
+          AND {V.valid_sql('b.embedding')}
     )
     SELECT id_a, id_b, round(cos_raw, 4) + 0.0 AS cos_sim
     FROM pairs

@@ -323,6 +323,7 @@ def text_lang_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            src.n_docs_in_source,
            e.label,
            CASE WHEN e.embedding IS NOT NULL AND len(e.embedding) > 0
+                     AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
                      AND len(list_filter(e.embedding, x -> NOT isfinite(x))) = 0
                 THEN round({_DUCK_NORM.format(a='e')}, 6) END AS emb_norm
     FROM documents d
@@ -345,10 +346,18 @@ def multimodal_struct_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     e = t(spark, sf_dir, "embeddings")
     src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_in_source"))
+    # The NULL-element conjunct must be explicit: has_nonfinite over
+    # [1.0, NULL, ...] is NULL (not TRUE), and DuckDB's list_filter
+    # silently drops NULL-predicate elements — without it Spark emits
+    # a NULL norm where the oracle sums the surviving elements
+    # (round-7 review finding).
     norm_defined = (
         F.col("embedding").isNotNull()
         & (F.size("embedding") > 0)
-        & ~V.has_nonfinite("embedding")
+        & ~F.exists(
+            "embedding",
+            lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
     )
     record = (
         d.join(e, d.doc_id == e.vec_id)

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import pandas_udf, udf, udtf
 
 from hbase_sep_spark.io import t
+from hbase_sep_spark.operators import vectors as V
 from hbase_sep_spark.registry import register
 
 SECTION = "2.12"
@@ -156,15 +157,14 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udf_pandas_vector_score",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            round(1.0 / (1.0 + exp(-(
                list_sum(list_transform(range(1, 65),
                    i -> CAST(embedding[i] AS DOUBLE) * (CAST((i - 1) * 37 % 101 AS DOUBLE) / 101.0 - 0.5)))
            ))), 6) AS score
     FROM embeddings
-    WHERE (embedding IS NOT NULL AND len(embedding) = 64
-           AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)
+    WHERE {V.valid_sql('embedding', require_nonzero=False)}
     """,
     section=SECTION,
 )
@@ -179,8 +179,6 @@ def udf_pandas_vector_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the worker, the batch-inference failure mode a validation gate
     exists to prevent (round-7 hostile-embeddings sweep)."""
     import numpy as np
-
-    from hbase_sep_spark.operators import vectors as V
 
     weights = np.array([((i * 37) % 101) / 101.0 - 0.5 for i in range(64)], dtype=np.float64)
 

@@ -29,6 +29,13 @@ queries failed, in four classes:
 vec_quantize_int8 additionally guards the DEGENERATE DIMENSION
 (max = min corpus-wide → zero scale) and a zero dequantized vector —
 both reachable on real skewed corpora, not just this fixture.
+
+The NULL-ELEMENT variant ([1.0, NULL, ...] — a null inside the list,
+not a null list) is its own class, found by the round-7 review pass:
+Spark's `exists` over such an array is NULL (three-valued logic ⇒
+the validity filter DROPS the row) while DuckDB's list_filter drops
+the NULL-predicate element and KEEPS it — the gate needs an explicit
+IS NULL conjunct on both sides or row counts diverge.
 """
 
 from __future__ import annotations
@@ -65,15 +72,11 @@ FIXED = [
 ]
 
 
-@pytest.fixture(scope="module")
-def hostile_emb_sf(tmp_path_factory):
-    dst = tmp_path_factory.mktemp("hostile_emb_sf")
-    for name in (
-        "region nation customer supplier part orders lineitem events documents"
-    ).split():
-        shutil.copy(f"{SF_UNIT}/{name}.parquet", dst / f"{name}.parquet")
-
-    t = pq.read_table(f"{SF_UNIT}/embeddings.parquet")
+def write_hostile_embeddings(src: str, dst_path: str) -> None:
+    """The canonical hostile-embeddings mutation — ALSO imported by
+    test_kitchen_sink_fixture so the standalone class fixture and the
+    combined-hostility capstone can never drift apart."""
+    t = pq.read_table(src)
     ids = t.column("vec_id").to_pylist()
     embs = t.column("embedding").to_pylist()
     labels = t.column("label").to_pylist()
@@ -93,6 +96,9 @@ def hostile_emb_sf(tmp_path_factory):
         elif i % 29 == 13:
             v = e[:]
             v[1] = float("inf")
+        elif i % 31 == 17:
+            v = e[:]
+            v[5] = None  # NULL ELEMENT inside the list (round-7 review)
         else:
             v = e
         out.append(v)
@@ -104,7 +110,19 @@ def hostile_emb_sf(tmp_path_factory):
                 "label": pa.array(labels, pa.int32()),
             }
         ),
-        str(dst / "embeddings.parquet"),
+        dst_path,
+    )
+
+
+@pytest.fixture(scope="module")
+def hostile_emb_sf(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("hostile_emb_sf")
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        shutil.copy(f"{SF_UNIT}/{name}.parquet", dst / f"{name}.parquet")
+    write_hostile_embeddings(
+        f"{SF_UNIT}/embeddings.parquet", str(dst / "embeddings.parquet")
     )
     return str(dst)
 

@@ -52,50 +52,14 @@ PINNED = [
 ]
 
 
-def _hostile_embeddings(src: str, dst_path: str) -> None:
-    """The round-7 hostile-embeddings mutation (see
-    test_embedding_fixture.py for the per-variant rationale)."""
-    t = pq.read_table(src)
-    ids = t.column("vec_id").to_pylist()
-    embs = t.column("embedding").to_pylist()
-    labels = t.column("label").to_pylist()
-    out = []
-    for i, e in zip(ids, embs):
-        if i % 11 == 3:
-            v = [0.0] * 64
-        elif i % 13 == 5:
-            v = None
-        elif i % 17 == 7:
-            v = []
-        elif i % 19 == 9:
-            v = e[:8]
-        elif i % 23 == 11:
-            v = e[:]
-            v[0] = float("nan")
-        elif i % 29 == 13:
-            v = e[:]
-            v[1] = float("inf")
-        else:
-            v = e
-        out.append(v)
-    pq.write_table(
-        pa.table(
-            {
-                "vec_id": pa.array(ids, pa.int64()),
-                "embedding": pa.array(out, pa.list_(pa.float32())),
-                "label": pa.array(labels, pa.int32()),
-            }
-        ),
-        dst_path,
-    )
-
-
 @pytest.fixture(scope="module")
 def sink_sf(tmp_path_factory):
+    from tests.test_embedding_fixture import write_hostile_embeddings
+
     dst = tmp_path_factory.mktemp("sink_sf")
     for name in "region nation customer supplier part".split():
         shutil.copy(f"{SF_UNIT}/{name}.parquet", dst / f"{name}.parquet")
-    _hostile_embeddings(
+    write_hostile_embeddings(
         f"{SF_UNIT}/embeddings.parquet", str(dst / "embeddings.parquet")
     )
     con = duckdb.connect()
