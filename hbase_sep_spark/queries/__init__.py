@@ -72,17 +72,20 @@ from hbase_sep_spark import registry as _registry
 #         (_iavg4 exact integral `div`).
 # 12-22 = the round-7 hostile-embeddings hardening, sql-hash members
 #         (V.is_valid scan gate + element-level finite/NULL guards).
-# 23-38 = round-6 re-entries: tie/unicode fixes (23-25),
-#         extreme-payload fixes (26-32), null-policy greens (33-38).
-# 39-47 = round-6 rounding-tie greens (oracle-only VARCHAR-decimal
-#         wrap; values identical off-tie).
-# 48-52 = round-6 hash-hardened greens (outputs PROVABLY unchanged
-#         at fixture scale — lowest re-grade risk, so they straddle
-#         the ~50 bound).
-# 53-58 = rows-only changed-since-green (r6 stream refactor + the
-#         five r7 vector rows-only members) — a rows-only re-grade
-#         adds little over the local oracle/property evidence, so
-#         they sit just past the bound (round-6 precedent).
+# 23-25 = the round-7 empty-feed hardening, sql-hash members
+#         (writer-schema reads, 0/0-ratio guards).
+# 26-41 = round-6 re-entries: tie/unicode fixes (26-28),
+#         extreme-payload fixes (29-35), null-policy greens (36-41).
+# 42-50 = round-6 rounding-tie greens (oracle-only VARCHAR-decimal
+#         wrap; values identical off-tie) — exactly filling the
+#         bound.
+# 51-55 = round-6 hash-hardened greens (outputs PROVABLY unchanged
+#         at fixture scale — lowest re-grade risk, displaced just
+#         past the bound).
+# 56-63 = rows-only changed-since-green (r6 stream refactor + the
+#         r7 vector/empty-feed rows-only members) — a rows-only
+#         re-grade adds little over the local oracle/property
+#         evidence, so they sit past the bound (round-6 precedent).
 # 59+   = the stale r1 greens (NONE re-confirm this round — the
 #         changed-since-green load fills the bound; they lead the
 #         round-8 stale queue), then the r2 tail and the r3-graded
@@ -120,6 +123,11 @@ _GRADE_FIRST = [
     "multimodal_struct_cols",
     "arr_lambda_transform",
     "arr_lambda_filter_agg",
+    # changed round 7 (empty-feed sweep: writer-schema reads +
+    # 0/0-ratio guards; the rows-only members queue below)
+    "sink_partitioned_prune",
+    "join_dpp_partition_prune",
+    "pipeline_dataset_card_report",
     # round-6 tie/unicode sweep fixes
     "agg_argmax_misc",
     "text_entropy_score",
@@ -150,14 +158,14 @@ _GRADE_FIRST = [
     "text_unigram_logprob",
     "win_leave_one_out_avg",
     "pipeline_training_prep",
+    # --- ~50-entry grading boundary; positions below pay off only if
+    # the driver's bound is larger, and set the round-8 queue order.
     # round-6 hash-hardened greens (overflow-safe knuth_hash —
     # outputs PROVABLY unchanged at fixture scale, lowest re-grade
-    # risk, so they straddle the bound)
+    # risk, displaced past the bound by the empty-feed trio)
     "agg_cms_freq_sketch",
     "pipeline_dataset_split",
     "agg_kmv_distinct_sketch",
-    # --- ~50-entry grading boundary; positions below pay off only if
-    # the driver's bound is larger, and set the round-8 queue order.
     "sample_bernoulli_hash",
     "pipeline_mixture_sample",
     # rows-only changed-since-green (round-6 refactor + round-7
@@ -170,6 +178,8 @@ _GRADE_FIRST = [
     "simsearch_quantized_rerank",
     "vec_pca_project",
     "vec_kmeans_lloyd",
+    "scan_incremental_manifest",
+    "stream_bootstrap_then_tail",
     # stale round-1 greens (graded once, pre-regeneration data)
     "project_alias",
     "filter_eq",
@@ -239,7 +249,6 @@ _GRADE_FIRST = [
     "subq_scalar_correlated",
     "subq_in_uncorrelated",
     "agg_approx_percentile",
-    "sink_partitioned_prune",
     "join_range_binned",
     "join_skew_salted",
     "source_json_roundtrip",
@@ -251,7 +260,6 @@ _GRADE_FIRST = [
     "stream_session_window",
     "stream_watermark_late",
     "stream_dedup_watermark",
-    "stream_bootstrap_then_tail",
     "stream_latest_op_wins",
     "stream_static_join",
     "stream_foreach_batch_sink",
@@ -259,7 +267,6 @@ _GRADE_FIRST = [
     "stream_incremental_upsert_view",
     "agg_collect_sorted",
     "sink_parquet_roundtrip",
-    "join_dpp_partition_prune",
     "pipeline_sequence_pack",
 ]
 

@@ -226,19 +226,22 @@ def win_hampel_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(count(*) AS DOUBLE) AS n_docs,
                CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
                    AS total_tokens,
-               CAST(round(CAST(CAST(CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
-                               AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS mean_doc_tokens,
-               CAST(round(CAST(CAST(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-                               AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0 AS en_share,
+               CASE WHEN count(*) > 0 THEN
+                   CAST(round(CAST(CAST(CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                               AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) END AS mean_doc_tokens,
+               CASE WHEN count(*) > 0 THEN
+                   CAST(round(CAST(CAST(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                               AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0 END AS en_share,
                round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
                round(quantile_cont(n_chars, 0.9), 2) AS p90_chars
         FROM documents
     ),
     dup AS (
-        SELECT CAST(round(CAST(CAST(CAST(count(*) - count(DISTINCT sha256(
+        SELECT CASE WHEN count(*) > 0 THEN
+                   CAST(round(CAST(CAST(CAST(count(*) - count(DISTINCT sha256(
                                translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
                                          'abcdefghijklmnopqrstuvwxyz')))
-                               AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0 AS dup_rate
+                               AS DOUBLE) / count(*) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) + 0.0 END AS dup_rate
         FROM documents
     ),
     vocab AS (
@@ -264,7 +267,10 @@ def pipeline_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation both engines define identically; integer inputs
     make the interpolated values ≤1-decimal, so the 2-dp round never
     ties. Values widen to double so one narrow (metric, value)
-    schema carries every row.
+    schema carries every row. Every ratio is guarded on count(*)>0
+    on BOTH sides (round-7 empty-feed sweep: a day-1/empty corpus is
+    0/0 — ANSI DIVIDE_BY_ZERO on Spark, engine-specific NaN/NULL in
+    DuckDB; the card publishes NULL for undefined ratios instead).
 
     Scale shape: THREE scans total, each aggregating to a scalar —
     the six base metrics share ONE pass (single aggregate, map-side
@@ -276,12 +282,16 @@ def pipeline_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum(T.token_count_ws()).cast("double").alias("total_tokens"),
-        F.round(
-            F.sum(T.token_count_ws().cast("bigint")).cast("double")
-            / F.count(F.lit(1)),
-            2,
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.sum(T.token_count_ws().cast("bigint")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ),
         ).alias("mean_doc_tokens"),
-        (
+        F.when(
+            F.count(F.lit(1)) > 0,
             F.round(
                 F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast(
                     "double"
@@ -289,13 +299,14 @@ def pipeline_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)),
                 4,
             )
-            + F.lit(0.0)
+            + F.lit(0.0),
         ).alias("en_share"),
         F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_chars"),
         F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90_chars"),
     )
     dup = d.agg(
-        (
+        F.when(
+            F.count(F.lit(1)) > 0,
             F.round(
                 (
                     F.count(F.lit(1))
@@ -304,7 +315,7 @@ def pipeline_dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)),
                 4,
             )
-            + F.lit(0.0)
+            + F.lit(0.0),
         ).alias("dup_rate")
     )
     vocab = (

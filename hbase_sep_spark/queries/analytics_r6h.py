@@ -62,6 +62,10 @@ def vec_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.orderBy("vec_id").limit(_K).collect()
     ]
+    if not cents:  # day-1/empty feed: nothing to cluster, no trajectory
+        return spark.createDataFrame(
+            [], "iteration int, inertia double, largest_cluster bigint"
+        )
     out_rows = []
     for it in range(_ITERS):
         # cid is the seeding vec_id — BIGINT, not int: a 100 TB

@@ -398,17 +398,20 @@ def scan_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     done_flag = os.path.join(landing, "_written")
+    ev = t(spark, sf_dir, "events")
+    landed = ev.withColumn("bucket", F.pmod(F.col("event_id"), F.lit(3)))
     if not os.path.exists(done_flag):
-        ev = t(spark, sf_dir, "events")
         (
-            ev.withColumn("bucket", F.pmod(F.col("event_id"), F.lit(3)))
-            .repartition("bucket")
+            landed.repartition("bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(landing + "/files")
         )
         open(done_flag, "w").write("ok")
-    src = spark.read.parquet(landing + "/files")
+    # Writer-schema read: an empty feed lands zero files and schema
+    # inference fails (round-7 empty-feed sweep); a real manifest
+    # consumer gets the schema from the table format's metadata.
+    src = spark.read.schema(landed.schema).parquet(landing + "/files")
     fname = F.input_file_name()
     # Manifest: every file under bucket=0 and bucket=1 is processed.
     listed = src.select(fname.alias("f"), "bucket").distinct()

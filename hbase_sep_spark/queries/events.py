@@ -337,19 +337,19 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     two directories (the plan's PartitionFilters prune the rest;
     asserted in tests/test_plans.py). The oracle recomputes the same
     slice from the original feed, proving the layout is lossless and
-    the pruned read complete."""
+    the pruned read complete. The read pins the WRITER's schema
+    instead of inferring: an empty feed writes zero partitions and
+    schema inference then fails outright (round-7 empty-feed sweep)
+    — and at 100 TB the schema comes from the table catalog anyway,
+    never from footer sniffing."""
     out = os.path.join(scratch_dir(spark, "sink"), "events_by_date")
     ev = t(spark, sf_dir, "events").withColumn(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
-    (
-        ev.select("event_id", "user_id", "event_type", "value", "event_date")
-        .write.mode("overwrite")
-        .partitionBy("event_date")
-        .parquet(out)
-    )
+    written = ev.select("event_id", "user_id", "event_type", "value", "event_date")
+    written.write.mode("overwrite").partitionBy("event_date").parquet(out)
     return (
-        spark.read.parquet(out)
+        spark.read.schema(written.schema).parquet(out)
         .filter(F.col("event_date").isin("2024-01-05", "2024-01-06"))
         .select("event_id", "user_id", "event_type", "value", F.col("event_date").cast("string"))
     )

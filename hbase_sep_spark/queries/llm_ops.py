@@ -650,6 +650,10 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("v").alias("v"))
     )
     vals = {r["i"]: r["v"] for r in flat.collect()}  # 4161 scalars: O(d²) driver state
+    if not vals:  # day-1/empty feed: no moments, no components
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, pc1 double, pc2 double"
+        )
     n = vals[0]
     s = np.array([vals[1 + i] for i in range(DIM)])
     m = np.array([vals[1 + DIM + i] for i in range(DIM * DIM)]).reshape(DIM, DIM)

@@ -167,17 +167,13 @@ def join_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact_dir = os.path.join(root, "events_by_date")
     dim_dir = os.path.join(root, "date_dim")
     ev = t(spark, sf_dir, "events")
-    (
-        ev.select(
-            "event_id",
-            "user_id",
-            "value",
-            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
-        )
-        .write.mode("overwrite")
-        .partitionBy("event_date")
-        .parquet(fact_dir)
+    fact_written = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
     )
+    fact_written.write.mode("overwrite").partitionBy("event_date").parquet(fact_dir)
     # Dim: every feed date, tagged; the query filters on the tag so
     # the surviving dates are NOT statically derivable from the fact's
     # own predicates — exactly the DPP shape. The tag filter is a
@@ -185,7 +181,7 @@ def join_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # injects the runtime subquery when the dim side carries a
     # "likely selective" predicate (EqualTo/In/comparison — a bare
     # boolean attribute does not qualify, verified empirically).
-    (
+    dim_written = (
         ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
         .distinct()
         .withColumn(
@@ -195,11 +191,15 @@ def join_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("focus"),
             ).otherwise(F.lit("rest")),
         )
-        .write.mode("overwrite")
-        .parquet(dim_dir)
     )
-    fact = spark.read.parquet(fact_dir)
-    dim = spark.read.parquet(dim_dir).filter(F.col("tag") == "focus")
+    dim_written.write.mode("overwrite").parquet(dim_dir)
+    # Writer-schema reads, never inference: an empty feed writes zero
+    # partitions/files and inference fails (round-7 empty-feed sweep);
+    # production reads resolve schema from the catalog.
+    fact = spark.read.schema(fact_written.schema).parquet(fact_dir)
+    dim = spark.read.schema(dim_written.schema).parquet(dim_dir).filter(
+        F.col("tag") == "focus"
+    )
     return (
         fact.join(F.broadcast(dim), fact.event_date == dim.d)
         .groupBy("event_date")

@@ -286,26 +286,38 @@ def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     total = pq.ParquetFile(path).metadata.num_rows  # footer only
     k = total // 2
-    # Boundary = the first row of the tail. The feed is stored in
-    # (ts, event_id) order (asserted in tests), so "position < K" is
-    # exactly the tuple predicate "(ts, event_id) < boundary".
-    b_eid, b_ts = next(_read_rows(path, k, k + 1))[:2]
 
     raw = events_raw(spark, sf_dir)
-    if dict(raw.dtypes)["ts"] == "bigint":
-        # TIMESTAMP(NANOS) file: physical column is int64 ns.
-        b_lit = F.lit(int(b_ts.value))  # pandas Timestamp → int64 ns, lossless
-        to_session_ts = F.timestamp_micros(F.expr("ts div 1000"))
+    nanos = dict(raw.dtypes)["ts"] == "bigint"
+    to_session_ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if nanos
+        else F.col("ts").cast("timestamp")
+    )
+    if total == 0:
+        # Day-1/empty feed (round-7 empty-feed sweep): there is no
+        # boundary row to read — the snapshot is empty by definition
+        # and the tail streams the whole (empty) feed from offset 0.
+        seam = F.lit(False)
     else:
-        # TIMESTAMP(MICROS) file: physical column is timestamp_ntz; a
-        # foldable ntz literal keeps the tuple predicate pushable.
-        b_lit = F.lit(b_ts.tz_localize(None).to_pydatetime()).cast("timestamp_ntz")
-        to_session_ts = F.col("ts").cast("timestamp")
-    snapshot = (
-        raw.filter(
-            (F.col("ts") < b_lit)
-            | ((F.col("ts") == b_lit) & (F.col("event_id") < F.lit(int(b_eid))))
+        # Boundary = the first row of the tail. The feed is stored in
+        # (ts, event_id) order (asserted in tests), so "position < K"
+        # is exactly the tuple predicate "(ts, event_id) < boundary".
+        b_eid, b_ts = next(_read_rows(path, k, k + 1))[:2]
+        if nanos:
+            # TIMESTAMP(NANOS) file: physical column is int64 ns.
+            b_lit = F.lit(int(b_ts.value))  # pandas Timestamp → ns, lossless
+        else:
+            # TIMESTAMP(MICROS) file: physical column is timestamp_ntz;
+            # a foldable ntz literal keeps the tuple predicate pushable.
+            b_lit = F.lit(b_ts.tz_localize(None).to_pydatetime()).cast(
+                "timestamp_ntz"
+            )
+        seam = (F.col("ts") < b_lit) | (
+            (F.col("ts") == b_lit) & (F.col("event_id") < F.lit(int(b_eid)))
         )
+    snapshot = (
+        raw.filter(seam)
         .withColumn("ts", to_session_ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .withColumn("phase", F.lit("snapshot"))
