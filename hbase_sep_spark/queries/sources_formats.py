@@ -44,7 +44,13 @@ def _events_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **writer_opts) -> DataFrame:
+def _roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    fmt: str,
+    reader_opts: dict | None = None,
+    **writer_opts,
+) -> DataFrame:
     out = scratch_dir(spark, "fmt_roundtrip", fmt)
     df = _events_slice(spark, sf_dir)
     writer = df.write.mode("overwrite").format(fmt)
@@ -52,7 +58,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, **writer_opts) -> Dat
         writer = writer.option(k, v)
     writer.save(out)
     reader = spark.read.format(fmt).schema(_READ_SCHEMA)
-    for k, v in writer_opts.items():
+    for k, v in {**writer_opts, **(reader_opts or {})}.items():
         reader = reader.option(k, v)
     return reader.load(out)
 
@@ -87,9 +93,20 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a token no real payload plausibly contains; the residual
     lossiness for a cell equal to THIS exact token is accepted and
     documented. (The lossless alternative at 100 TB is a typed
-    format — parquet/ORC — which the sibling roundtrips cover.)"""
+    format — parquet/ORC — which the sibling roundtrips cover.)
+
+    The reader sets multiLine=true (round-7 newline probe): a cell
+    containing an embedded newline — a pretty-printed JSON payload —
+    is written quoted, but the default line-splitting reader breaks
+    the record at the newline and silently CORRUPTS neighboring rows.
+    Scale note: multiLine makes each CSV file a single split, so the
+    parallel-read unit becomes the file — acceptable for a roundtrip
+    sink that controls its own file sizes, and the columnar formats
+    remain the real 100 TB path."""
     return _roundtrip(
-        spark, sf_dir, "csv", header="true", quote='"', escape='"',
+        spark, sf_dir, "csv",
+        reader_opts={"multiLine": "true"},
+        header="true", quote='"', escape='"',
         nullValue="__CSV_NULL_SENTINEL_c7f3a9__",
     )
 

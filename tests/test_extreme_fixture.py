@@ -84,6 +84,7 @@ def extreme_sf(tmp_path_factory):
                    WHEN event_id % 19 = 7 THEN value * 1e-9    -- tiny
                    ELSE value END AS value,
                  CASE
+                   WHEN event_id % 37 = 6  THEN '{{' || chr(10) || '  "k": 21' || chr(10) || '}}'  -- pretty-printed (embedded newline)
                    WHEN event_id % 29 = 4  THEN '{{"a\\"b": 3}}'       -- quote in key (ADVICE-r6)
                    WHEN event_id % 29 = 9  THEN '{{"a\\\\b": 3}}'      -- backslash in key
                    WHEN event_id % 29 = 14 THEN '{{"": 3}}'            -- empty key (path-breaking)

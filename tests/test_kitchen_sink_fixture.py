@@ -75,6 +75,7 @@ def sink_sf(tmp_path_factory):
                      ELSE value END AS value,
                    CASE
                      WHEN event_id % 13 = 5  THEN NULL
+                     WHEN event_id % 37 = 6  THEN '{{' || chr(10) || '  "k": 21' || chr(10) || '}}'
                      WHEN event_id % 29 = 4  THEN '{{"a\\"b": 3}}'
                      WHEN event_id % 29 = 9  THEN '{{"a\\\\b": 3}}'
                      WHEN event_id % 29 = 14 THEN '{{"": 3}}'
