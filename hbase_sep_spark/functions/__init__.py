@@ -6,6 +6,7 @@ from hbase_sep_spark.functions.portable import (  # noqa: F401
     davg,
     dsum,
     dsum_window,
+    fin,
     json_int,
     json_int_sql,
     msum_window,

@@ -165,6 +165,31 @@ def json_int_sql(col: str = "props", key: str = "k") -> str:
     )
 
 
+def fin(col) -> Column:
+    """Tolerant measure extraction: non-finite double → NULL.
+
+    A 100 TB metric feed ships NaN/±Inf `value`s (upstream divide-by-
+    zero, overflow, sentinel encodings). Under ANSI (the driver's
+    plain session) any `CAST(value AS BIGINT/DECIMAL)` — the
+    value_micros / dsum patterns — THROWS CAST_OVERFLOW on them, and
+    DuckDB's casts error identically; where nothing crashes, NaN
+    ordering/bucketing semantics (rank tests, width_bucket) diverge
+    between engines. The round-7 non-finite sweep crashed or diverged
+    33 queries this way. Policy (mirrors json_int for payloads and
+    the V.is_valid gate for embeddings): garbage measures degrade to
+    NULL — aggregates then skip them with identical semantics in both
+    engines. Identity on finite data (incl. NULL: the when() condition
+    is NULL so the otherwise branch passes the NULL through).
+
+    SQL mirror (use verbatim in oracles): FIN_SQL.format("value").
+    """
+    c = _c(col)
+    return F.when(F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), F.lit(None)).otherwise(c)
+
+
+FIN_SQL = "(CASE WHEN isnan({0}) OR isinf({0}) THEN NULL ELSE {0} END)"
+
+
 def arr_str(arr, fmt: str | None = None, sep: str = ",") -> Column:
     """Serialize an array column to a delimited string so the result
     never carries a list cell past the driver's canonicalizer.

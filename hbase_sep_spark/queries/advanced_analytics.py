@@ -34,7 +34,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from hbase_sep_spark.functions.portable import knuth_hash
+from hbase_sep_spark.functions.portable import fin, knuth_hash
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import text as T
 from hbase_sep_spark.operators import vectors as V
@@ -601,12 +601,17 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_rolling_zscore",
     oracle="""
-    WITH w AS (
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS value
+        FROM events
+    ),
+    w AS (
         SELECT user_id, event_id, value,
                count(value) OVER win AS n_win,
                avg(value) OVER win AS m,
                stddev_samp(value) OVER win AS s
-        FROM events
+        FROM g
         WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     )
@@ -633,8 +638,13 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-decimal data are ≥ ~2e-3, far from the cut.
 
     Scale shape: one user_id shuffle, O(1) running-frame state per
-    row; at 100 TB this is the same plan keyed by (entity, sensor)."""
+    row; at 100 TB this is the same plan keyed by (entity, sensor).
+    The fin() gate NULLs non-finite measures before the window stats
+    (count skips them, so the n_win ≥ 10 guard self-adjusts): one Inf
+    in a trailing window otherwise overflows DuckDB's STDDEV_SAMP
+    outright (round-7 non-finite sweep)."""
     ev = t(spark, sf_dir, "events")
+    v = fin("value")
     win = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -643,10 +653,10 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ev.select(
         "user_id",
         "event_id",
-        "value",
-        F.count("value").over(win).alias("n_win"),
-        F.avg("value").over(win).alias("m"),
-        F.stddev_samp("value").over(win).alias("s"),
+        v.alias("value"),
+        F.count(v).over(win).alias("n_win"),
+        F.avg(v).over(win).alias("m"),
+        F.stddev_samp(v).over(win).alias("s"),
     )
     return (
         scored.filter((F.col("n_win") >= 10) & (F.col("s") > 1e-9))
@@ -1525,8 +1535,10 @@ def _iavg4():
     division loses ulps once 2·|Σ value_micros| exceeds 2^53, i.e. a
     per-group |value| sum of ~4.5e9, which a 100 TB feed can reach
     (ADVICE-r6). DuckDB's `//` on BIGINTs is the exact mirror.
+    Non-finite measures pass the fin() gate before the micros cast
+    (ANSI CAST_OVERFLOW on NaN — round-7 non-finite sweep).
     """
-    s6 = F.sum(F.round(F.col("value") * 1000000, 0).cast("long"))
+    s6 = F.sum(F.round(fin("value") * 1000000, 0).cast("long"))
     d = (F.count(F.lit(1)) * 100).cast("long")  # C · 10^(6-4)
     q = F.call_function("div", 2 * F.abs(s6) + d, 2 * d)
     return (
@@ -1544,15 +1556,18 @@ def _iavg4():
            CAST(date_part('hour', ts) AS INT) AS hour,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(CASE WHEN sum(CAST(round(value * 1000000, 0) AS BIGINT))
+           CAST(CASE WHEN sum(CAST(round(v * 1000000, 0) AS BIGINT))
                           IS NULL THEN NULL
-                ELSE (CASE WHEN sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                ELSE (CASE WHEN sum(CAST(round(v * 1000000, 0) AS BIGINT))
                                 < 0 THEN -1 ELSE 1 END)
-                     * ((2 * abs(sum(CAST(round(value * 1000000, 0) AS BIGINT)))
+                     * ((2 * abs(sum(CAST(round(v * 1000000, 0) AS BIGINT)))
                          + count(*) * 100)
                         // (2 * count(*) * 100)) END AS DOUBLE) / 10000.0
                AS avg_value
-    FROM events GROUP BY 1, 2
+    FROM (SELECT ts, user_id,
+                 CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS v
+          FROM events)
+    GROUP BY 1, 2
     """,
     section="2.5",
 )
@@ -1593,7 +1608,10 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DOUBLE) / count(*) AS m3r,
                CAST(sum(CAST(value * value * value * value AS DECIMAL(38,8)))
                     AS DOUBLE) / count(*) AS m4r
-        FROM events GROUP BY event_type
+        FROM (SELECT event_type,
+                     CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS value
+              FROM events)
+        GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
            CASE WHEN m2r - m1 * m1 > 0
@@ -1637,9 +1655,11 @@ def agg_skew_kurtosis_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map-side-combinable aggregate (4 power sums per
     group); the moment algebra is post-aggregate scalar math on
-    group-cardinality rows."""
+    group-cardinality rows. Non-finite measures pass the fin() gate
+    before the decimal casts (ANSI CAST_OVERFLOW on NaN — round-7
+    non-finite sweep); the envelope above applies to FINITE values."""
     ev = t(spark, sf_dir, "events")
-    v = F.col("value")
+    v = fin("value")
 
     def _msum(expr):
         return F.sum(expr.cast("decimal(38,8)")).cast("double") / F.count(F.lit(1))

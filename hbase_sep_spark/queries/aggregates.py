@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hbase_sep_spark import io as io_mod
-from hbase_sep_spark.functions import arr_str, davg, dsum, json_int
+from hbase_sep_spark.functions import arr_str, davg, dsum, fin, json_int
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import quantiles
 from hbase_sep_spark.registry import register
@@ -372,8 +372,8 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional",
     oracle="""
     SELECT user_id,
-           CAST(round(sum(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS click_value,
-           CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS purchase_value,
+           CAST(round(sum(CAST(CASE WHEN event_type = 'click' THEN (CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END) ELSE 0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS click_value,
+           CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN (CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END) ELSE 0 END AS DECIMAL(18,6))), 2) AS DOUBLE) AS purchase_value,
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
            count(*) AS n_events
     FROM events
@@ -383,12 +383,16 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot-style conditional aggregation (sum of CASE WHEN) — the
-    scalable form of pivot: one pass, no per-category shuffle."""
+    scalable form of pivot: one pass, no per-category shuffle.
+    `value` passes the fin() gate before the decimal cast: a NaN/Inf
+    measure would otherwise throw CAST_OVERFLOW under ANSI (round-7
+    non-finite sweep); gated it degrades to NULL, which sum skips
+    identically in both engines."""
     ev = t(spark, sf_dir, "events")
 
     return ev.groupBy("user_id").agg(
-        dsum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(F.lit(0.0))).alias("click_value"),
-        dsum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))).alias("purchase_value"),
+        dsum(F.when(F.col("event_type") == "click", fin("value")).otherwise(F.lit(0.0))).alias("click_value"),
+        dsum(F.when(F.col("event_type") == "purchase", fin("value")).otherwise(F.lit(0.0))).alias("purchase_value"),
         F.sum(F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(0))).alias("n_errors"),
         F.count(F.lit(1)).alias("n_events"),
     )
@@ -455,28 +459,34 @@ def agg_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_histogram",
     oracle="""
-    SELECT CAST(CASE WHEN value < 0 THEN 0
-                     WHEN value >= 500 THEN 11
-                     ELSE floor(value / 50) + 1 END AS INT) AS bin,
+    SELECT CAST(CASE WHEN v < 0 THEN 0
+                     WHEN v >= 500 THEN 11
+                     ELSE floor(v / 50) + 1 END AS INT) AS bin,
            count(*) AS n_events,
-           round(min(value), 2) AS bin_min,
-           round(max(value), 2) AS bin_max
-    FROM events
+           round(min(v), 2) AS bin_min,
+           round(max(v), 2) AS bin_max
+    FROM (SELECT CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS v
+          FROM events)
     GROUP BY bin
     """,
     section=SECTION,
 )
 def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram via width_bucket — the profiling
-    primitive; bin assignment is per-row, counts aggregate as usual."""
+    primitive; bin assignment is per-row, counts aggregate as usual.
+    The fin() gate sends non-finite measures to the NULL bin on both
+    sides: ungated, Spark's width_bucket(NaN) is NULL while DuckDB's
+    total-order NaN >= 500 is TRUE (bin 11) — the engines disagree on
+    which bucket garbage lands in (round-7 non-finite sweep)."""
     ev = t(spark, sf_dir, "events")
+    v = fin("value")
     return (
-        ev.select(F.width_bucket("value", F.lit(0), F.lit(500), F.lit(10)).cast("int").alias("bin"), "value")
+        ev.select(F.width_bucket(v, F.lit(0), F.lit(500), F.lit(10)).cast("int").alias("bin"), v.alias("v"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.min("value"), 2).alias("bin_min"),
-            F.round(F.max("value"), 2).alias("bin_max"),
+            F.round(F.min("v"), 2).alias("bin_min"),
+            F.round(F.max("v"), 2).alias("bin_max"),
         )
     )
 

@@ -37,7 +37,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from hbase_sep_spark.functions.portable import DEC, knuth_hash
+from hbase_sep_spark.functions.portable import DEC, fin, knuth_hash
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import text as T
 from hbase_sep_spark.registry import register
@@ -48,8 +48,11 @@ from hbase_sep_spark.registry import register
     oracle="""
     WITH daily AS (
         SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+               CAST(sum(CAST((CASE WHEN isnan(value) OR isinf(value)
+                                   THEN NULL ELSE value END)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS v
         FROM events GROUP BY event_type, d
+        HAVING v IS NOT NULL
     ),
     lagged AS (
         SELECT event_type, v,
@@ -106,11 +109,17 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle to daily grain, ONE window pass produces
     all three lag columns (shared sort), and the per-type corr
     aggregate reuses the window's hash partitioning. Corr itself is
-    a streaming moment merge — no materialized pair list."""
+    a streaming moment merge — no materialized pair list.
+
+    Non-finite measures pass the fin() gate before the decimal cast
+    (ANSI CAST_OVERFLOW on NaN — round-7 non-finite sweep); all-
+    garbage days drop before the lag windows on both sides (a NULL
+    sort/lag input would place differently per engine)."""
     daily = (
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
-        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+        .agg(F.sum(fin("value").cast(DEC)).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
     )
     w = Window.partitionBy("event_type").orderBy("d")
     lagged = daily.select(
@@ -191,9 +200,12 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+               CAST(sum(CAST((CASE WHEN isnan(value) OR isinf(value)
+                                   THEN NULL ELSE value END)
+                             AS DECIMAL(18,6))) * 1000000 AS BIGINT)
                    AS vm
         FROM events GROUP BY event_type, d
+        HAVING vm IS NOT NULL
     ),
     cs AS (
         SELECT event_type, d,
@@ -243,10 +255,11 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
         .agg(
-            (F.sum(F.col("value").cast(DEC)) * 1000000)
+            (F.sum(fin("value").cast(DEC)) * 1000000)
             .cast("bigint")
             .alias("vm")
         )
+        .filter(F.col("vm").isNotNull())
     )
     w = (
         Window.partitionBy("event_type")

@@ -36,7 +36,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from hbase_sep_spark.functions.portable import DEC
+from hbase_sep_spark.functions.portable import DEC, fin
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import text as T
 from hbase_sep_spark.registry import register
@@ -140,8 +140,11 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+               CAST(sum(CAST((CASE WHEN isnan(value) OR isinf(value)
+                                   THEN NULL ELSE value END)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS v
         FROM events GROUP BY event_type, d
+        HAVING v IS NOT NULL
     ),
     rolled AS (
         SELECT event_type, d,
@@ -178,7 +181,10 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
-        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+        # fin() gate + all-garbage-day drop: the analytics_r6d
+        # _DAILY_SQL rationale (round-7 non-finite sweep).
+        .agg(F.sum(fin("value").cast(DEC)).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
     )
     w7 = (
         Window.partitionBy("event_type")
@@ -283,8 +289,11 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+               CAST(sum(CAST((CASE WHEN isnan(value) OR isinf(value)
+                                   THEN NULL ELSE value END)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS v
         FROM events GROUP BY event_type, d
+        HAVING v IS NOT NULL
     ),
     err AS (
         SELECT event_type,
@@ -318,7 +327,10 @@ def ts_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
-        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+        # fin() gate + all-garbage-day drop: the analytics_r6d
+        # _DAILY_SQL rationale (round-7 non-finite sweep).
+        .agg(F.sum(fin("value").cast(DEC)).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
     )
     w = Window.partitionBy("event_type").orderBy("d")
     err = daily.select(

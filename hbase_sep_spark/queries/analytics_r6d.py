@@ -30,15 +30,23 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from hbase_sep_spark.functions.portable import DEC, ascii_lower
+from hbase_sep_spark.functions.portable import DEC, ascii_lower, fin
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import text as T
 from hbase_sep_spark.registry import register
 
+# Non-finite measures pass the fin() gate before the decimal cast
+# (ANSI CAST_OVERFLOW on NaN — round-7 non-finite sweep), and a day
+# whose measures were ALL garbage (v IS NULL) drops before the
+# rank/median/frame logic downstream: a NULL sort key would otherwise
+# place NULLS FIRST on Spark and NULLS LAST on DuckDB.
 _DAILY_SQL = """
         SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+               CAST(sum(CAST((CASE WHEN isnan(value) OR isinf(value)
+                                   THEN NULL ELSE value END)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS v
         FROM events GROUP BY event_type, d
+        HAVING v IS NOT NULL
 """
 
 
@@ -46,7 +54,8 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
-        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+        .agg(F.sum(fin("value").cast(DEC)).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
     )
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hbase_sep_spark.functions.portable import fin
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -96,7 +97,8 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH vals AS (
         SELECT value AS v,
                CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
-        FROM events WHERE value IS NOT NULL
+        FROM events
+        WHERE value IS NOT NULL AND NOT (isnan(value) OR isinf(value))
     ),
     grouped AS (
         SELECT v, CAST(count(*) AS BIGINT) AS n,
@@ -147,13 +149,15 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast offsets, then a fully parallel within-bucket
     cumulative. The final aggregate carries three int64s."""
     weekend = F.dayofweek("ts").isin(1, 7)
-    # Rank tests are defined over observed values: drop NULLs on BOTH
-    # sides (a null-bearing fixture would otherwise diverge — the
-    # impl's bucket equi-join silently drops the NULL bucket while
-    # the oracle's global window ranks it).
+    # Rank tests are defined over observed values: drop NULLs AND
+    # non-finites on BOTH sides (a null-bearing fixture would
+    # otherwise diverge — the impl's bucket equi-join silently drops
+    # the NULL bucket while the oracle's global window ranks it; a
+    # NaN-bearing one diverges on WHERE NaN ranks, Spark IEEE vs
+    # DuckDB total order — round-7 non-finite sweep).
     grouped = (
         t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(fin("value").isNotNull())
         .select(F.col("value").alias("v"), F.when(weekend, 1).otherwise(0).alias("a"))
         .groupBy("v")
         .agg(

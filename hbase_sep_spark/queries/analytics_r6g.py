@@ -19,6 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hbase_sep_spark.functions.portable import fin
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -29,7 +30,8 @@ from hbase_sep_spark.registry import register
     WITH vals AS (
         SELECT value AS v,
                CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS a
-        FROM events WHERE value IS NOT NULL
+        FROM events
+        WHERE value IS NOT NULL AND NOT (isnan(value) OR isinf(value))
     ),
     grouped AS (
         SELECT v, CAST(count(*) AS BIGINT) AS n,
@@ -87,12 +89,15 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern — the oracle's single global ordered window is the
     thing that cannot scale); the final fold carries four numbers."""
     weekend = F.dayofweek("ts").isin(1, 7)
-    # NULL values drop on BOTH sides (the Mann-Whitney rationale:
-    # the bucket equi-join would silently drop the NULL bucket while
-    # the oracle's global window ranks it).
+    # NULL and non-finite values drop on BOTH sides (the Mann-Whitney
+    # rationale: the bucket equi-join would silently drop the NULL
+    # bucket while the oracle's global window ranks it; and the
+    # engines disagree on WHERE NaN ranks — Spark IEEE vs DuckDB
+    # total order. A rank statistic over garbage is meaningless:
+    # skip, don't guess).
     grouped = (
         t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        .filter(fin("value").isNotNull())
         .select(F.col("value").alias("v"), F.when(weekend, 1).otherwise(0).alias("a"))
         .groupBy("v")
         .agg(

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from hbase_sep_spark.functions.portable import DEC
+from hbase_sep_spark.functions.portable import DEC, fin
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -131,8 +131,11 @@ def events_type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH daily AS (
         SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+               CAST(sum(CAST((CASE WHEN isnan(value) OR isinf(value)
+                                   THEN NULL ELSE value END)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS v
         FROM events GROUP BY event_type, d
+        HAVING v IS NOT NULL
     ),
     ranked AS (
         SELECT event_type,
@@ -171,11 +174,18 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: daily-grain aggregate, then windows over the
     CALENDAR-BOUNDED per-type frame (30 rows/key) sharing one
     event_type exchange; the corr aggregate reuses the same
-    partitioning."""
+    partitioning.
+
+    Non-finite measures pass the fin() gate before the decimal cast
+    (ANSI CAST_OVERFLOW on NaN — round-7 non-finite sweep), and a day
+    whose measures were ALL garbage (v IS NULL) is dropped before
+    ranking on both sides: a NULL rank key would otherwise sort
+    NULLS FIRST on Spark and NULLS LAST on DuckDB."""
     daily = (
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
-        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+        .agg(F.sum(fin("value").cast(DEC)).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
     )
     ranked = daily.select(
         "event_type",

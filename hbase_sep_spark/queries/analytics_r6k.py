@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from hbase_sep_spark.functions.portable import DEC
+from hbase_sep_spark.functions.portable import DEC, fin
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -212,8 +212,11 @@ def agg_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+               CAST(sum(CAST((CASE WHEN isnan(value) OR isinf(value)
+                                   THEN NULL ELSE value END)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS v
         FROM events GROUP BY event_type, d
+        HAVING v IS NOT NULL
     ),
     dd AS (
         SELECT event_type, d,
@@ -245,11 +248,15 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: daily-grain aggregate, then one event_type exchange
     shared by the running-max window, the per-type peak window, and
-    the final aggregate — one scan, no joins (the CUSUM discipline)."""
+    the final aggregate — one scan, no joins (the CUSUM discipline).
+    Non-finite measures pass the fin() gate before the decimal cast
+    and all-garbage days drop (round-7 non-finite sweep; the
+    analytics_r6d._DAILY_SQL rationale)."""
     daily = (
         t(spark, sf_dir, "events")
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
-        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+        .agg(F.sum(fin("value").cast(DEC)).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
     )
     w = (
         Window.partitionBy("event_type")

@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from hbase_sep_spark.functions.portable import knuth_hash
+from hbase_sep_spark.functions.portable import fin, knuth_hash
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -38,8 +38,11 @@ from hbase_sep_spark.registry import register
     oracle="""
     WITH l AS (
         SELECT event_type,
-               CAST(round(ln(value), 6) AS DECIMAL(18,6)) AS lnv
-        FROM events WHERE value > 0
+               CAST(round(ln(v), 6) AS DECIMAL(18,6)) AS lnv
+        FROM (SELECT event_type,
+                     CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS v
+              FROM events)
+        WHERE v > 0
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
@@ -61,9 +64,13 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map-side-combinable aggregate — partials carry
     (decimal sum, count), identical to any avg. Zero-filter guards
-    the ln domain on both sides."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value") > 0)
-    lnv = F.round(F.log("value"), 6).cast("decimal(18,6)")
+    the ln domain on both sides; the fin() gate guards it against
+    non-finite measures (ungated, DuckDB's total-order NaN > 0 is
+    TRUE where Spark's IEEE NaN > 0 is false, and ln(Inf) crashes
+    the decimal cast — round-7 non-finite sweep)."""
+    v = fin("value")
+    ev = t(spark, sf_dir, "events").filter(v > 0)
+    lnv = F.round(F.log(v), 6).cast("decimal(18,6)")
     return (
         ev.select("event_type", lnv.alias("lnv"))
         .groupBy("event_type")
@@ -506,7 +513,7 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                CAST(dayofweek(date_trunc('day', ts)) + 1 AS INT) AS dow,
-               sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS total_us
+               sum(CAST(round((CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END) * 1000000, 0) AS BIGINT)) AS total_us
         FROM events GROUP BY 1, 2
     ),
     trended AS (
@@ -554,9 +561,12 @@ def ts_stl_decompose_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the data-sized work is ONE map-side-combinable
     daily aggregate; every window and join after it runs on the
     DAY-cardinality frame (≤ a few thousand rows per decade), and
-    the seasonal table is 7 rows broadcast back."""
+    the seasonal table is 7 rows broadcast back. Non-finite measures
+    pass the fin() gate before the micros cast (ANSI CAST_OVERFLOW on
+    NaN — round-7 non-finite sweep); NULL micros are skipped by the
+    daily sum identically in both engines."""
     ev = t(spark, sf_dir, "events")
-    micros = F.round(F.col("value") * F.lit(1000000), 0).cast("long")
+    micros = F.round(fin("value") * F.lit(1000000), 0).cast("long")
     daily = ev.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         (F.dayofweek(F.date_trunc("day", "ts"))).cast("int").alias("dow"),

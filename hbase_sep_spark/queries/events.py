@@ -185,7 +185,7 @@ def events_per_key_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+           CAST(round(sum(CAST((CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -196,8 +196,10 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trip). The oracle recomputes the aggregate from the source
     feed — proving the sink round trip is lossless, not merely that
     it runs. Writes under the session scratch dir — never to the
-    read-only testdata."""
-    from hbase_sep_spark.functions import dsum
+    read-only testdata. Non-finite measures pass the fin() gate
+    before dsum's decimal cast (ANSI CAST_OVERFLOW on NaN — round-7
+    non-finite sweep)."""
+    from hbase_sep_spark.functions import dsum, fin
 
     out = os.path.join(scratch_dir(spark, "sink"), "events_by_type")
     agg = (
@@ -205,7 +207,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("sum_value"),
+            dsum(fin("value")).alias("sum_value"),
         )
     )
     agg.write.mode("overwrite").parquet(out)
@@ -394,7 +396,7 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH states AS (
         SELECT user_id, event_id, ts,
-               CAST(floor(value / 100) AS BIGINT) AS state
+               CAST(floor((CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END) / 100) AS BIGINT) AS state
         FROM events
     ),
     ordered AS (
@@ -422,11 +424,17 @@ def events_compact_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     version and every version whose state differs from its
     predecessor — one window lag over the per-key order, no
     self-join. (HBase itself drops identical cell versions at
-    compaction; this is that semantics over the feed.)"""
+    compaction; this is that semantics over the feed.) A non-finite
+    measure maps to a NULL state via the fin() gate (ANSI
+    CAST_OVERFLOW otherwise — round-7 non-finite sweep); the
+    NULL-vs-prev comparison then follows identical 3VL on both
+    engines."""
     from pyspark.sql import Window
 
+    from hbase_sep_spark.functions import fin
+
     ev = t(spark, sf_dir, "events")
-    state = F.floor(F.col("value") / 100).cast("long")
+    state = F.floor(fin("value") / 100).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     with_state = ev.select("user_id", "event_id", "ts", state.alias("state"))
     prev = F.lag("state").over(w)

@@ -237,7 +237,7 @@ def cond_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS BIGINT) AS k_int,
            CAST(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS DOUBLE) AS k_double,
            CAST(user_id AS VARCHAR) AS user_str,
-           CAST(CAST(trunc(value) AS BIGINT) AS BIGINT) AS value_trunc,
+           TRY_CAST(trunc(value) AS BIGINT) AS value_trunc,
            CAST(value AS VARCHAR) IS NOT NULL AS value_str_ok
     FROM events
     WHERE event_id <= 2000
@@ -248,7 +248,11 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast lattice: json-string→int→double, int→string, double→int.
     DuckDB CAST(double AS INT) rounds while Spark truncates — both
     sides spell out trunc() to pin the semantics. double→string is
-    asserted non-null rather than compared (repr differs)."""
+    asserted non-null rather than compared (repr differs). The
+    double→int leg is TRY_CAST on both sides: a NaN/Inf measure
+    otherwise throws CAST_OVERFLOW under ANSI (round-7 non-finite
+    sweep) — garbage degrades to NULL, probed equal engine-to-engine
+    for NaN, ±Inf, and beyond-int64 finite doubles."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
     k = json_int("props")
     return ev.select(
@@ -256,7 +260,7 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("long").alias("k_int"),
         k.cast("double").alias("k_double"),
         F.col("user_id").cast("string").alias("user_str"),
-        F.expr("CAST(value AS LONG)").alias("value_trunc"),
+        F.expr("TRY_CAST(value AS LONG)").alias("value_trunc"),
         F.col("value").cast("string").isNotNull().alias("value_str_ok"),
     )
 
