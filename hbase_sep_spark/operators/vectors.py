@@ -23,12 +23,6 @@ def _nonfinite(x: Column) -> Column:
     return F.isnan(x) | (F.abs(x) == F.lit(_INF))
 
 
-def has_nonfinite(a) -> Column:
-    """True when any component is NaN/±Inf (NULL array → NULL)."""
-    a = F.col(a) if isinstance(a, str) else a
-    return F.exists(a, _nonfinite)
-
-
 def finite_only(a) -> Column:
     """The array filtered to finite components (NULL array → NULL)."""
     a = F.col(a) if isinstance(a, str) else a

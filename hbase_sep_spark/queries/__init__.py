@@ -58,128 +58,73 @@ from hbase_sep_spark.streaming import queries as _streaming_queries  # noqa: F40
 
 from hbase_sep_spark import registry as _registry
 
-# Driver-grading prefix for round 7 (standing rotation policy; round 6
-# graded exactly positions 1-50 — 50/50 green, CORRECTNESS_r06).
-# Ordered by re-grade value: never-graded first, then round-7
-# semantic changes (newest, least driver-validated), then the
-# round-6 changed-since-green re-entries the r6 bound cut off
-# (oldest debt last within the changed class):
-# 1-8   = the eight never-driver-graded names (the only registry
-#         entries with no CORRECTNESS row).
-# 9-11  = the ADVICE-r6 trio, changed THIS round: json_to_map
-#         (hostile-key guard both sides), source_csv_roundtrip
-#         (implausible NULL sentinel), events_hourly_seasonality
-#         (_iavg4 exact integral `div`).
-# 12-22 = the round-7 hostile-embeddings hardening, sql-hash members
-#         (V.is_valid scan gate + element-level finite/NULL guards).
-# 23-25 = the round-7 empty-feed hardening, sql-hash members
-#         (writer-schema reads, 0/0-ratio guards).
-# 26-41 = round-6 re-entries: tie/unicode fixes (26-28),
-#         extreme-payload fixes (29-35), null-policy greens (36-41).
-# 42-50 = round-6 rounding-tie greens (oracle-only VARCHAR-decimal
-#         wrap; values identical off-tie) — exactly filling the
-#         bound.
-# 51-55 = round-6 hash-hardened greens (outputs PROVABLY unchanged
-#         at fixture scale — lowest re-grade risk, displaced just
-#         past the bound).
-# 56-63 = rows-only changed-since-green (r6 stream refactor + the
-#         r7 vector/empty-feed rows-only members) — a rows-only
-#         re-grade adds little over the local oracle/property
-#         evidence, so they sit past the bound (round-6 precedent).
-# 59+   = the stale r1 greens (NONE re-confirm this round — the
-#         changed-since-green load fills the bound; they lead the
-#         round-8 stale queue), then the r2 tail and the r3-graded
-#         block in grade-age order; r4/r5/r6 greens follow in
+# Driver-grading prefix for round 8 (standing rotation policy; round 7
+# graded exactly positions 1-50 — 50/50 green, CORRECTNESS_r07, which
+# cleared the never-graded debt entirely).  Round-8 goals per
+# VERDICT-r7: (1) burn the 100-name stale pre-regeneration-green debt,
+# (4) land the SEP streaming core in the bound; per ADVICE-r7 item 2:
+# changed-since-green outranks stale-green, so the round-7 fin()-gate
+# changes lead.
+# 1-3   = changed THIS round (round 8): source_csv_roundtrip
+#         (splittable newline-token writer replaces multiLine),
+#         agg_skew_kurtosis_portable (out-of-envelope degrades to
+#         NULL instead of ANSI throw), agg_histogram (+0.0
+#         negative-zero normalization on bin_min/bin_max).
+# 4-15  = round-7 fin()-gate changes never re-graded (the ADVICE-r7
+#         item-2 list plus agg_conditional and sink_parquet_roundtrip,
+#         which the same git diff shows changed in r7) — impl AND
+#         oracle changed, highest re-grade value.
+# 16-20 = round-6 hash-hardened greens (overflow-safe knuth_hash),
+#         changed r6 and displaced past the bound twice — outputs
+#         provably unchanged at fixture scale, but still
+#         changed-since-green by the strict rule.
+# 21-24 = rows-only priority: simsearch_lsh_bucketed (round-8
+#         shuffle fix, VERDICT-r7 item 3 — value-hash proven
+#         unchanged locally under two shuffle configs) and the SEP
+#         semantics core VERDICT-r7 item 4 names in the bound
+#         (stream_sep_source / stream_stateful_latest /
+#         stream_dedup_watermark, driver evidence r3/pre-regen).
+# 25-50 = the stale round-1 greens (graded once, pre-regeneration
+#         data) — 26 of the 27 remaining; agg_approx_count_distinct
+#         (rows-only) is position 51.
+# --- bound ---
+# 51+   = the last r1 name, the remaining rows-only
+#         changed-since-green (r7 vector/scan members — rows-only
+#         re-grades add little over the local oracle/property
+#         evidence, round-6/7 precedent), the stale r2 tail, then the
+#         r3 block in grade-age order; r4-r7 greens follow in
 #         registration order.  All prefix names re-verified against
 #         the local oracle on current data before commit
 #         (tests.harness + plain-session sweep).
 _GRADE_FIRST = [
-    # never graded (round-6 bound cut-off)
-    "agg_ols_two_factor",
-    "ts_max_drawdown",
-    "sample_quality_weighted",
-    "events_uptime_pct",
-    "events_type_cooccurrence_lift",
-    "agg_spearman_corr",
-    "agg_benford_price_audit",
-    "events_consumer_rebalance_plan",
-    # changed round 7 (ADVICE-r6 fixes)
-    "json_to_map",
+    # changed round 8
     "source_csv_roundtrip",
-    "events_hourly_seasonality",
-    # changed round 7 (hostile-embeddings sweep: V.is_valid scan
-    # gate, element-level finite guards, degenerate-dimension
-    # quantizer guard — sql-hash members; the five rows-only members
-    # queue past the bound per the round-6 stream_stateful_latest
-    # precedent)
-    "vec_normalize_norm",
-    "simsearch_cosine_topk",
-    "simsearch_knn_join",
-    "vec_quantize_int8",
-    "vec_matryoshka_truncate",
-    "vec_centroid_distance",
-    "udf_pandas_vector_score",
-    "dedup_embedding_cosine",
-    "multimodal_struct_cols",
-    "arr_lambda_transform",
-    "arr_lambda_filter_agg",
-    # changed round 7 (empty-feed sweep: writer-schema reads +
-    # 0/0-ratio guards; the rows-only members queue below)
-    "sink_partitioned_prune",
-    "join_dpp_partition_prune",
-    "pipeline_dataset_card_report",
-    # round-6 tie/unicode sweep fixes
-    "agg_argmax_misc",
-    "text_entropy_score",
-    "dedup_exact_docs",
-    # round-6 extreme-value/payload sweep fixes
-    "events_payload_extract",
-    "json_extract_props",
-    "filter_null_handling",
-    "cast_types",
-    "agg_bitwise",
-    "agg_regr_slope",
-    "map_lambda_ops",
-    # round-6 null-policy greens
-    "ts_weekly_ohlc",
-    "text_fingerprint",
-    "text_repetition_ratio",
-    "text_contamination_check",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    # round-6 rounding-tie greens (oracle-only VARCHAR-decimal wrap,
-    # values identical off-tie)
-    "agg_global",
-    "agg_groupby_basic",
-    "events_interarrival_stats",
-    "pipeline_quality_gate_report",
-    "events_watermark_lag_audit",
-    "events_order_repair",
-    "text_unigram_logprob",
-    "win_leave_one_out_avg",
-    "pipeline_training_prep",
-    # --- ~50-entry grading boundary; positions below pay off only if
-    # the driver's bound is larger, and set the round-8 queue order.
-    # round-6 hash-hardened greens (overflow-safe knuth_hash —
-    # outputs PROVABLY unchanged at fixture scale, lowest re-grade
-    # risk, displaced past the bound by the empty-feed trio)
+    "agg_skew_kurtosis_portable",
+    "agg_histogram",
+    # changed round 7 (fin() non-finite gate), never re-graded
+    "agg_conditional",
+    "agg_geometric_mean",
+    "agg_ks_test",
+    "agg_mannwhitney_u",
+    "events_compact_changelog",
+    "sink_parquet_roundtrip",
+    "ts_autocorrelation",
+    "ts_cusum_drift",
+    "ts_rolling_zscore",
+    "ts_seasonal_naive_mae",
+    "ts_stl_decompose_lite",
+    "win_rolling_median",
+    # changed round 6 (hash hardening), never re-graded
     "agg_cms_freq_sketch",
     "pipeline_dataset_split",
     "agg_kmv_distinct_sketch",
     "sample_bernoulli_hash",
     "pipeline_mixture_sample",
-    # rows-only changed-since-green (round-6 refactor + round-7
-    # vector hardening): the driver check is rows-only, so a re-grade
-    # adds little over the local oracle/property evidence — queued
-    # here per the round-6 precedent.
-    "stream_stateful_latest",
+    # rows-only: round-8 LSH shuffle fix + the SEP streaming core
     "simsearch_lsh_bucketed",
-    "simsearch_ivf_coarse",
-    "simsearch_quantized_rerank",
-    "vec_pca_project",
-    "vec_kmeans_lloyd",
-    "scan_incremental_manifest",
-    "stream_bootstrap_then_tail",
+    "stream_sep_source",
+    "stream_stateful_latest",
+    "stream_dedup_watermark",
     # stale round-1 greens (graded once, pre-regeneration data)
     "project_alias",
     "filter_eq",
@@ -207,8 +152,18 @@ _GRADE_FIRST = [
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_conditional",
+    # --- ~50-entry grading boundary; positions below pay off only if
+    # the driver's bound is larger, and set the round-9 queue order.
     "agg_approx_count_distinct",
+    # rows-only changed-since-green (r7 vector hardening + scan
+    # refactors): driver check is rows-only, re-grade adds little
+    # over local oracle/property evidence (round-6/7 precedent).
+    "simsearch_ivf_coarse",
+    "simsearch_quantized_rerank",
+    "vec_pca_project",
+    "vec_kmeans_lloyd",
+    "scan_incremental_manifest",
+    "stream_bootstrap_then_tail",
     # stale round-2 greens (sets tail, scalars, semistructured, UDFs,
     # LLM ops)
     "set_intersect",
@@ -254,19 +209,16 @@ _GRADE_FIRST = [
     "source_json_roundtrip",
     "source_orc_roundtrip",
     "source_schema_evolution",
-    "stream_sep_source",
     "stream_tumbling_count",
     "stream_sliding_avg",
     "stream_session_window",
     "stream_watermark_late",
-    "stream_dedup_watermark",
     "stream_latest_op_wins",
     "stream_static_join",
     "stream_foreach_batch_sink",
     "stream_stream_interval_join",
     "stream_incremental_upsert_view",
     "agg_collect_sorted",
-    "sink_parquet_roundtrip",
     "pipeline_sequence_pack",
 ]
 

@@ -463,8 +463,8 @@ def agg_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                      WHEN v >= 500 THEN 11
                      ELSE floor(v / 50) + 1 END AS INT) AS bin,
            count(*) AS n_events,
-           round(min(v), 2) AS bin_min,
-           round(max(v), 2) AS bin_max
+           round(min(v), 2) + 0.0 AS bin_min,
+           round(max(v), 2) + 0.0 AS bin_max
     FROM (SELECT CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS v
           FROM events)
     GROUP BY bin
@@ -477,7 +477,11 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fin() gate sends non-finite measures to the NULL bin on both
     sides: ungated, Spark's width_bucket(NaN) is NULL while DuckDB's
     total-order NaN >= 500 is TRUE (bin 11) — the engines disagree on
-    which bucket garbage lands in (round-7 non-finite sweep)."""
+    which bucket garbage lands in (round-7 non-finite sweep).
+    bin_min/bin_max carry the standing '+ 0.0' negative-zero
+    normalization (ADVICE-r7): a feed holding both -0.0 and +0.0 in
+    one bin lets min/max keep either representative of the equal pair
+    per engine, and '-0.0' vs '0.0' diverge textually in the hash."""
     ev = t(spark, sf_dir, "events")
     v = fin("value")
     return (
@@ -485,8 +489,8 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.min("v"), 2).alias("bin_min"),
-            F.round(F.max("v"), 2).alias("bin_max"),
+            (F.round(F.min("v"), 2) + F.lit(0.0)).alias("bin_min"),
+            (F.round(F.max("v"), 2) + F.lit(0.0)).alias("bin_max"),
         )
     )
 

@@ -346,7 +346,7 @@ def multimodal_struct_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     e = t(spark, sf_dir, "embeddings")
     src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs_in_source"))
-    # The NULL-element conjunct must be explicit: has_nonfinite over
+    # The NULL-element conjunct must be explicit: a bare exists over
     # [1.0, NULL, ...] is NULL (not TRUE), and DuckDB's list_filter
     # silently drops NULL-predicate elements — without it Spark emits
     # a NULL norm where the oracle sums the surviving elements
@@ -395,30 +395,35 @@ def simsearch_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     force gated in tests/test_ann.py. rows-only: xxhash64 plane
     family. Scan applies the V.is_valid gate (round-7
     hostile-embeddings sweep: cosine over a zero-norm candidate is
-    ANSI DIVIDE_BY_ZERO)."""
+    ANSI DIVIDE_BY_ZERO). Round-8 (VERDICT-r7 item 3): the dedup
+    exchange carries ONLY the 16-byte (probe_id, neighbor_id) pair —
+    embeddings are re-joined AFTER the distinct (index side via one
+    equi-join on vec_id, probe side via a tiny broadcast), so the
+    candidate shuffle no longer moves ~550 B/row of floats. Plan pin:
+    tests/test_plans.py::test_lsh_distinct_exchange_ids_only."""
     e = t(spark, sf_dir, "embeddings").filter(V.is_valid("embedding"))
     keys = V.lsh_tables("embedding", n_tables=8, n_planes=4)
     probe_keys = V.lsh_multiprobe_tables("embedding", n_tables=8, n_planes=4)
-    bucketed = e.select("vec_id", "embedding", F.explode(keys).alias("k")).select(
-        "vec_id", "embedding", F.col("k.table").alias("table"), F.col("k.bucket").alias("bucket")
+    bucketed = e.select("vec_id", F.explode(keys).alias("k")).select(
+        "vec_id", F.col("k.table").alias("table"), F.col("k.bucket").alias("bucket")
     )
     probes = (
         e.filter(F.col("vec_id") < 20)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("embedding").alias("probe_emb"),
-            F.explode(probe_keys).alias("k"),
-        )
-        .select(
-            "probe_id", "probe_emb", F.col("k.table").alias("table"), F.col("k.bucket").alias("bucket")
-        )
+        .select(F.col("vec_id").alias("probe_id"), F.explode(probe_keys).alias("k"))
+        .select("probe_id", F.col("k.table").alias("table"), F.col("k.bucket").alias("bucket"))
     )
-    candidates = (
+    pairs = (
         bucketed.join(F.broadcast(probes), ["table", "bucket"])
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "probe_emb", F.col("vec_id").alias("neighbor_id"), "embedding")
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
+    probe_embs = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    candidates = pairs.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id"
+    ).join(F.broadcast(probe_embs), "probe_id")
     cos = V.dot("embedding", "probe_emb") / (V.l2_norm("embedding") * V.l2_norm("probe_emb"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_raw"), "neighbor_id")
     return (

@@ -72,6 +72,32 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "json")
 
 
+# Newline escape tokens for the CSV trip (see source_csv_roundtrip).
+# Like the NULL sentinel, chosen so no real payload plausibly contains
+# them; the two tokens share the collision caveat documented below.
+_CSV_NL_TOK = "__CSV_NL_c7f3a9__"
+_CSV_CR_TOK = "__CSV_CR_c7f3a9__"
+
+
+def _csv_nl_encode(c: str):
+    """Replace literal CR/LF in a string column with sentinel tokens
+    so every CSV record stays on one physical line. Token-based (not
+    backslash escaping) because token replacement is order-independent
+    and exactly invertible without a stateful parser; NULL passes
+    through untouched."""
+    col = F.col(c)
+    col = F.replace(col, F.lit("\r"), F.lit(_CSV_CR_TOK))
+    col = F.replace(col, F.lit("\n"), F.lit(_CSV_NL_TOK))
+    return col.alias(c)
+
+
+def _csv_nl_decode(c: str):
+    col = F.col(c)
+    col = F.replace(col, F.lit(_CSV_NL_TOK), F.lit("\n"))
+    col = F.replace(col, F.lit(_CSV_CR_TOK), F.lit("\r"))
+    return col.alias(c)
+
+
 @register("source_csv_roundtrip", oracle=_ORACLE, section=SECTION)
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → CSV (header, quoted) → back. props contains commas,
@@ -95,19 +121,39 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented. (The lossless alternative at 100 TB is a typed
     format — parquet/ORC — which the sibling roundtrips cover.)
 
-    The reader sets multiLine=true (round-7 newline probe): a cell
-    containing an embedded newline — a pretty-printed JSON payload —
-    is written quoted, but the default line-splitting reader breaks
-    the record at the newline and silently CORRUPTS neighboring rows.
-    Scale note: multiLine makes each CSV file a single split, so the
-    parallel-read unit becomes the file — acceptable for a roundtrip
-    sink that controls its own file sizes, and the columnar formats
-    remain the real 100 TB path."""
-    return _roundtrip(
-        spark, sf_dir, "csv",
-        reader_opts={"multiLine": "true"},
-        header="true", quote='"', escape='"',
-        nullValue="__CSV_NULL_SENTINEL_c7f3a9__",
+    Embedded newlines (VERDICT-r7 item 6, replacing the round-7
+    multiLine read): a cell containing a literal CR/LF — a
+    pretty-printed JSON payload — would either corrupt neighboring
+    rows (default line-splitting reader) or force multiLine=true,
+    which makes every CSV file a SINGLE input split and serializes
+    the scan. Instead the writer escapes CR/LF to sentinel tokens and
+    the reader inverts them, so every record is one physical line and
+    the read stays line-splittable — the production newline strategy
+    for CSV interchange at scale. Same residual collision caveat as
+    the NULL sentinel (a payload containing the token itself), same
+    answer: the typed columnar formats are the real 100 TB path.
+    Splittability pinned by tests/test_plans.py (no multiLine) and
+    value-correctness on embedded-newline payloads by
+    tests/test_extreme_fixture.py."""
+    out = scratch_dir(spark, "fmt_roundtrip", "csv")
+    opts = {
+        "header": "true", "quote": '"', "escape": '"',
+        "nullValue": "__CSV_NULL_SENTINEL_c7f3a9__",
+    }
+    df = _events_slice(spark, sf_dir).select(
+        "event_id", "ts", "user_id",
+        _csv_nl_encode("event_type"), "value", _csv_nl_encode("props"),
+    )
+    writer = df.write.mode("overwrite").format("csv")
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    writer.save(out)
+    reader = spark.read.format("csv").schema(_READ_SCHEMA)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load(out).select(
+        "event_id", "ts", "user_id",
+        _csv_nl_decode("event_type"), "value", _csv_nl_decode("props"),
     )
 
 

@@ -97,11 +97,14 @@ def test_events_ts_physical_type_is_dispatchable(sf_dir):
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_events_value_within_decimal_moment_envelope(sf_dir):
     """agg_skew_kurtosis_portable sums v..v^4 as exact DECIMAL(38,8)
-    for order-independence (portable.py); Σv⁴ must stay under 10^30
-    or ANSI Spark THROWS (round-6 extreme-value sweep reproduced at
-    |v| ≈ 3e9). |v| ≤ 1e5 leaves 10^7 rows/group of headroom; a
-    regenerated feed outside this fails here by name — rescale value
-    by a constant power of 10 in the moment queries if it ever does."""
+    for order-independence (portable.py); since round 8 an
+    out-of-envelope group DEGRADES to NULL moments on both engines
+    (no more ANSI throw — VERDICT-r7 item 5, pinned by
+    tests/test_extreme_fixture.py). This canary still documents the
+    fixture's range: if a regeneration pushes |value| past 1e5 the
+    moment queries silently return NULL rows — correct and
+    crash-free, but a signal the value scale changed (rescale by a
+    constant power of 10 if real moments are wanted there)."""
     path = f"{sf_dir}/events.parquet"
     if not os.path.exists(path):
         pytest.skip(f"{path} missing")

@@ -1162,3 +1162,71 @@ def test_json_extraction_is_scan_stage_and_tolerant(spark):
     # ...and the PARTIAL aggregate runs over the extracted k — i.e.
     # extraction happened map-side, before the single exchange.
     assert re.search(r"partial_min\(k#", plan)
+
+
+def test_lsh_distinct_exchange_ids_only(spark):
+    """VERDICT-r7 item 3: simsearch_lsh_bucketed's candidate-dedup
+    exchange must carry ONLY the 16-byte (probe_id, neighbor_id)
+    pair. The round-7 form ran distinct() over rows that still held
+    both full 64-float embeddings (~550 B/row) — harmless at sf0.1,
+    a ~30× multiplier on the operator's one real shuffle at 100 TB.
+    Pin: every HashAggregate keyed on the candidate pair (the
+    distinct's partial+final) outputs no embedding column, and the
+    embedding re-attach is an equi-join AFTER the dedup."""
+    import re
+
+    q = REGISTRY["simsearch_lsh_bucketed"]
+    df = (q.raw or q.fn)(spark, SF_UNIT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    dedup_aggs = [
+        ln for ln in plan.splitlines()
+        if "HashAggregate" in ln and "neighbor_id" in ln and "keys=" in ln
+    ]
+    assert dedup_aggs, "expected the candidate-pair distinct HashAggregates"
+    for ln in dedup_aggs:
+        assert "embedding" not in ln, f"distinct exchange still carries embeddings: {ln[:200]}"
+    # The pair set re-joins the embedding sides (index equi-join +
+    # broadcast probe table) after the dedup.
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_csv_roundtrip_read_stays_splittable(spark, tmp_path):
+    """VERDICT-r7 item 6: the CSV roundtrip must not depend on
+    multiLine=true (which makes every file a single input split and
+    serializes the scan). The writer now escapes embedded CR/LF to
+    sentinel tokens so records stay one-physical-line. Functional
+    pin: a single ~multi-hundred-KB CSV file read under a small
+    maxPartitionBytes must split into >1 partition — under multiLine
+    it cannot. Plus a source-text guard so the option can't sneak
+    back in."""
+    import inspect
+
+    import pyspark.sql.functions as F
+
+    from hbase_sep_spark.queries import sources_formats as sfmt
+
+    # Docstrings may MENTION multiLine (they document why it's
+    # banned); the guard targets the quoted option key an .option()
+    # or options-dict call would need.
+    assert '"multiLine"' not in inspect.getsource(sfmt), (
+        "multiLine option reintroduced — the CSV scan would serialize per file"
+    )
+
+    out = str(tmp_path / "csv_split")
+    spark.range(20000).select(
+        F.col("id"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string"),
+                 F.lit("-" + "x" * 40)).alias("s"),
+    ).coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        n_parts = (
+            spark.read.option("header", "true")
+            .schema("id long, s string")
+            .csv(out)
+            .rdd.getNumPartitions()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert n_parts > 1, "single-file CSV read did not split — reader is not splittable"
