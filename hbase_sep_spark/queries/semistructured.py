@@ -65,6 +65,8 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN len(list_filter(json_keys(props), kk ->
                             contains(kk, '"') OR contains(kk, '\\')
                             OR kk = '')) > 0 THEN NULL
+                  WHEN len(json_keys(props))
+                       <> len(list_distinct(json_keys(props))) THEN NULL
                   WHEN len(list_filter(json_keys(props), kk ->
                             json_type(props, '$."' || kk || '"')
                                 NOT IN ('UBIGINT', 'BIGINT', 'NULL')
@@ -118,13 +120,25 @@ def json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE branch laziness probed with quote/backslash/empty-key docs;
     `'\\'` is a single literal backslash in DuckDB standard strings).
     The kitchen-sink/extreme fixtures carry quoted-key, backslash-key
-    and empty-key payload variants to pin this."""
+    and empty-key payload variants to pin this.
+
+    Duplicate-key policy (round-8 sweep): on '{"k":1,"k":7}' Spark's
+    from_json keeps BOTH entries (map_keys = ['k','k'], getItem
+    reads the first) while every DuckDB path extraction reads only
+    the FIRST occurrence — per-key values and the value-type guard
+    diverge the moment a feed ships a duplicated key (and a nested
+    SECOND occurrence slips past a first-occurrence-only type check
+    entirely). Duplicate-keyed payloads are therefore hostile too:
+    both sides fail the row to a NULL map (Spark: map_keys vs
+    array_distinct size; oracle: json_keys vs list_distinct len —
+    DuckDB's json_keys does preserve duplicates). Pinned by
+    tests/test_dupkey_fixture.py."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 3000)
     raw = F.from_json("props", "map<string,int>")
     hostile = F.exists(
         F.map_keys(raw),
         lambda k: k.contains('"') | k.contains("\\") | (k == F.lit("")),
-    )
+    ) | (F.size(F.map_keys(raw)) != F.size(F.array_distinct(F.map_keys(raw))))
     m = F.when(hostile, F.lit(None).cast("map<string,int>")).otherwise(raw)
     return ev.select(
         "event_id",
