@@ -65,31 +65,37 @@ from hbase_sep_spark import registry as _registry
 # (4) land the SEP streaming core in the bound; per ADVICE-r7 item 2:
 # changed-since-green outranks stale-green, so the round-7 fin()-gate
 # changes lead.
-# 1-4   = changed THIS round (round 8): source_csv_roundtrip
+# 1-7   = changed THIS round (round 8): source_csv_roundtrip
 #         (splittable newline-token writer replaces multiLine),
 #         agg_skew_kurtosis_portable (out-of-envelope degrades to
 #         NULL instead of ANSI throw), agg_histogram (+0.0
 #         negative-zero normalization on bin_min/bin_max),
 #         json_to_map (duplicate-key payloads → NULL map both sides,
-#         round-8 dupkey sweep).
-# 5-16  = round-7 fin()-gate changes never re-graded (the ADVICE-r7
+#         round-8 dupkey sweep), agg_bitmap_distinct_users (floor-mod
+#         bit/bucket pair), join_skew_salted (floor-mod salt — the
+#         silent-drop fix), multimodal_frame_sample (oracle floor-mod
+#         frame_sig) — the last three from the round-8 negative-id
+#         sweep.
+# 8-19  = round-7 fin()-gate changes never re-graded (the ADVICE-r7
 #         item-2 list plus agg_conditional and sink_parquet_roundtrip,
 #         which the same git diff shows changed in r7) — impl AND
 #         oracle changed, highest re-grade value.
-# 17-21 = round-6 hash-hardened greens (overflow-safe knuth_hash),
+# 20-24 = round-6 hash-hardened greens (overflow-safe knuth_hash),
 #         changed r6 and displaced past the bound twice — outputs
 #         provably unchanged at fixture scale, but still
 #         changed-since-green by the strict rule.
-# 22-25 = rows-only priority: simsearch_lsh_bucketed (round-8
+# 25-28 = rows-only priority: simsearch_lsh_bucketed (round-8
 #         shuffle fix, VERDICT-r7 item 3 — value-hash proven
-#         unchanged locally under two shuffle configs) and the SEP
+#         unchanged locally under two shuffle configs; id-pair
+#         distinct measured 9.9× lighter at 100× data) and the SEP
 #         semantics core VERDICT-r7 item 4 names in the bound
 #         (stream_sep_source / stream_stateful_latest /
 #         stream_dedup_watermark, driver evidence r3/pre-regen).
-# 26-50 = the stale round-1 greens (graded once, pre-regeneration
-#         data) — 25 of the 27 remaining inside the bound;
-#         agg_grouping_sets (51) and agg_approx_count_distinct (52,
-#         rows-only) spill just past it.
+# 29-50 = the stale round-1 greens (graded once, pre-regeneration
+#         data) — 22 of the 27 remaining inside the bound; the agg
+#         tail (agg_corr .. agg_grouping_sets) and
+#         agg_approx_count_distinct spill just past it and lead the
+#         round-9 stale queue.
 # --- bound ---
 # 51+   = the last r1 name, the remaining rows-only
 #         changed-since-green (r7 vector/scan members — rows-only
@@ -105,6 +111,9 @@ _GRADE_FIRST = [
     "agg_skew_kurtosis_portable",
     "agg_histogram",
     "json_to_map",
+    "agg_bitmap_distinct_users",
+    "join_skew_salted",
+    "multimodal_frame_sample",
     # changed round 7 (fin() non-finite gate), never re-graded
     "agg_conditional",
     "agg_geometric_mean",
@@ -209,7 +218,6 @@ _GRADE_FIRST = [
     "subq_in_uncorrelated",
     "agg_approx_percentile",
     "join_range_binned",
-    "join_skew_salted",
     "source_json_roundtrip",
     "source_orc_roundtrip",
     "source_schema_evolution",

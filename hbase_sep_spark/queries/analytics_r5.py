@@ -380,8 +380,8 @@ def events_offset_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT event_type,
                strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-               user_id // 32 AS bucket,
-               bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bm,
+               (user_id - ((user_id % 32) + 32) % 32) // 32 AS bucket,
+               bit_or(1::BIGINT << CAST(((user_id % 32) + 32) % 32 AS INT)) AS bm,
                count(*) AS n
         FROM events GROUP BY 1, 2, 3
     )
@@ -405,6 +405,13 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Chunks are 32 bits wide so the shift distance stays ≤ 31 on both
     engines (DuckDB raises on 1::BIGINT << 63 overflow; Spark wraps).
+    Bit index and bucket both use the FLOOR-mod pair (round-8
+    negative-id sweep): a negative user_id makes plain `%` negative
+    on both engines — DuckDB then ERRORS on the negative shift while
+    Spark silently wraps, and Spark's trunc-division bucket disagrees
+    with DuckDB's floor `//`. `((uid % 32) + 32) % 32` plus the
+    exactly-divisible `(uid - pmod) / 32` bucket keep (bucket, bit)
+    a bijection over ALL longs, identically on both engines.
 
     Scale shape: two map-side-combinable aggregates, both keyed by
     (event_type, day[, bucket]) — the second input is already
@@ -417,12 +424,19 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.groupBy(
         "event_type",
         day.alias("day"),
-        (F.col("user_id") / 32).cast("long").alias("bucket"),
+        # integral `div` (not double /): the numerator is exactly
+        # divisible, so trunc == floor at ANY id magnitude — a double
+        # round-trip would lose exactness past 2^53.
+        F.expr(
+            "(user_id - (((user_id % 32) + 32) % 32)) div 32"
+        ).alias("bucket"),
     ).agg(
         # PySpark's shiftleft() only takes a literal bit count, so the
         # per-row shift distance goes through the SQL form.
         F.bit_or(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(((user_id % 32) + 32) % 32 AS INT))"
+            )
         ).alias("bm"),
         F.count(F.lit(1)).alias("n"),
     )

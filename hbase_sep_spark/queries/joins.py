@@ -499,7 +499,13 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = ev.select(
         F.when(F.col("user_id") < 30, F.lit(0)).otherwise(F.col("user_id")).alias("hot_key"),
         "value",
-        (F.col("event_id") % N_SALT).alias("salt"),
+        # floor-mod, not %: a negative event_id would salt into
+        # {-7..-1}, which the dim side's explode(0..7) never matches —
+        # the salted join SILENTLY DROPS those fact rows (round-8
+        # negative-id sweep). Salting correctness rule: the fact-side
+        # salt must land in exactly the dim side's replicated domain
+        # for every possible key.
+        (((F.col("event_id") % N_SALT) + N_SALT) % N_SALT).alias("salt"),
     )
     dim = (
         ev.groupBy(F.col("user_id").alias("hot_key"))

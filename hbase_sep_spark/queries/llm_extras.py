@@ -662,7 +662,8 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_bytes AS BIGINT) AS n_bytes,
            CAST(frame_idx AS INT) AS frame_idx,
            CAST(frame_idx * 4096 AS BIGINT) AS frame_offset,
-           CAST((doc_id * 1000003 + frame_idx * 97) % 2147483647 AS BIGINT)
+           CAST(((doc_id * 1000003 + frame_idx * 97) % 2147483647
+                 + 2147483647) % 2147483647 AS BIGINT)
                AS frame_sig
     FROM s
     """,
@@ -681,7 +682,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure mapInPandas — no shuffle at all; fan-out
     happens inside each Arrow batch, and a 100 TB video corpus
     parallelizes by input split. The oracle recomputes the stub
-    arithmetic in SQL, so the fan-out path is value-checked."""
+    arithmetic in SQL, so the fan-out path is value-checked.
+
+    frame_sig is non-negative by contract: numpy's % is FLOOR-mod
+    while DuckDB's is trunc-mod, so a negative doc_id diverged until
+    the oracle wrapped its % into the floor form (round-8
+    negative-id sweep; values identical for doc_id ≥ 0)."""
     d = t(spark, sf_dir, "documents")
     # NULL text → empty payload (see multimodal_decode_stub).
     with_payload = d.select(
