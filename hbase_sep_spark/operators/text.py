@@ -61,11 +61,26 @@ def token_count_bpe_ish(text_col="text") -> Column:
     """BPE-ish subword proxy: alternating letter-run / digit-run /
     punctuation tokens via regex — a deterministic stand-in for a real
     tokenizer's token count (≈ chars/4 heuristic replaced by actual
-    run segmentation)."""
+    run segmentation).
+
+    The whitespace class is spelled EXPLICITLY, never `\\s`: Java's
+    `\\s` is [ \\t\\n\\x0B\\f\\r] but RE2's (DuckDB) omits \\x0B, so a
+    vertical-tab character silently counts as a symbol token in the
+    oracle and not here (round-8 control-char sweep — the one regex
+    dialect divergence in the registry). Both engines understand the
+    explicit escapes identically; keep the oracle's class
+    (BPE_ISH_SQL_PATTERN) byte-equal to this one."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     # Count maximal runs of word chars (≤4 chars each run-chunk) plus
-    # single non-space symbols.
-    return F.size(F.regexp_extract_all(c, F.lit(r"[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]"), F.lit(0)))
+    # single non-whitespace symbols.
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+# One pattern, two engines: the explicit class replaces `\s` (see
+# token_count_bpe_ish). Java regex and RE2 parse every escape here
+# identically, so impl and oracle can share the literal text.
+BPE_ISH_PATTERN = r"[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 \t\n\x0B\f\r]"
+BPE_ISH_SQL_PATTERN = BPE_ISH_PATTERN
 
 
 def quality_score(text_col="text", n_chars_col="n_chars") -> Column:

@@ -65,7 +65,7 @@ from hbase_sep_spark import registry as _registry
 # (4) land the SEP streaming core in the bound; per ADVICE-r7 item 2:
 # changed-since-green outranks stale-green, so the round-7 fin()-gate
 # changes lead.
-# 1-7   = changed THIS round (round 8): source_csv_roundtrip
+# 1-8   = changed THIS round (round 8): source_csv_roundtrip
 #         (splittable newline-token writer replaces multiLine),
 #         agg_skew_kurtosis_portable (out-of-envelope degrades to
 #         NULL instead of ANSI throw), agg_histogram (+0.0
@@ -75,27 +75,29 @@ from hbase_sep_spark import registry as _registry
 #         bit/bucket pair), join_skew_salted (floor-mod salt — the
 #         silent-drop fix), multimodal_frame_sample (oracle floor-mod
 #         frame_sig) — the last three from the round-8 negative-id
-#         sweep.
-# 8-19  = round-7 fin()-gate changes never re-graded (the ADVICE-r7
+#         sweep — and text_token_count (explicit whitespace class
+#         replaces the Java-vs-RE2-divergent \s, round-8
+#         control-char sweep).
+# 9-20  = round-7 fin()-gate changes never re-graded (the ADVICE-r7
 #         item-2 list plus agg_conditional and sink_parquet_roundtrip,
 #         which the same git diff shows changed in r7) — impl AND
 #         oracle changed, highest re-grade value.
-# 20-24 = round-6 hash-hardened greens (overflow-safe knuth_hash),
+# 21-25 = round-6 hash-hardened greens (overflow-safe knuth_hash),
 #         changed r6 and displaced past the bound twice — outputs
 #         provably unchanged at fixture scale, but still
 #         changed-since-green by the strict rule.
-# 25-28 = rows-only priority: simsearch_lsh_bucketed (round-8
+# 26-29 = rows-only priority: simsearch_lsh_bucketed (round-8
 #         shuffle fix, VERDICT-r7 item 3 — value-hash proven
 #         unchanged locally under two shuffle configs; id-pair
 #         distinct measured 9.9× lighter at 100× data) and the SEP
 #         semantics core VERDICT-r7 item 4 names in the bound
 #         (stream_sep_source / stream_stateful_latest /
 #         stream_dedup_watermark, driver evidence r3/pre-regen).
-# 29-50 = the stale round-1 greens (graded once, pre-regeneration
-#         data) — 22 of the 27 remaining inside the bound; the agg
-#         tail (agg_corr .. agg_grouping_sets) and
-#         agg_approx_count_distinct spill just past it and lead the
-#         round-9 stale queue.
+# 30-50 = the stale round-1 greens (graded once, pre-regeneration
+#         data) — 21 of the 27 remaining inside the bound (ending
+#         agg_count_distinct at 50); the agg tail (agg_min_max_stats
+#         .. agg_grouping_sets) and agg_approx_count_distinct spill
+#         just past it and lead the round-9 stale queue.
 # --- bound ---
 # 51+   = the last r1 name, the remaining rows-only
 #         changed-since-green (r7 vector/scan members — rows-only
@@ -114,6 +116,7 @@ _GRADE_FIRST = [
     "agg_bitmap_distinct_users",
     "join_skew_salted",
     "multimodal_frame_sample",
+    "text_token_count",
     # changed round 7 (fin() non-finite gate), never re-graded
     "agg_conditional",
     "agg_geometric_mean",
@@ -207,7 +210,6 @@ _GRADE_FIRST = [
     "dedup_ngram_jaccard",
     "text_langid_heuristic",
     "text_quality_score",
-    "text_token_count",
     "dedup_clusters",
     "sample_stratified_docs",
     "text_chunk_documents",

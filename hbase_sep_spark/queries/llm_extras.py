@@ -226,7 +226,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
-           CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]')) AS INT)
+           CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 \t\n\x0B\f\r]')) AS INT)
                AS n_bpe_ish_tokens,
            CAST(n_chars AS BIGINT) AS n_chars
     FROM documents
@@ -236,7 +236,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish
     subword proxy (bounded letter/digit runs + symbols) — the
-    training-pipeline 'how many tokens is this corpus' primitive."""
+    training-pipeline 'how many tokens is this corpus' primitive.
+    The symbol class spells whitespace explicitly instead of `\\s`
+    (Java includes \\x0B in \\s, RE2 doesn't — round-8 control-char
+    sweep); the oracle's pattern must stay byte-equal to
+    operators.text.BPE_ISH_PATTERN (drift-pinned by
+    tests/test_ctrlchar_fixture.py)."""
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
