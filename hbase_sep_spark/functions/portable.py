@@ -136,9 +136,49 @@ def ascii_lower(col) -> Column:
     return F.translate(_c(col), _ASCII_UP, _ASCII_LO)
 
 
-def json_int(col, path: str = "$.k") -> Column:
+# Hostile-JSON gate (round-8 lenient-parser sweep). The two engines'
+# JSON PARSERS disagree at the lexical fringe, in BOTH directions:
+# Spark's get_json_object (Jackson, lenient) extracts values from
+# payloads carrying raw C0 control chars inside strings (\x00-\x1F —
+# spec says they MUST be escaped) and lone-surrogate \uD800 escapes,
+# both of which DuckDB's json_valid (yyjson, strict) rejects; yyjson
+# conversely ACCEPTS trailing commas and bare NaN/Infinity literals,
+# which Jackson rejects. No regex can split in-string from
+# between-token control chars (that needs a parser), and RE2 has no
+# lookarounds to pair surrogates — so the gate is deliberately
+# OVERBROAD but computed from the raw payload bytes IDENTICALLY on
+# both engines: any payload matching it degrades to NULL on BOTH
+# sides. Overbreadth (an escaped emoji pair, a string containing
+# ",}" or the word "NaN") costs only conservatism, never agreement.
+# The pattern text uses only syntax Java regex and RE2 parse the
+# same way (\xhh classes, alternation, literal-backslash escapes).
+# Probed variant-by-variant in tests/test_jsonhostile_fixture.py.
+HOSTILE_JSON_RE = (
+    "[\\x00-\\x1f]"  # raw C0 control char anywhere (incl. bare tab/CR/LF)
+    "|\\\\u[dD][89a-fA-F]"  # any UTF-16 surrogate \u-escape, paired or lone
+    "|NaN|Infinity"  # yyjson's non-standard number literals
+    "|,[ ]*[}\\]]"  # trailing comma before a closer
+    # single-quoted key/value (Jackson-lenient, yyjson-invalid): an
+    # apostrophe in a structural position — right after { , : or [.
+    # \x27 = ' (keeps the pattern splicable into a SQL '...' literal),
+    # \x5B = [ (class-safe in both dialects). An apostrophe INSIDE a
+    # double-quoted string ("it's") is preceded by a word char, not a
+    # structural one, and stays clean (probed).
+    "|[{,:\\x5B][ ]*\\x27"
+)
+
+
+def json_gate(col) -> Column:
+    """True iff the payload is transport-clean (not hostile-gated).
+    NULL input → NULL (callers wrap in F.when, which treats it as
+    not-true → NULL result, matching the SQL CASE in json_int_sql)."""
+    return ~_c(col).rlike(HOSTILE_JSON_RE)
+
+
+def json_int(col, path: str = "$.k", typ: str = "int") -> Column:
     """Tolerant typed payload extraction: JSON path → INT, degrading
-    every malformed/mistyped payload to NULL instead of crashing.
+    every malformed/mistyped/hostile payload to NULL instead of
+    crashing or diverging.
 
     Under ANSI (the driver's plain session), `get_json_object(...)
     .cast("int")` THROWS CAST_INVALID_INPUT the moment a feed carries
@@ -147,21 +187,30 @@ def json_int(col, path: str = "$.k") -> Column:
     must treat payloads as untrusted. try_cast matches DuckDB's
     TRY_CAST semantics EXACTLY on every probed variant (int, quoted
     int, missing key, nested object, JSON null, malformed, empty,
-    SQL NULL).
+    SQL NULL). The HOSTILE_JSON_RE gate closes the remaining
+    lenient-vs-strict parser gap (see its comment): gated payloads
+    are NULL on both engines by construction.
 
-    SQL mirror (use verbatim in oracles): json_int_sql().
+    SQL mirror (interpolate into oracles): json_int_sql() — same
+    gate, same guard, same cast, generated from one constant so the
+    two spellings cannot drift.
     """
-    return F.get_json_object(_c(col), path).try_cast("int")
+    p = _c(col)
+    return F.when(p.rlike(HOSTILE_JSON_RE), F.lit(None).cast("string")).otherwise(
+        F.get_json_object(p, path)
+    ).try_cast(typ)
 
 
-def json_int_sql(col: str = "props", key: str = "k") -> str:
-    """DuckDB mirror of json_int(): json_valid guard (DuckDB's json_*
-    functions ERROR on malformed input where Spark's get_json_object
-    yields NULL) + json_extract_string (unquotes scalars exactly like
+def json_int_sql(col: str = "props", key: str = "k", sql_type: str = "INTEGER") -> str:
+    """DuckDB mirror of json_int(): hostile gate (same HOSTILE_JSON_RE
+    bytes) + json_valid guard (DuckDB's json_* functions ERROR on
+    malformed input where Spark's get_json_object yields NULL) +
+    json_extract_string (unquotes scalars exactly like
     get_json_object, minifies nested objects identically) + TRY_CAST."""
     return (
-        f"TRY_CAST(CASE WHEN json_valid({col}) THEN "
-        f"json_extract_string({col}, '$.{key}') END AS INTEGER)"
+        f"TRY_CAST(CASE WHEN NOT regexp_matches({col}, '{HOSTILE_JSON_RE}') "
+        f"AND json_valid({col}) THEN "
+        f"json_extract_string({col}, '$.{key}') END AS {sql_type})"
     )
 
 

@@ -78,26 +78,41 @@ from hbase_sep_spark import registry as _registry
 #         sweep — and text_token_count (explicit whitespace class
 #         replaces the Java-vs-RE2-divergent \s, round-8
 #         control-char sweep).
-# 9-20  = round-7 fin()-gate changes never re-graded (the ADVICE-r7
+# 9-16  = changed round 8b (the lenient-JSON-parser sweep):
+#         portable.json_int/json_int_sql grew the HOSTILE_JSON_RE
+#         byte-identical gate (raw control chars, surrogate escapes,
+#         NaN/Infinity literals, trailing commas, structural single
+#         quotes — six probed silent divergences between Jackson and
+#         yyjson), and every consumer oracle now interpolates
+#         json_int_sql() instead of hand-copying the guard: impl AND
+#         oracle changed for events_payload_extract,
+#         filter_null_handling, cast_types, agg_bitwise,
+#         agg_regr_slope, json_extract_props, map_lambda_ops (and
+#         json_to_map, already at position 4).  text_fingerprint
+#         closes the NUL-text class (DuckDB sha256 hashes wrong bytes
+#         on composed NUL strings — NUL-sentinel substitution at the
+#         scan edge, both sides); source_csv_roundtrip (position 1)
+#         additionally gained the NUL token + trim-disabled options.
+# 17-28 = round-7 fin()-gate changes never re-graded (the ADVICE-r7
 #         item-2 list plus agg_conditional and sink_parquet_roundtrip,
 #         which the same git diff shows changed in r7) — impl AND
 #         oracle changed, highest re-grade value.
-# 21-25 = round-6 hash-hardened greens (overflow-safe knuth_hash),
+# 29-33 = round-6 hash-hardened greens (overflow-safe knuth_hash),
 #         changed r6 and displaced past the bound twice — outputs
 #         provably unchanged at fixture scale, but still
 #         changed-since-green by the strict rule.
-# 26-29 = rows-only priority: simsearch_lsh_bucketed (round-8
+# 34-37 = rows-only priority: simsearch_lsh_bucketed (round-8
 #         shuffle fix, VERDICT-r7 item 3 — value-hash proven
 #         unchanged locally under two shuffle configs; id-pair
 #         distinct measured 9.9× lighter at 100× data) and the SEP
 #         semantics core VERDICT-r7 item 4 names in the bound
 #         (stream_sep_source / stream_stateful_latest /
 #         stream_dedup_watermark, driver evidence r3/pre-regen).
-# 30-50 = the stale round-1 greens (graded once, pre-regeneration
-#         data) — 21 of the 27 remaining inside the bound (ending
-#         agg_count_distinct at 50); the agg tail (agg_min_max_stats
-#         .. agg_grouping_sets) and agg_approx_count_distinct spill
-#         just past it and lead the round-9 stale queue.
+# 38-50 = the stale round-1 greens (graded once, pre-regeneration
+#         data) — 13 of the 27 remaining inside the bound (ending
+#         join_full_outer at 50); the rest (join_left_semi ..
+#         agg_grouping_sets, agg_approx_count_distinct) spill just
+#         past it and lead the round-9 stale queue.
 # --- bound ---
 # 51+   = the last r1 name, the remaining rows-only
 #         changed-since-green (r7 vector/scan members — rows-only
@@ -117,6 +132,17 @@ _GRADE_FIRST = [
     "join_skew_salted",
     "multimodal_frame_sample",
     "text_token_count",
+    # changed round 8b (lenient-JSON-parser gate on json_int/json_int_sql
+    # and every consumer oracle; NUL-sentinel fingerprint; NUL-safe CSV
+    # trip rides the source_csv_roundtrip entry above)
+    "events_payload_extract",
+    "filter_null_handling",
+    "cast_types",
+    "agg_bitwise",
+    "agg_regr_slope",
+    "json_extract_props",
+    "map_lambda_ops",
+    "text_fingerprint",
     # changed round 7 (fin() non-finite gate), never re-graded
     "agg_conditional",
     "agg_geometric_mean",
@@ -155,6 +181,8 @@ _GRADE_FIRST = [
     "join_left_outer",
     "join_right_outer",
     "join_full_outer",
+    # --- ~50-entry grading boundary; positions below pay off only if
+    # the driver's bound is larger, and set the round-9 queue order.
     "join_left_semi",
     "join_left_anti",
     "join_cross",
@@ -168,8 +196,6 @@ _GRADE_FIRST = [
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    # --- ~50-entry grading boundary; positions below pay off only if
-    # the driver's bound is larger, and set the round-9 queue order.
     "agg_approx_count_distinct",
     # rows-only changed-since-green (r7 vector hardening + scan
     # refactors): driver check is rows-only, re-grade adds little

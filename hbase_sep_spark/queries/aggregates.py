@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hbase_sep_spark import io as io_mod
-from hbase_sep_spark.functions import arr_str, davg, dsum, fin, json_int
+from hbase_sep_spark.functions import arr_str, davg, dsum, fin, json_int, json_int_sql
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import quantiles
 from hbase_sep_spark.registry import register
@@ -400,11 +400,11 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_bitwise",
-    oracle="""
+    oracle=f"""
     SELECT user_id % 10 AS user_bucket,
-           bit_and(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)) AS k_and,
-           bit_or(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)) AS k_or,
-           bit_xor(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)) AS k_xor
+           bit_and({json_int_sql()}) AS k_and,
+           bit_or({json_int_sql()}) AS k_or,
+           bit_xor({json_int_sql()}) AS k_xor
     FROM events
     GROUP BY user_bucket
     """,
@@ -429,10 +429,10 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_regr_slope",
-    oracle="""
+    oracle=f"""
     SELECT user_id % 10 AS user_bucket,
-           round(regr_slope(value, TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)), 6) AS slope,
-           round(regr_intercept(value, TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)), 6) AS intercept,
+           round(regr_slope(value, {json_int_sql()}), 6) AS slope,
+           round(regr_intercept(value, {json_int_sql()}), 6) AS intercept,
            count(*) AS n
     FROM events
     GROUP BY user_bucket

@@ -26,6 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from hbase_sep_spark.functions import json_int, json_int_sql
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -81,11 +82,10 @@ def set_union_by_name_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "map_lambda_ops",
-    oracle="""
+    oracle=f"""
     WITH base AS (
         SELECT event_id,
-               TRY_CAST(CASE WHEN json_valid(props) THEN
-                   json_extract_string(props, '$.k') END AS BIGINT) * 2 AS kk,
+               {json_int_sql(sql_type="BIGINT")} * 2 AS kk,
                CAST(user_id % 100 AS BIGINT) * 3 AS uu,
                TRY_CAST(floor(value) AS BIGINT) * 5 AS vv
         FROM events WHERE event_id <= 3000
@@ -126,7 +126,7 @@ def map_lambda_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # extreme-value sweep — a 1e9-scale feed value is realistic),
         # and a mistyped payload must degrade to NULL, not crash.
         F.array(
-            F.get_json_object("props", "$.k").try_cast("long"),
+            json_int("props", typ="long"),
             (F.col("user_id") % 100).cast("long"),
             F.floor(F.col("value")).try_cast("long"),
         ),

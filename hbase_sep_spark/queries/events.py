@@ -16,7 +16,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from hbase_sep_spark.functions import json_int
+from hbase_sep_spark.functions import json_int, json_int_sql
 from hbase_sep_spark.io import scratch_dir, t
 from hbase_sep_spark.registry import register
 
@@ -62,11 +62,11 @@ def scan_events_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_payload_extract",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            user_id,
            event_type,
-           TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS payload_k,
+           {json_int_sql()} AS payload_k,
            value
     FROM events
     """,

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from hbase_sep_spark.functions import json_int
+from hbase_sep_spark.functions import json_int, json_int_sql
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -137,15 +137,15 @@ def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "filter_null_handling",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            user_id,
-           TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS k_val,
-           CASE WHEN TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) IS NULL
+           {json_int_sql()} AS k_val,
+           CASE WHEN {json_int_sql()} IS NULL
                 THEN 'missing' ELSE 'present' END AS k_state
     FROM events
-    WHERE TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) IS NULL
-       OR TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) > 50
+    WHERE {json_int_sql()} IS NULL
+       OR {json_int_sql()} > 50
     """,
     section=SECTION,
 )

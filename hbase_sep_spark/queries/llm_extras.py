@@ -256,12 +256,12 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            sha256(array_to_string(list_sort(list_distinct(string_split(
-               translate(trim(coalesce(text, '')),
+               translate(trim(replace(coalesce(text, ''), chr(0), '__NUL_c7f3a9__')),
                          'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
                          'abcdefghijklmnopqrstuvwxyz'), ' '))), ' '))
                AS fingerprint,
            CAST(len(list_distinct(string_split(
-               translate(trim(coalesce(text, '')),
+               translate(trim(replace(coalesce(text, ''), chr(0), '__NUL_c7f3a9__')),
                          'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
                          'abcdefghijklmnopqrstuvwxyz'), ' ')))
                 AS INT) AS vocab_size
@@ -276,12 +276,26 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash path in operators.dedup). Case folding is the A-Z-only
     ascii_lower: full-Unicode lower() hashes DIFFERENT bytes per
     engine on full-vs-simple case-mapping gaps (İ, round-6 unicode
-    sweep), and a fingerprint must be bit-stable across engines."""
+    sweep), and a fingerprint must be bit-stable across engines.
+
+    NUL bytes are substituted with a sentinel token BEFORE the token
+    pipeline, on both sides (round-8 NUL sweep): DuckDB silently
+    hashes the WRONG BYTES whenever sha256(VARCHAR) consumes a
+    COMPOSED string carrying \\x00 — and which bytes depends on plan
+    shape (the same string as a bound parameter or plain column
+    hashes correctly; adding or removing sibling projections changes
+    the result), so no computed-NUL-string may reach any downstream
+    DuckDB expression. Substituting at the scan edge keeps the whole
+    pipeline NUL-free on both engines; clean docs are untouched
+    (values unchanged on every pre-round-8 fixture)."""
     d = t(spark, sf_dir, "documents")
     # NULL text → '' on BOTH sides (round-6 null sweep: Spark's
     # concat_ws silently skips a NULL array, hashing '' while DuckDB
     # NULLs the whole row).
-    norm_words = F.split(ascii_lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), " ")
+    clean = F.replace(
+        F.coalesce(F.col("text"), F.lit("")), F.lit("\x00"), F.lit("__NUL_c7f3a9__")
+    )
+    norm_words = F.split(ascii_lower(F.trim(clean)), " ")
     return d.select(
         "doc_id",
         F.sha2(F.concat_ws(" ", F.array_sort(F.array_distinct(norm_words))), 256).alias("fingerprint"),

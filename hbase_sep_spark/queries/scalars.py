@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from hbase_sep_spark.functions import arr_str, json_int
+from hbase_sep_spark.functions import arr_str, json_int, json_int_sql
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -232,10 +232,10 @@ def cond_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cast_types",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           CAST(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS BIGINT) AS k_int,
-           CAST(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) AS DOUBLE) AS k_double,
+           CAST({json_int_sql()} AS BIGINT) AS k_int,
+           CAST({json_int_sql()} AS DOUBLE) AS k_double,
            CAST(user_id AS VARCHAR) AS user_str,
            TRY_CAST(trunc(value) AS BIGINT) AS value_trunc,
            CAST(value AS VARCHAR) IS NOT NULL AS value_str_ok

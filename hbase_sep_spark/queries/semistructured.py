@@ -17,7 +17,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from hbase_sep_spark.functions import arr_str, dsum, json_int
+from hbase_sep_spark.functions import (
+    HOSTILE_JSON_RE,
+    arr_str,
+    dsum,
+    json_gate,
+    json_int,
+    json_int_sql,
+)
 from hbase_sep_spark.io import t
 from hbase_sep_spark.operators import vectors as V
 from hbase_sep_spark.registry import register
@@ -27,12 +34,12 @@ SECTION = "2.9"
 
 @register(
     "json_extract_props",
-    oracle="""
-    SELECT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) % 10 AS k_bucket,
+    oracle=f"""
+    SELECT {json_int_sql()} % 10 AS k_bucket,
            count(*) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
-           min(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)) AS min_k,
-           max(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER)) AS max_k
+           min({json_int_sql()}) AS min_k,
+           max({json_int_sql()}) AS max_k
     FROM events
     GROUP BY k_bucket
     """,
@@ -57,10 +64,11 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_to_map",
-    oracle="""
+    oracle=f"""
     WITH ok AS (
       SELECT event_id,
-             CASE WHEN props IS NULL OR NOT json_valid(props)
+             CASE WHEN props IS NULL OR regexp_matches(props, '{HOSTILE_JSON_RE}')
+                       OR NOT json_valid(props)
                        OR json_type(props) <> 'OBJECT' THEN NULL
                   WHEN len(list_filter(json_keys(props), kk ->
                             contains(kk, '"') OR contains(kk, '\\')
@@ -135,7 +143,11 @@ def json_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dupkey_fixture.py."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 3000)
     raw = F.from_json("props", "map<string,int>")
-    hostile = F.exists(
+    # ~json_gate: the round-8 lenient-parser class (raw control chars,
+    # surrogate escapes, NaN/Infinity, trailing commas) — the engines'
+    # PARSERS disagree on these in both directions, so the whole
+    # payload is hostile on both sides (portable.HOSTILE_JSON_RE).
+    hostile = ~json_gate("props") | F.exists(
         F.map_keys(raw),
         lambda k: k.contains('"') | k.contains("\\") | (k == F.lit("")),
     ) | (F.size(F.map_keys(raw)) != F.size(F.array_distinct(F.map_keys(raw))))

@@ -72,20 +72,28 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "json")
 
 
-# Newline escape tokens for the CSV trip (see source_csv_roundtrip).
-# Like the NULL sentinel, chosen so no real payload plausibly contains
-# them; the two tokens share the collision caveat documented below.
+# Escape tokens for the CSV trip (see source_csv_roundtrip). Like the
+# NULL sentinel, chosen so no real payload plausibly contains them;
+# the tokens share the collision caveat documented below.
 _CSV_NL_TOK = "__CSV_NL_c7f3a9__"
 _CSV_CR_TOK = "__CSV_CR_c7f3a9__"
+_CSV_NUL_TOK = "__CSV_NUL_c7f3a9__"
 
 
 def _csv_nl_encode(c: str):
-    """Replace literal CR/LF in a string column with sentinel tokens
-    so every CSV record stays on one physical line. Token-based (not
-    backslash escaping) because token replacement is order-independent
-    and exactly invertible without a stateful parser; NULL passes
-    through untouched."""
+    """Make a string column CSV-proof: replace literal CR/LF (record
+    splitting) and NUL with sentinel tokens. NUL is the one char that
+    survives NO option combination — Spark's quoted-field writer and
+    reader both silently DROP \\x00 (round-8 NUL sweep) — while every
+    other C0 control char roundtrips once the writer's default
+    leading/trailing field trim is disabled (the
+    ignoreLeading/TrailingWhiteSpace=false options on the trip;
+    probed char-by-char in quoted and unquoted positions).
+    Token-based (not backslash escaping) because token replacement is
+    order-independent and exactly invertible without a stateful
+    parser; NULL passes through untouched."""
     col = F.col(c)
+    col = F.replace(col, F.lit("\x00"), F.lit(_CSV_NUL_TOK))
     col = F.replace(col, F.lit("\r"), F.lit(_CSV_CR_TOK))
     col = F.replace(col, F.lit("\n"), F.lit(_CSV_NL_TOK))
     return col.alias(c)
@@ -95,6 +103,7 @@ def _csv_nl_decode(c: str):
     col = F.col(c)
     col = F.replace(col, F.lit(_CSV_NL_TOK), F.lit("\n"))
     col = F.replace(col, F.lit(_CSV_CR_TOK), F.lit("\r"))
+    col = F.replace(col, F.lit(_CSV_NUL_TOK), F.lit("\x00"))
     return col.alias(c)
 
 
@@ -139,6 +148,12 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     opts = {
         "header": "true", "quote": '"', "escape": '"',
         "nullValue": "__CSV_NULL_SENTINEL_c7f3a9__",
+        # The writer TRIMS leading/trailing C0 control chars from
+        # fields by default (write-side ignore*WhiteSpace defaults are
+        # true); a payload ending in \x0B would come back shortened.
+        # Disabled on both sides so whitespace-ish bytes are data.
+        "ignoreLeadingWhiteSpace": "false",
+        "ignoreTrailingWhiteSpace": "false",
     }
     df = _events_slice(spark, sf_dir).select(
         "event_id", "ts", "user_id",
