@@ -101,27 +101,40 @@ from hbase_sep_spark import registry as _registry
 #         changed r6 and displaced past the bound twice — outputs
 #         provably unchanged at fixture scale, but still
 #         changed-since-green by the strict rule.
-# 34-37 = rows-only priority: simsearch_lsh_bucketed (round-8
+# 34-38 = rows-only priority: simsearch_lsh_bucketed (round-8
 #         shuffle fix, VERDICT-r7 item 3 — value-hash proven
 #         unchanged locally under two shuffle configs; id-pair
 #         distinct measured 9.9× lighter at 100× data) and the SEP
 #         semantics core VERDICT-r7 item 4 names in the bound
 #         (stream_sep_source / stream_stateful_latest /
-#         stream_dedup_watermark, driver evidence r3/pre-regen).
-# 38-50 = the stale round-1 greens (graded once, pre-regeneration
-#         data) — 13 of the 27 remaining inside the bound (ending
-#         join_full_outer at 50); the rest (join_left_semi ..
-#         agg_grouping_sets, agg_approx_count_distinct) spill just
-#         past it and lead the round-9 stale queue.
+#         stream_dedup_watermark, driver evidence r3/pre-regen) —
+#         all three changed AGAIN in round 8c (the source now
+#         dead-letters NULL event-times; NaT crashed the Python
+#         DataSource) — plus stream_bootstrap_then_tail (its
+#         boundary read crashed on a NULL-ts boundary row).
+# 39-50 = changed round 8c (the null-ts sweep: 52 of 279 queries
+#         failed on a NULL-event-time feed; fixed with the two-sided
+#         null-time drop): the §2 operators and the as-of/PIT
+#         family lead (join_asof_latest_event — ALSO the stalest r1
+#         green — win_row_number/lag_lead/running_sum/moving_avg/
+#         first_last, events_per_key_ordered/scd2_history,
+#         join_asof_nearest, join_pit_scd2, agg_argmax_misc,
+#         ts_weekly_ohlc). Seven more null-ts-changed names already
+#         sit in the 17-28 r7 block (ts_autocorrelation, ts_cusum_
+#         drift, ts_rolling_zscore, ts_seasonal_naive_mae,
+#         ts_stl_decompose_lite, win_rolling_median,
+#         events_compact_changelog — changed in BOTH sweeps).
 # --- bound ---
-# 51+   = the last r1 name, the remaining rows-only
-#         changed-since-green (r7 vector/scan members — rows-only
-#         re-grades add little over the local oracle/property
-#         evidence, round-6/7 precedent), the stale r2 tail, then the
-#         r3 block in grade-age order; r4-r7 greens follow in
-#         registration order.  All prefix names re-verified against
-#         the local oracle on current data before commit
-#         (tests.harness + plain-session sweep).
+# 51+   = the remaining 17 round-8c null-ts-changed names, the stale
+#         r1 block (now fully past the bound — the null-ts changes
+#         outrank it per the changed-since-green policy), the
+#         remaining rows-only changed-since-green (r7 vector/scan
+#         members — rows-only re-grades add little over the local
+#         oracle/property evidence, round-6/7 precedent), the stale
+#         r2 tail, then the r3 block in grade-age order; r4-r7
+#         greens follow in registration order.  All prefix names
+#         re-verified against the local oracle on current data
+#         before commit (tests.harness + plain-session sweep).
 _GRADE_FIRST = [
     # changed round 8
     "source_csv_roundtrip",
@@ -163,10 +176,50 @@ _GRADE_FIRST = [
     "sample_bernoulli_hash",
     "pipeline_mixture_sample",
     # rows-only: round-8 LSH shuffle fix + the SEP streaming core
+    # (the source itself changed AGAIN in round 8c: NULL event-times
+    # are dead-lettered at the transport edge — NaT crashed the
+    # Python DataSource row converter) + the boundary-read fix
     "simsearch_lsh_bucketed",
     "stream_sep_source",
     "stream_stateful_latest",
     "stream_dedup_watermark",
+    "stream_bootstrap_then_tail",
+    # changed round 8c (null-ts sweep: time-ordered operators drop
+    # null-time rows on both sides; 36 sql-hash queries changed —
+    # the §2 operators and the as-of/PIT/SEP-semantics family take
+    # the in-bound slots, the rest queue just past it)
+    "join_asof_latest_event",
+    "win_row_number",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_first_last",
+    "events_per_key_ordered",
+    "events_scd2_history",
+    "join_asof_nearest",
+    "join_pit_scd2",
+    "agg_argmax_misc",
+    "ts_weekly_ohlc",
+    # --- ~50-entry grading boundary; positions below pay off only if
+    # the driver's bound is larger, and set the round-9 queue order.
+    # remaining round-8c null-ts-changed names
+    "win_sessionize_batch",
+    "win_funnel_conversion",
+    "win_nth_value",
+    "win_period_over_period",
+    "win_running_distinct",
+    "win_conditional_reset_sum",
+    "win_leave_one_out_avg",
+    "win_streak_longest",
+    "win_hampel_outlier",
+    "events_transition_matrix",
+    "events_order_repair",
+    "events_incremental_agg_merge",
+    "events_session_duration_histogram",
+    "ts_ewma_halflife",
+    "ts_max_drawdown",
+    "agg_spearman_corr",
+    "agg_theil_sen_slope",
     # stale round-1 greens (graded once, pre-regeneration data)
     "project_alias",
     "filter_eq",
@@ -181,14 +234,11 @@ _GRADE_FIRST = [
     "join_left_outer",
     "join_right_outer",
     "join_full_outer",
-    # --- ~50-entry grading boundary; positions below pay off only if
-    # the driver's bound is larger, and set the round-9 queue order.
     "join_left_semi",
     "join_left_anti",
     "join_cross",
     "join_theta_range",
     "join_interval_events",
-    "join_asof_latest_event",
     "agg_having",
     "agg_count_distinct",
     "agg_min_max_stats",
@@ -205,7 +255,6 @@ _GRADE_FIRST = [
     "vec_pca_project",
     "vec_kmeans_lloyd",
     "scan_incremental_manifest",
-    "stream_bootstrap_then_tail",
     # stale round-2 greens (sets tail, scalars, semistructured, UDFs,
     # LLM ops)
     "set_intersect",

@@ -605,6 +605,7 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, ts,
                CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS value
         FROM events
+        WHERE ts IS NOT NULL
     ),
     w AS (
         SELECT user_id, event_id, value,
@@ -642,8 +643,9 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fin() gate NULLs non-finite measures before the window stats
     (count skips them, so the n_win ≥ 10 guard self-adjusts): one Inf
     in a trailing window otherwise overflows DuckDB's STDDEV_SAMP
-    outright (round-7 non-finite sweep)."""
-    ev = t(spark, sf_dir, "events")
+    outright (round-7 non-finite sweep). Null-time rows are
+    dead-lettered on both sides (round-8 null-ts sweep)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     v = fin("value")
     win = (
         Window.partitionBy("user_id")
@@ -814,12 +816,12 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH clicks AS (
         SELECT user_id, ts, max(event_id) AS click_id
-        FROM events WHERE event_type = 'click'
+        FROM events WHERE event_type = 'click' AND ts IS NOT NULL
         GROUP BY user_id, ts
     ),
     purchases AS (
         SELECT user_id, ts, event_id AS purchase_id
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ),
     b AS (
         SELECT p.user_id, p.purchase_id, p.ts,
@@ -867,8 +869,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes both candidates (last ignorenulls over the preceding
     frame, first ignorenulls over the following frame — Catalyst
     shares the sort); no join against the clicks table at all, while
-    the oracle needs two ASOF joins plus a re-join."""
-    ev = t(spark, sf_dir, "events")
+    the oracle needs two ASOF joins plus a re-join. Null-time rows
+    are dead-lettered on both sides (round-8 null-ts sweep)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
@@ -1173,6 +1176,7 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, max(event_id) AS version_event_id,
                arg_max(value, event_id) AS version_value
         FROM events WHERE event_type IN ('signup', 'click')
+              AND ts IS NOT NULL
         GROUP BY user_id, ts
     ),
     versions AS (
@@ -1184,7 +1188,7 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     purchases AS (
         SELECT user_id, event_id AS purchase_id, ts
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     )
     SELECT p.user_id, p.purchase_id,
            v.version_event_id, v.version_value,
@@ -1223,8 +1227,10 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick is unambiguous, and the union-window last() has no
     nondeterministic tie (ADVICE r4). The collapse rides the same
     user_id window partitioning as the lead(), so it adds a sort but
-    no extra shuffle."""
-    ev = t(spark, sf_dir, "events")
+    no extra shuffle. Null-time rows are dead-lettered on both sides
+    (round-8 null-ts sweep): a version with no effectivity start and
+    a fact with no as-of time are both unroutable."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     wdedup = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").desc())
     vsrc = (
         ev.filter(F.col("event_type").isin("signup", "click"))
@@ -1418,7 +1424,7 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH monthly AS (
         SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
                sum(CAST(o_totalprice AS DECIMAL(28,6))) AS r
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )
     SELECT month,
            CAST(round(r, 2) AS DOUBLE) AS revenue,
@@ -1440,8 +1446,11 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the window runs over the ~24-row monthly aggregate,
     not the fact table; the data-sized work is one
-    map-side-combinable decimal sum."""
-    o = t(spark, sf_dir, "orders")
+    map-side-combinable decimal sum. Null-time dead-letter on both
+    sides (round-8 null-ts sweep): a dateless order has no period,
+    and the engines disagree on where a NULL month sorts in the lag
+    order."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     monthly = o.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("r"))
@@ -1470,6 +1479,7 @@ def win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
                lead(event_type) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS next_type
         FROM events
+        WHERE ts IS NOT NULL
     ),
     trans AS (
         SELECT cur_type, next_type, count(*) AS n_transitions
@@ -1497,8 +1507,9 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one user_id window pass over the feed, then a
     map-side-combinable count into a (types × types)-sized matrix;
-    the denominator is a window over that tiny matrix."""
-    ev = t(spark, sf_dir, "events")
+    the denominator is a window over that tiny matrix. Null-time
+    rows are dead-lettered on both sides (round-8 null-ts sweep)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("cur_type"),

@@ -507,6 +507,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            bool_or(value > 480) AS any_extreme,
            bool_and(value > 0) AS all_positive
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY user_id
     """,
     section=SECTION,
@@ -521,8 +522,11 @@ def agg_argmax_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-injection sweep found across the registry. Values are
     unchanged on a ts-unique feed (every fixture SF to date). The
     epoch is biased by 2^62 (both sides) so a pre-1970 row can never
-    format a sign into %020d and lexically invert the pick order."""
-    ev = t(spark, sf_dir, "events")
+    format a sign into %020d and lexically invert the pick order.
+    Null-time rows are dead-lettered on both sides (round-8 null-ts
+    sweep): a NULL ts cannot rank in the argmax order and the
+    engines' NULL-key pick semantics differ."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     okey = F.format_string(
         "%020d-%010d",
         F.unix_micros(F.col("ts")) + F.lit(4611686018427387904),

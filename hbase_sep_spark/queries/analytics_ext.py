@@ -79,7 +79,7 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH days AS (
         SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ),
     r AS (
         SELECT user_id, day,
@@ -106,8 +106,10 @@ def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle on user_id serves the distinct, the
     window, and both aggregates (all key on user_id or a superset);
-    the window state is one row_number counter, O(1) per user."""
-    ev = t(spark, sf_dir, "events")
+    the window state is one row_number counter, O(1) per user.
+    Null-time rows are dead-lettered on both sides (round-8 null-ts
+    sweep): a NULL day would rank differently per engine."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     days = ev.select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).distinct()

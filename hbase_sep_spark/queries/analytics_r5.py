@@ -50,7 +50,7 @@ from hbase_sep_spark.registry import register
                        PARTITION BY user_id, event_type
                        ORDER BY ts, event_id) = 1
                     THEN 1 ELSE 0 END AS f
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, event_id,
            CAST(sum(f) OVER (
@@ -75,8 +75,10 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the oracle's (user_id, event_type)-partitioned row_number,
     so both windows share the same hash partitioning and Catalyst
     plans a single Exchange with two sorts (pinned in
-    tests/test_plans.py). State per row is O(1) in both passes."""
-    ev = t(spark, sf_dir, "events")
+    tests/test_plans.py). State per row is O(1) in both passes.
+    Null-time rows are dead-lettered on both sides (round-8 null-ts
+    sweep)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w_flag = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
     prev_type = F.lag("event_type").over(w_flag)
     flagged = ev.select(
@@ -168,6 +170,7 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     section="2.5",
@@ -192,8 +195,10 @@ def ts_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE map-side-combinable aggregate keyed
     (user_id, week) — min_by/max_by partials carry (value, key)
     pairs, so the shuffle moves one fixed-width pair per group per
-    mapper, never the events. Single Exchange, pinned."""
-    ev = t(spark, sf_dir, "events")
+    mapper, never the events. Single Exchange, pinned. Null-time
+    rows are dead-lettered on both sides (round-8 null-ts sweep): a
+    timeless observation has no week and no open/close position."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     okey = F.format_string(
         "%020d-%010d",
         F.unix_micros("ts") + F.lit(4611686018427387904),
@@ -717,7 +722,7 @@ def pipeline_neardup_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
                AS total_value
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
     section="2.4",
 )
@@ -737,8 +742,12 @@ def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-cardinality table (read, not recomputed); only the tail
     scans raw events. Both partial aggregates are map-side
     combinable; the merge re-aggregate runs over day-cardinality
-    rows."""
-    ev = t(spark, sf_dir, "events")
+    rows. Null-time rows are dead-lettered on both sides (round-8
+    null-ts sweep) — the explicit filter makes the policy visible;
+    the seam comparisons would silently drop them anyway (NULL < seam
+    and NULL >= seam are both unknown), which is how the 30-vs-31
+    group-count divergence surfaced."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     head = ev.agg(F.max("ts").alias("head_ts"))
     seam = F.col("head_ts") - F.expr("INTERVAL 66 HOURS")
     day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")

@@ -135,6 +135,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(value, 4) OVER win AS l4,
                lag(value, 5) OVER win AS l5
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,
@@ -170,8 +171,9 @@ def ts_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one user_id shuffle, one sort, six lags over the
     same window — Catalyst evaluates all six in a single Window
-    operator pass, O(1) state per row."""
-    ev = t(spark, sf_dir, "events")
+    operator pass, O(1) state per row. Null-time rows are
+    dead-lettered on both sides (round-8 null-ts sweep)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lags = [F.col("value")] + [F.lag("value", i).over(w) for i in range(1, 6)]
     weights = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125]

@@ -38,6 +38,7 @@ from hbase_sep_spark.registry import register
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY event_id) AS r_id
         FROM events
+        WHERE ts IS NOT NULL
     )
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -63,8 +64,10 @@ def events_order_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE user_id exchange feeding two sorts (one per
     rank order) and then a map-side-combinable aggregate on the same
     key — Catalyst reuses the window partitioning for all three, so
-    the plan holds a single shuffle at any scale."""
-    ev = t(spark, sf_dir, "events")
+    the plan holds a single shuffle at any scale. Null-time rows are
+    dead-lettered on both sides (round-8 null-ts sweep): an event
+    with no time has no time-rank to displace from."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_id = Window.partitionBy("user_id").orderBy("event_id")
     disp = ev.select(
@@ -228,6 +231,7 @@ def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS segment_id
         FROM events
+        WHERE ts IS NOT NULL
     )
     SELECT user_id, event_id, CAST(segment_id AS BIGINT) AS segment_id,
            round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
@@ -251,10 +255,11 @@ def win_conditional_reset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both windows order by (ts, event_id) and the second
     partitions by a superset key of the first, so Catalyst plans ONE
     user_id exchange; the segment re-partition is satisfied by the
-    existing distribution (pinned in tests/test_plans.py)."""
+    existing distribution (pinned in tests/test_plans.py). Null-time
+    rows are dead-lettered on both sides (round-8 null-ts sweep)."""
     from hbase_sep_spark.functions.portable import msum_window
 
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w1 = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

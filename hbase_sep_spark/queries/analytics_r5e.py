@@ -157,6 +157,7 @@ def map_lambda_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - CAST(round(value * 1000000, 0) AS BIGINT) AS loo_us,
                count(*) OVER w - 1 AS loo_n
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     )
@@ -181,8 +182,10 @@ def win_leave_one_out_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     single rounded division.
 
     Scale shape: one user_id shuffle, one sort, both frame aggregates
-    evaluated in the same Window operator, O(frame) state per row."""
-    ev = t(spark, sf_dir, "events")
+    evaluated in the same Window operator, O(frame) state per row.
+    Null-time rows are dead-lettered on both sides (round-8 null-ts
+    sweep)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

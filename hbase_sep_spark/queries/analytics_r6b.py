@@ -51,7 +51,7 @@ from hbase_sep_spark.registry import register
                CAST(sum(CAST((CASE WHEN isnan(value) OR isinf(value)
                                    THEN NULL ELSE value END)
                              AS DECIMAL(18,6))) AS DOUBLE) AS v
-        FROM events GROUP BY event_type, d
+        FROM events WHERE ts IS NOT NULL GROUP BY event_type, d
         HAVING v IS NOT NULL
     ),
     lagged AS (
@@ -114,9 +114,12 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Non-finite measures pass the fin() gate before the decimal cast
     (ANSI CAST_OVERFLOW on NaN — round-7 non-finite sweep); all-
     garbage days drop before the lag windows on both sides (a NULL
-    sort/lag input would place differently per engine)."""
+    sort/lag input would place differently per engine). Null-time
+    rows are dead-lettered on both sides too (round-8 null-ts sweep:
+    a NULL day would sort differently per engine in the lag order)."""
     daily = (
         t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
         .agg(F.sum(fin("value").cast(DEC)).cast("double").alias("v"))
         .filter(F.col("v").isNotNull())
@@ -204,7 +207,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    THEN NULL ELSE value END)
                              AS DECIMAL(18,6))) * 1000000 AS BIGINT)
                    AS vm
-        FROM events GROUP BY event_type, d
+        FROM events WHERE ts IS NOT NULL GROUP BY event_type, d
         HAVING vm IS NOT NULL
     ),
     cs AS (
@@ -250,9 +253,11 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, then one event_type exchange that every window
     (running sum, partition totals, peak) and the final per-type
     aggregate all share; no joins, no subtree re-computation (the
-    aggregate+join form scanned the feed four times)."""
+    aggregate+join form scanned the feed four times). Null-time rows
+    are dead-lettered on both sides (round-8 null-ts sweep)."""
     daily = (
         t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
         .agg(
             (F.sum(fin("value").cast(DEC)) * 1000000)

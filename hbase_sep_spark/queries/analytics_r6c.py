@@ -143,7 +143,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST((CASE WHEN isnan(value) OR isinf(value)
                                    THEN NULL ELSE value END)
                              AS DECIMAL(18,6))) AS DOUBLE) AS v
-        FROM events GROUP BY event_type, d
+        FROM events WHERE ts IS NOT NULL GROUP BY event_type, d
         HAVING v IS NOT NULL
     ),
     rolled AS (
@@ -180,6 +180,7 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     (that case is agg_weighted_median's two-level decomposition)."""
     daily = (
         t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())  # null-time dead-letter (round-8)
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
         # fin() gate + all-garbage-day drop: the analytics_r6d
         # _DAILY_SQL rationale (round-7 non-finite sweep).
@@ -292,7 +293,7 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST((CASE WHEN isnan(value) OR isinf(value)
                                    THEN NULL ELSE value END)
                              AS DECIMAL(18,6))) AS DOUBLE) AS v
-        FROM events GROUP BY event_type, d
+        FROM events WHERE ts IS NOT NULL GROUP BY event_type, d
         HAVING v IS NOT NULL
     ),
     err AS (
@@ -326,6 +327,7 @@ def ts_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the first shuffle."""
     daily = (
         t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())  # null-time dead-letter (round-8)
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
         # fin() gate + all-garbage-day drop: the analytics_r6d
         # _DAILY_SQL rationale (round-7 non-finite sweep).

@@ -45,14 +45,17 @@ _DAILY_SQL = """
                CAST(sum(CAST((CASE WHEN isnan(value) OR isinf(value)
                                    THEN NULL ELSE value END)
                              AS DECIMAL(18,6))) AS DOUBLE) AS v
-        FROM events GROUP BY event_type, d
+        FROM events WHERE ts IS NOT NULL GROUP BY event_type, d
         HAVING v IS NOT NULL
 """
 
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts IS NOT NULL = the null-time dead-letter (round-8 null-ts
+    # sweep): a NULL day would sort differently per engine downstream.
     return (
         t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
         .agg(F.sum(fin("value").cast(DEC)).cast("double").alias("v"))
         .filter(F.col("v").isNotNull())

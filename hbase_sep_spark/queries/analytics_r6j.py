@@ -134,7 +134,7 @@ def events_type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame
                CAST(sum(CAST((CASE WHEN isnan(value) OR isinf(value)
                                    THEN NULL ELSE value END)
                              AS DECIMAL(18,6))) AS DOUBLE) AS v
-        FROM events GROUP BY event_type, d
+        FROM events WHERE ts IS NOT NULL GROUP BY event_type, d
         HAVING v IS NOT NULL
     ),
     ranked AS (
@@ -183,6 +183,7 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLS FIRST on Spark and NULLS LAST on DuckDB."""
     daily = (
         t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())  # null-time dead-letter (round-8)
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
         .agg(F.sum(fin("value").cast(DEC)).cast("double").alias("v"))
         .filter(F.col("v").isNotNull())

@@ -215,7 +215,7 @@ def agg_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST((CASE WHEN isnan(value) OR isinf(value)
                                    THEN NULL ELSE value END)
                              AS DECIMAL(18,6))) AS DOUBLE) AS v
-        FROM events GROUP BY event_type, d
+        FROM events WHERE ts IS NOT NULL GROUP BY event_type, d
         HAVING v IS NOT NULL
     ),
     dd AS (
@@ -254,6 +254,7 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics_r6d._DAILY_SQL rationale)."""
     daily = (
         t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())  # null-time dead-letter (round-8)
         .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"))
         .agg(F.sum(fin("value").cast(DEC)).cast("double").alias("v"))
         .filter(F.col("v").isNotNull())

@@ -95,6 +95,7 @@ def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
@@ -133,8 +134,9 @@ def events_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataF
     aggregate all share ONE user_id exchange (the session group key
     is a superset of the window partitioning); only the 5-bin
     histogram aggregate re-shuffles, and its input is one row per
-    session."""
-    ev = t(spark, sf_dir, "events")
+    session. Null-time rows are dead-lettered on both sides (round-8
+    null-ts sweep)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_new = (
         F.lag("ts").over(w).isNull()
@@ -514,7 +516,7 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                CAST(dayofweek(date_trunc('day', ts)) + 1 AS INT) AS dow,
                sum(CAST(round((CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END) * 1000000, 0) AS BIGINT)) AS total_us
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     trended AS (
         SELECT day, dow, total_us,
@@ -564,8 +566,10 @@ def ts_stl_decompose_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seasonal table is 7 rows broadcast back. Non-finite measures
     pass the fin() gate before the micros cast (ANSI CAST_OVERFLOW on
     NaN — round-7 non-finite sweep); NULL micros are skipped by the
-    daily sum identically in both engines."""
-    ev = t(spark, sf_dir, "events")
+    daily sum identically in both engines. Null-time rows are
+    dead-lettered on both sides (round-8 null-ts sweep: a NULL day
+    would sort differently per engine in the trend window)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     micros = F.round(fin("value") * F.lit(1000000), 0).cast("long")
     daily = ev.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),

@@ -164,6 +164,7 @@ def events_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq
     FROM events
+    WHERE ts IS NOT NULL
     """,
     section=SECTION,
 )
@@ -172,11 +173,19 @@ def events_per_key_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee (row-hash → dedicated dispatch thread, [R: sep-impl/...
     /SepConsumer.java — UNVERIFIED]) as a sequence number per key."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.row_number().over(w).alias("seq"),
+    return (
+        t(spark, sf_dir, "events")
+        # null-time dead-letter (round-8 null-ts sweep): a record with
+        # no event time has no position in the per-key order, and the
+        # engines disagree on where NULL sorts (Spark NULLS FIRST,
+        # DuckDB NULLS LAST).
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("seq"),
+        )
     )
 
 
@@ -298,6 +307,7 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
            (lead(ts) OVER w IS NULL) AS is_current
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     section=SECTION,
@@ -310,7 +320,7 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     other half of the SEP consumer story next to the latest-per-key
     snapshot."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     lead_ts = F.lead("ts").over(w)
     return ev.select(
         "user_id",
@@ -398,6 +408,7 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id, ts,
                CAST(floor((CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END) / 100) AS BIGINT) AS state
         FROM events
+        WHERE ts IS NOT NULL
     ),
     ordered AS (
         SELECT user_id, event_id, ts, state,
@@ -433,7 +444,7 @@ def events_compact_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hbase_sep_spark.functions import fin
 
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     state = F.floor(fin("value") / 100).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     with_state = ev.select("user_id", "event_id", "ts", state.alias("state"))

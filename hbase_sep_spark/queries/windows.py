@@ -8,6 +8,14 @@ across engines (SURVEY §2 rule).
 
 Rank-style outputs are INT in Spark but BIGINT in DuckDB; oracles
 cast to INT to align.
+
+NULL event-times (round-8 null-ts sweep): Spark default-sorts ASC
+NULLS FIRST, DuckDB NULLS LAST, so ANY window/rank ordered by a
+nullable time key silently diverges the moment a feed ships NULL
+timestamps. Policy: time-ordered operators DROP null-time rows on
+both sides (`ts IS NOT NULL` — the dead-letter route; a record
+without an event time has no position in the order), a no-op on
+clean feeds. Pinned by tests/test_nullts_fixture.py.
 """
 
 from __future__ import annotations
@@ -30,15 +38,20 @@ SECTION = "2.5"
            CAST(row_number() OVER (PARTITION BY o_custkey
                                    ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
     FROM orders
+    WHERE o_orderdate IS NOT NULL
     """,
     section=SECTION,
 )
 def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.row_number().over(w).alias("order_seq"),
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())  # null-time dead-letter
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("order_seq"),
+        )
     )
 
 
@@ -104,6 +117,7 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
            value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
     FROM events
+    WHERE ts IS NOT NULL
     """,
     section=SECTION,
 )
@@ -111,7 +125,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Previous/next event value per user — the CDC 'compare with
     prior version of the row' pattern (SURVEY §1.1 multi-version)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return ev.select(
         "user_id",
         "event_id",
@@ -133,6 +147,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0, 2)
                AS running_spend
     FROM orders
+    WHERE o_orderdate IS NOT NULL
     """,
     section=SECTION,
 )
@@ -142,10 +157,14 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return t(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        msum_window("o_totalprice", w).alias("running_spend"),
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())  # null-time dead-letter
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            msum_window("o_totalprice", w).alias("running_spend"),
+        )
     )
 
 
@@ -157,15 +176,20 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS value_ma3
     FROM events
+    WHERE ts IS NOT NULL
     """,
     section=SECTION,
 )
 def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
-    return t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.round(F.avg("value").over(w), 4).alias("value_ma3"),
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())  # null-time dead-letter
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 4).alias("value_ma3"),
+        )
     )
 
 
@@ -181,6 +205,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                AS last_event_type
     FROM events
+    WHERE ts IS NOT NULL
     """,
     section=SECTION,
 )
@@ -192,7 +217,7 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return ev.select(
         "user_id",
         "event_id",
@@ -262,7 +287,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                AS second_order_key
     FROM orders
-    WHERE o_custkey <= 300
+    WHERE o_custkey <= 300 AND o_orderdate IS NOT NULL
     """,
     section=SECTION,
 )
@@ -277,7 +302,7 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") <= 300)
+        .filter((F.col("o_custkey") <= 300) & F.col("o_orderdate").isNotNull())
         .select(
             "o_custkey",
             "o_orderkey",
@@ -295,6 +320,7 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
@@ -320,7 +346,7 @@ def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     of gap flags. Both windows and the final aggregate share the
     user_id partitioning, so the whole query is ONE shuffle — the
     at-scale shape for sessionizing a 100 TB event log."""
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(wo)
     flagged = ev.select(
@@ -349,6 +375,7 @@ def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
@@ -411,7 +438,7 @@ def win_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage aggregate all share the user_id(-prefixed) partitioning, so
     Catalyst plans one exchange; the funnel rollup then reduces to one
     tiny global aggregate."""
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(wo)
     flagged = ev.select(

@@ -90,6 +90,14 @@ def _read_rows(path: str, lo: int, hi: int, step: int = 1):
         return iter(())
     df = pa.concat_tables(chunks).to_pandas()
     df = df[[fld.name for fld in EVENT_SCHEMA.fields]]
+    # Dead-letter NULL event-times at the transport edge (round-8
+    # null-ts sweep): offsets are positions in the (ts, event_id)-
+    # ordered feed, so a NULL-ts record has no replay position — and
+    # letting NaT through crashes Spark's Python-DataSource row
+    # converter (NaTType has no timetuple), killing every downstream
+    # stream. Dropping here is the SEP-transport analog of the
+    # watermark's own isnotnull(event_time) filter.
+    df = df[df["ts"].notna()]
     df["ts"] = df["ts"].dt.tz_localize("UTC")
     if step > 1:
         df = df.iloc[::step]

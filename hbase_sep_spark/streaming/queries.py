@@ -265,9 +265,11 @@ def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs: a BATCH snapshot of the feed up to position K (cheap bulk
     parquet read, no replay) plus a STREAMING tail from offset K
     onward (the sep_events source started at a non-zero initial
-    offset). The union must equal the full feed exactly — no gap, no
-    overlap at the seam. Asserted against the batch table here (the
-    returned frame aggregates both phases with a phase tag).
+    offset). The union must equal the full TIMED feed exactly — no
+    gap, no overlap at the seam (NULL event-times are dead-lettered
+    by the transport on both phases, round-8 null-ts sweep).
+    Asserted against the batch table here (the returned frame
+    aggregates both phases with a phase tag).
 
     Scale shape: the seam is a PREDICATE, not an order statistic. The
     boundary key — the (ts, event_id) at feed position K — comes from
@@ -294,16 +296,32 @@ def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         if nanos
         else F.col("ts").cast("timestamp")
     )
-    if total == 0:
-        # Day-1/empty feed (round-7 empty-feed sweep): there is no
-        # boundary row to read — the snapshot is empty by definition
-        # and the tail streams the whole (empty) feed from offset 0.
-        seam = F.lit(False)
+    # Boundary = the first row the TAIL will deliver. The transport
+    # dead-letters NULL event-times (round-8 null-ts sweep — a record
+    # with no time has no position in the (ts, event_id) replay
+    # order), so that is the first TIMED row at/after position k;
+    # scan forward in bounded slices until one is found. NULL-ts rows
+    # fall out of the snapshot too: the tuple predicate below is
+    # NULL (not true) for them, so seam and tail agree the
+    # dead-letter rows belong to neither phase.
+    boundary = None
+    lo = k
+    while lo < total:
+        hi = min(total, lo + 4096)
+        boundary = next(_read_rows(path, lo, hi), None)
+        if boundary is not None:
+            break
+        lo = hi
+    if boundary is None:
+        # Empty feed (round-7 empty-feed sweep) or an all-NULL-ts
+        # tail: the tail delivers nothing, so the snapshot is every
+        # timed row before the end of the feed.
+        seam = F.col("ts").isNotNull() if total else F.lit(False)
     else:
-        # Boundary = the first row of the tail. The feed is stored in
-        # (ts, event_id) order (asserted in tests), so "position < K"
-        # is exactly the tuple predicate "(ts, event_id) < boundary".
-        b_eid, b_ts = next(_read_rows(path, k, k + 1))[:2]
+        # The feed is stored in (ts, event_id) order (asserted in
+        # tests), so "position < K" is exactly the tuple predicate
+        # "(ts, event_id) < boundary".
+        b_eid, b_ts = boundary[:2]
         if nanos:
             # TIMESTAMP(NANOS) file: physical column is int64 ns.
             b_lit = F.lit(int(b_ts.value))  # pandas Timestamp → ns, lossless
