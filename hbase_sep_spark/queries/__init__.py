@@ -112,18 +112,23 @@ from hbase_sep_spark import registry as _registry
 #         dead-letters NULL event-times; NaT crashed the Python
 #         DataSource) — plus stream_bootstrap_then_tail (its
 #         boundary read crashed on a NULL-ts boundary row).
-# 39-50 = changed round 8c (the null-ts sweep: 52 of 279 queries
-#         failed on a NULL-event-time feed; fixed with the two-sided
-#         null-time drop): the §2 operators and the as-of/PIT
-#         family lead (join_asof_latest_event — ALSO the stalest r1
-#         green — win_row_number/lag_lead/running_sum/moving_avg/
-#         first_last, events_per_key_ordered/scd2_history,
-#         join_asof_nearest, join_pit_scd2, agg_argmax_misc,
-#         ts_weekly_ohlc). Seven more null-ts-changed names already
-#         sit in the 17-28 r7 block (ts_autocorrelation, ts_cusum_
-#         drift, ts_rolling_zscore, ts_seasonal_naive_mae,
-#         ts_stl_decompose_lite, win_rolling_median,
-#         events_compact_changelog — changed in BOTH sweeps).
+# 39-50 = changed rounds 8c/8d (the null-ts sweep — 52 of 279
+#         queries failed on a NULL-event-time feed, fixed with the
+#         two-sided null-time drop — and the null-keys sweep — 23
+#         failed on NULL user_id/event_type/lang, fixed per
+#         scripts/gen_nullkeys_fixture.py's inventory): the §2
+#         operators and the as-of/PIT family lead
+#         (join_asof_latest_event — ALSO the stalest r1 green —
+#         win_row_number/lag_lead/running_sum,
+#         events_per_key_ordered/scd2_history, join_asof_nearest,
+#         join_pit_scd2, agg_argmax_misc, map_keys_values,
+#         win_running_distinct, ts_weekly_ohlc). Seven more
+#         null-ts-changed names already sit in the 17-28 r7 block
+#         (ts_autocorrelation, ts_cusum_drift, ts_rolling_zscore,
+#         ts_seasonal_naive_mae, ts_stl_decompose_lite,
+#         win_rolling_median, events_compact_changelog — changed in
+#         BOTH sweeps); agg_kmv_distinct_sketch (null-keys-changed)
+#         sits in the 29-33 r6 block.
 # --- bound ---
 # 51+   = the remaining 17 round-8c null-ts-changed names, the stale
 #         r1 block (now fully past the bound — the null-ts changes
@@ -192,22 +197,27 @@ _GRADE_FIRST = [
     "win_row_number",
     "win_lag_lead",
     "win_running_sum",
-    "win_moving_avg",
-    "win_first_last",
     "events_per_key_ordered",
     "events_scd2_history",
     "join_asof_nearest",
     "join_pit_scd2",
     "agg_argmax_misc",
+    # changed round 8d (null-keys sweep): the two names not already
+    # in the bound above (agg_argmax_misc, agg_kmv_distinct_sketch
+    # and the as-of family changed in BOTH null sweeps and already
+    # sit in-bound)
+    "map_keys_values",
+    "win_running_distinct",
     "ts_weekly_ohlc",
     # --- ~50-entry grading boundary; positions below pay off only if
     # the driver's bound is larger, and set the round-9 queue order.
     # remaining round-8c null-ts-changed names
+    "win_moving_avg",
+    "win_first_last",
     "win_sessionize_batch",
     "win_funnel_conversion",
     "win_nth_value",
     "win_period_over_period",
-    "win_running_distinct",
     "win_conditional_reset_sum",
     "win_leave_one_out_avg",
     "win_streak_longest",
@@ -270,7 +280,6 @@ _GRADE_FIRST = [
     "arr_construct_contains",
     "arr_explode",
     "arr_sort_distinct_slice",
-    "map_keys_values",
     "udf_python_scalar",
     "udf_pandas_vectorized",
     "udaf_pandas_group",

@@ -524,7 +524,7 @@ _KMV_K = 32
     WITH h AS (
         SELECT DISTINCT event_type,
                (((user_id + 1) % 2147483648) * 2654435761) % 4294967296 AS hv
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     rk AS (
         SELECT event_type, hv,
@@ -566,12 +566,22 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: distinct (group, hash) is one map-side-combinable
     aggregate; the per-group bottom-k is a window top-k over
     group-partitioned integer hashes (k rows of state per group);
-    everything after is group-cardinality."""
+    everything after is group-cardinality.
+
+    A NULL key has no hash: NULL user_id rows are excluded from the
+    sketch on both sides (round-8 null-keys sweep — a NULL hv sorts
+    NULLS FIRST into Spark's bottom-k but NULLS LAST out of
+    DuckDB's); count(DISTINCT user_id) skips NULLs identically on
+    both engines, so n_exact needs no filter."""
     ev = t(spark, sf_dir, "events")
-    h = ev.select(
-        "event_type",
-        knuth_hash(F.col("user_id") + 1).alias("hv"),
-    ).distinct()
+    h = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            knuth_hash(F.col("user_id") + 1).alias("hv"),
+        )
+        .distinct()
+    )
     rn = F.row_number().over(Window.partitionBy("event_type").orderBy("hv"))
     sk = (
         h.withColumn("rn", rn)
@@ -817,11 +827,13 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH clicks AS (
         SELECT user_id, ts, max(event_id) AS click_id
         FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+              AND user_id IS NOT NULL
         GROUP BY user_id, ts
     ),
     purchases AS (
         SELECT user_id, ts, event_id AS purchase_id
         FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND user_id IS NOT NULL
     ),
     b AS (
         SELECT p.user_id, p.purchase_id, p.ts,
@@ -869,9 +881,12 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes both candidates (last ignorenulls over the preceding
     frame, first ignorenulls over the following frame — Catalyst
     shares the sort); no join against the clicks table at all, while
-    the oracle needs two ASOF joins plus a re-join. Null-time rows
-    are dead-lettered on both sides (round-8 null-ts sweep)."""
-    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    the oracle needs two ASOF joins plus a re-join. Null-time and
+    null-key rows are dead-lettered on both sides (round-8
+    null-ts/null-keys sweeps — DuckDB ASOF drops NULL equi-keys)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
@@ -1176,7 +1191,7 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, max(event_id) AS version_event_id,
                arg_max(value, event_id) AS version_value
         FROM events WHERE event_type IN ('signup', 'click')
-              AND ts IS NOT NULL
+              AND ts IS NOT NULL AND user_id IS NOT NULL
         GROUP BY user_id, ts
     ),
     versions AS (
@@ -1189,6 +1204,7 @@ def pipeline_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases AS (
         SELECT user_id, event_id AS purchase_id, ts
         FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND user_id IS NOT NULL
     )
     SELECT p.user_id, p.purchase_id,
            v.version_event_id, v.version_value,
@@ -1227,10 +1243,13 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick is unambiguous, and the union-window last() has no
     nondeterministic tie (ADVICE r4). The collapse rides the same
     user_id window partitioning as the lead(), so it adds a sort but
-    no extra shuffle. Null-time rows are dead-lettered on both sides
-    (round-8 null-ts sweep): a version with no effectivity start and
-    a fact with no as-of time are both unroutable."""
-    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    no extra shuffle. Null-time and null-key rows are dead-lettered
+    on both sides (round-8 null-ts/null-keys sweeps): a version with
+    no effectivity start, a fact with no as-of time, and a keyless
+    record are all unroutable (DuckDB ASOF drops NULL equi-keys)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     wdedup = Window.partitionBy("user_id").orderBy("ts", F.col("event_id").desc())
     vsrc = (
         ev.filter(F.col("event_type").isin("signup", "click"))

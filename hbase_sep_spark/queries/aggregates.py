@@ -499,9 +499,13 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argmax_misc",
     oracle="""
     SELECT user_id,
-           arg_max(event_type, printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, event_id))
+           arg_max(CASE WHEN event_type IS NOT NULL THEN event_type END,
+                   CASE WHEN event_type IS NOT NULL THEN
+                        printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, event_id) END)
                AS latest_type,
-           arg_min(event_type, printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, event_id))
+           arg_min(CASE WHEN event_type IS NOT NULL THEN event_type END,
+                   CASE WHEN event_type IS NOT NULL THEN
+                        printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, event_id) END)
                AS first_type,
            CAST(count(*) FILTER (WHERE value > 250) AS BIGINT) AS n_high,
            bool_or(value > 480) AS any_extreme,
@@ -525,16 +529,21 @@ def agg_argmax_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     format a sign into %020d and lexically invert the pick order.
     Null-time rows are dead-lettered on both sides (round-8 null-ts
     sweep): a NULL ts cannot rank in the argmax order and the
-    engines' NULL-key pick semantics differ."""
+    engines' NULL-key pick semantics differ. NULL event_type rows
+    are invisible to the picks on both sides too (round-8 null-keys
+    sweep — DuckDB arg_max SKIPS rows whose VALUE argument is NULL
+    while Spark max_by returns them; the ts_weekly_ohlc nulled-key
+    pattern makes Spark skip the same rows)."""
     ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     okey = F.format_string(
         "%020d-%010d",
         F.unix_micros(F.col("ts")) + F.lit(4611686018427387904),
         F.col("event_id"),
     )
+    vkey = F.when(F.col("event_type").isNotNull(), okey)
     return ev.groupBy("user_id").agg(
-        F.max_by("event_type", okey).alias("latest_type"),
-        F.min_by("event_type", okey).alias("first_type"),
+        F.max_by("event_type", vkey).alias("latest_type"),
+        F.min_by("event_type", vkey).alias("first_type"),
         F.count_if(F.col("value") > 250).alias("n_high"),
         F.bool_or(F.col("value") > 480).alias("any_extreme"),
         F.bool_and(F.col("value") > 0).alias("all_positive"),

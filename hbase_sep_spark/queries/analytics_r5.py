@@ -77,15 +77,24 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans a single Exchange with two sorts (pinned in
     tests/test_plans.py). State per row is O(1) in both passes.
     Null-time rows are dead-lettered on both sides (round-8 null-ts
-    sweep)."""
+    sweep). The first-occurrence flag is NULL-SAFE (round-8
+    null-keys sweep): an unclassified (NULL event_type) stream
+    counts as ONE distinct type — the oracle's (user_id, event_type)
+    partition puts all NULLs in one group natively, and the Spark
+    flag uses row_number==1 OR NOT eqNullSafe(prev, cur) so a NULL
+    block is flagged exactly once (the old `prev IS NULL OR prev <>
+    cur` form re-flagged EVERY NULL-type row: `prev <> NULL` is
+    unknown and lag's missing-first-row NULL is indistinguishable
+    from a NULL type)."""
     ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w_flag = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
     prev_type = F.lag("event_type").over(w_flag)
+    first_row = F.row_number().over(w_flag) == 1
     flagged = ev.select(
         "user_id",
         "event_id",
         "ts",
-        (prev_type.isNull() | (prev_type != F.col("event_type")))
+        (first_row | ~prev_type.eqNullSafe(F.col("event_type")))
         .cast("int")
         .alias("f"),
     )

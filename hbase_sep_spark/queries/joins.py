@@ -399,11 +399,13 @@ def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH clicks AS (
         SELECT user_id, ts, max(event_id) AS click_id
         FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+              AND user_id IS NOT NULL
         GROUP BY user_id, ts
     ),
     purchases AS (
         SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
         FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND user_id IS NOT NULL
     )
     SELECT p.user_id, p.purchase_id, p.purchase_value, c.click_id AS last_click_id
     FROM purchases p
@@ -423,11 +425,15 @@ def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per key is one value — this survives 100 TB where a
     naive join-then-max would not. Clicks are deduped to one per
     (user, ts) (max event_id) so exact-ts ties match DuckDB ASOF.
-    Null-time dead-letter on both sides (round-8 null-ts sweep): a
-    NULL-ts purchase has no as-of position and a NULL-ts click no
-    recency; the engines disagree on NULL ordering.
+    Null-time AND null-key dead-letter on both sides (round-8
+    null-ts/null-keys sweeps): a NULL-ts purchase has no as-of
+    position, a NULL-ts click no recency, and a NULL-user record no
+    match key — DuckDB's ASOF equi-join drops NULL keys while the
+    union+window form would happily match inside a NULL partition.
     """
-    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")

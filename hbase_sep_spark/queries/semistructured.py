@@ -332,8 +332,9 @@ def arr_lambda_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            'etype,uid' AS ctx_keys,
-           concat(event_type, ',', CAST(user_id AS VARCHAR)) AS ctx_values,
-           event_type AS etype_lookup
+           concat(coalesce(event_type, ''), ',',
+                  coalesce(CAST(user_id AS VARCHAR), '')) AS ctx_values,
+           coalesce(event_type, '') AS etype_lookup
     FROM events
     WHERE event_id <= 3000
     """,
@@ -343,11 +344,19 @@ def map_keys_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Construct a map from columns (the dynamic-column cell bag of
     SURVEY §1.1), then read it back via map_keys/map_values/lookup.
     Oracle sees only CSV-serialized arrays — map literals aren't
-    portable and list cells crash the driver canonicalizer."""
+    portable and list cells crash the driver canonicalizer. NULL
+    cell values serialize as '' explicitly (round-8 null-keys
+    sweep): Spark's array_join SKIPS a NULL element (',' collapses
+    to nothing) while DuckDB concat renders it as '' (keeping the
+    comma) — coalescing before the map is built makes both sides
+    emit the positional empty string."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 3000)
     m = F.map_from_arrays(
         F.array(F.lit("etype"), F.lit("uid")),
-        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+        F.array(
+            F.coalesce(F.col("event_type"), F.lit("")),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+        ),
     )
     return ev.select(
         "event_id",

@@ -31,6 +31,7 @@ it loaded the whole feed into a Python list on the driver.)
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
@@ -88,20 +89,35 @@ def _read_rows(path: str, lo: int, hi: int, step: int = 1):
         g0 = g1
     if not chunks:
         return iter(())
-    df = pa.concat_tables(chunks).to_pandas()
-    df = df[[fld.name for fld in EVENT_SCHEMA.fields]]
-    # Dead-letter NULL event-times at the transport edge (round-8
-    # null-ts sweep): offsets are positions in the (ts, event_id)-
-    # ordered feed, so a NULL-ts record has no replay position — and
-    # letting NaT through crashes Spark's Python-DataSource row
-    # converter (NaTType has no timetuple), killing every downstream
-    # stream. Dropping here is the SEP-transport analog of the
-    # watermark's own isnotnull(event_time) filter.
-    df = df[df["ts"].notna()]
-    df["ts"] = df["ts"].dt.tz_localize("UTC")
+    # Python-native rows via to_pylist, NOT to_pandas: pandas widens a
+    # nullable int64 column to float64 (every user_id becomes a float,
+    # a NULL becomes NaN) and Spark's Python-DataSource LongType
+    # converter crashes on the NaN (round-8 null-keys sweep); pylist
+    # keeps ints as ints and NULLs as None, which the converter
+    # accepts for any nullable field.
+    names = [fld.name for fld in EVENT_SCHEMA.fields]
+    tbl = pa.concat_tables(chunks).select(names)
+    records = tbl.to_pylist()
     if step > 1:
-        df = df.iloc[::step]
-    return iter(df.itertuples(index=False, name=None))
+        records = records[::step]
+    utc = _dt.timezone.utc
+    out = []
+    for r in records:
+        ts = r["ts"]
+        # Dead-letter NULL event-times at the transport edge (round-8
+        # null-ts sweep): offsets are positions in the
+        # (ts, event_id)-ordered feed, so a NULL-ts record has no
+        # replay position — and NaT/None event times crash or diverge
+        # downstream. Dropping here is the SEP-transport analog of
+        # the watermark's own isnotnull(event_time) filter.
+        if ts is None:
+            continue
+        if ts.tzinfo is None:
+            # arrow gives tz-naive datetimes for timestamp_ntz files;
+            # the Spark-side converter requires tz-aware (feed is UTC)
+            ts = ts.replace(tzinfo=utc)
+        out.append(tuple(ts if n == "ts" else r[n] for n in names))
+    return iter(out)
 
 
 class SepEventsStreamReader(DataSourceStreamReader):

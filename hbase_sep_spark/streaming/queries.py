@@ -14,6 +14,7 @@ microsecond ts): 1-day tumbling, 1-day/6-h sliding, 30-min sessions,
 
 from __future__ import annotations
 
+import datetime as _dt
 import itertools
 import os
 import tempfile
@@ -322,15 +323,23 @@ def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tests), so "position < K" is exactly the tuple predicate
         # "(ts, event_id) < boundary".
         b_eid, b_ts = boundary[:2]
+        # _read_rows emits tz-aware UTC datetimes (Python-native rows
+        # since the round-8 null-keys fix — not pandas Timestamps).
+        b_naive = b_ts.replace(tzinfo=None)
         if nanos:
             # TIMESTAMP(NANOS) file: physical column is int64 ns.
-            b_lit = F.lit(int(b_ts.value))  # pandas Timestamp → ns, lossless
+            # Exact integer epoch math (float .timestamp() would lose
+            # precision); the generator's sub-µs digits are zero, so
+            # the µs-grained datetime is lossless for this feed.
+            delta = b_naive - _dt.datetime(1970, 1, 1)
+            b_lit = F.lit(
+                ((delta.days * 86400 + delta.seconds) * 10**6 + delta.microseconds)
+                * 1000
+            )
         else:
             # TIMESTAMP(MICROS) file: physical column is timestamp_ntz;
             # a foldable ntz literal keeps the tuple predicate pushable.
-            b_lit = F.lit(b_ts.tz_localize(None).to_pydatetime()).cast(
-                "timestamp_ntz"
-            )
+            b_lit = F.lit(b_naive).cast("timestamp_ntz")
         seam = (F.col("ts") < b_lit) | (
             (F.col("ts") == b_lit) & (F.col("event_id") < F.lit(int(b_eid)))
         )

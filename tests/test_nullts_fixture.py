@@ -23,6 +23,7 @@ from __future__ import annotations
 import pytest
 
 from hbase_sep_spark.registry import load_all
+from scripts.gen_nullkeys_fixture import build as build_nullkeys
 from scripts.gen_nullts_fixture import build
 from tests.conftest import SF_UNIT
 from tests.harness import check_query, duck_connection
@@ -107,6 +108,64 @@ def test_nullts_fixture_matches_oracle(name, spark, nullts_sf):
     con = duck_connection(nullts_sf)
     try:
         res = check_query(name, REGISTRY[name], spark, con, nullts_sf)
+    finally:
+        con.close()
+    assert res["status"] in ("ok", "ok-rows-only"), (
+        f"{name}: {res['status']}: {res['detail']}"
+    )
+
+
+# ---- the null-KEYS sibling sweep (NULL user_id / event_type / lang;
+# see scripts/gen_nullkeys_fixture.py for the per-divergence story) --
+
+NULLKEYS_PINNED = [
+    "agg_argmax_misc",          # duck arg_max skips NULL values; Spark doesn't
+    "agg_kmv_distinct_sketch",  # NULL hash sorts into Spark's bottom-k only
+    "join_asof_latest_event",   # duck ASOF drops NULL equi-keys
+    "join_asof_nearest",
+    "join_pit_scd2",
+    "map_keys_values",          # array_join skips NULL elements; concat doesn't
+    "win_running_distinct",     # non-null-safe first-occurrence flag
+    "events_latest_per_key",    # NULL-user partition: both engines agree (guard)
+    "text_lang_filter_stats",   # NULL lang
+]
+NULLKEYS_STREAM_PINNED = [
+    "stream_sep_source",        # pandas float-widened NULL user_id crashed it
+    "stream_stateful_latest",
+    "stream_bootstrap_then_tail",
+]
+
+
+@pytest.fixture(scope="module")
+def nullkeys_sf(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("nullkeys_sf")
+    build_nullkeys(SF_UNIT, str(dst))
+    return str(dst)
+
+
+def test_transport_survives_null_keys(nullkeys_sf):
+    """NULL user_id/event_type must flow through the source as None
+    (pandas would widen the int column to float and crash the
+    LongType converter on NaN)."""
+    import pyarrow.parquet as pq
+
+    from hbase_sep_spark.sources.sep_events import _read_rows
+
+    path = f"{nullkeys_sf}/events.parquet"
+    total = pq.ParquetFile(path).metadata.num_rows
+    rows = list(_read_rows(path, 0, total))
+    assert len(rows) == total  # no ts mutation here — nothing dropped
+    uid_idx = 2  # EVENT_SCHEMA order: event_id, ts, user_id, ...
+    uids = [r[uid_idx] for r in rows]
+    assert any(u is None for u in uids)
+    assert all(u is None or isinstance(u, int) for u in uids)
+
+
+@pytest.mark.parametrize("name", NULLKEYS_PINNED + NULLKEYS_STREAM_PINNED)
+def test_nullkeys_fixture_matches_oracle(name, spark, nullkeys_sf):
+    con = duck_connection(nullkeys_sf)
+    try:
+        res = check_query(name, REGISTRY[name], spark, con, nullkeys_sf)
     finally:
         con.close()
     assert res["status"] in ("ok", "ok-rows-only"), (
