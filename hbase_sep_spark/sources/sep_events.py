@@ -109,8 +109,14 @@ def _read_rows(path: str, lo: int, hi: int, step: int = 1):
         # (ts, event_id)-ordered feed, so a NULL-ts record has no
         # replay position — and NaT/None event times crash or diverge
         # downstream. Dropping here is the SEP-transport analog of
-        # the watermark's own isnotnull(event_time) filter.
-        if ts is None:
+        # the watermark's own isnotnull(event_time) filter. A NULL
+        # event_id is dead-lettered too (round-8 null-id probe): the
+        # id is the idempotency key, and a record without one cannot
+        # be safely REDELIVERED — at-least-once delivery with no
+        # dedup identity silently double-counts. (The reference's
+        # row keys are HBase row keys, non-null by construction, so
+        # this is the transport contract, not a workaround.)
+        if ts is None or r["event_id"] is None:
             continue
         if ts.tzinfo is None:
             # arrow gives tz-naive datetimes for timestamp_ntz files;

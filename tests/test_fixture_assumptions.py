@@ -157,11 +157,16 @@ def test_money_columns_are_two_decimal(sf_dir, table, cols):
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
-def test_events_required_columns_non_null(sf_dir):
-    """event_id/ts/user_id/event_type NULLs would break keying and
-    grouping in ways the null sweep deliberately did not model (it
-    injected NULL value/props/text — the payload columns — per the
-    pinned NULL policies)."""
+def test_events_event_id_non_null(sf_dir):
+    """event_id is the ONE remaining non-null fixture assumption on
+    events: it is the transport's idempotency key and the repo-wide
+    tie-break, and a NULL id has no dedup identity and no rank
+    position. NULL ts / user_id / event_type became IN-CONTRACT in
+    the round-8 null-ts and null-keys sweeps (dead-letter +
+    null-safe policies, tests/test_nullts_fixture.py) — only the
+    primary id stays pinned, so a regeneration shipping NULL ids
+    fails THIS test by name instead of surfacing as query
+    'regressions'."""
     path = f"{sf_dir}/events.parquet"
     if not os.path.exists(path):
         pytest.skip(f"{path} missing")
@@ -169,9 +174,8 @@ def test_events_required_columns_non_null(sf_dir):
     try:
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{path}') "
-            f"WHERE event_id IS NULL OR ts IS NULL OR user_id IS NULL "
-            f"OR event_type IS NULL"
+            f"WHERE event_id IS NULL"
         ).fetchone()[0]
     finally:
         con.close()
-    assert n == 0, f"events ({sf_dir}): {n} rows with NULL key columns"
+    assert n == 0, f"events ({sf_dir}): {n} rows with NULL event_id"

@@ -143,6 +143,35 @@ def nullkeys_sf(tmp_path_factory):
     return str(dst)
 
 
+def test_transport_drops_null_event_id(tmp_path):
+    """A record without an idempotency key cannot be safely
+    REDELIVERED (at-least-once with no dedup identity double-counts)
+    — the transport dead-letters NULL event_ids like NULL
+    event-times. Batch queries keep NULL primary ids OUT of contract
+    (test_fixture_assumptions.py::test_events_event_id_non_null
+    fails by name if a regeneration ever ships them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hbase_sep_spark.sources.sep_events import _read_rows
+
+    src = pq.read_table(f"{SF_UNIT}/events.parquet")
+    ids = src.column("event_id").to_pylist()
+    mutated = [None if (i is not None and i % 11 == 1) else i for i in ids]
+    arrays = {
+        n: (pa.array(mutated, src.schema.field(n).type) if n == "event_id"
+            else src.column(n))
+        for n in src.schema.names
+    }
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(pa.table(arrays), path)
+    rows = list(_read_rows(path, 0, len(ids)))
+    n_null = sum(1 for i in mutated if i is None)
+    assert n_null > 0
+    assert len(rows) == len(ids) - n_null
+    assert all(r[0] is not None for r in rows)
+
+
 def test_transport_survives_null_keys(nullkeys_sf):
     """NULL user_id/event_type must flow through the source as None
     (pandas would widen the int column to float and crash the
