@@ -9,11 +9,20 @@ everything on at once — timestamps truncated to whole seconds
 (pervasive pick-key ties and zero inter-arrival gaps), NULL
 values/props/text/lang, tie-duplicate events, unicode + case-mapping
 doc pairs, negative/zero values (large ones clamped inside the
-decimal moment envelope), all payload variants, cloned orders, and
+decimal moment envelope), all payload variants, cloned orders,
 (round 7) hostile embeddings (NULL/empty/ragged/zero/NaN/Inf
-vectors) — and the full-registry sweep over it passed 279/279 with
-zero new fixes. This module pins a representative interaction-heavy
-slice.
+vectors), and (round 8) NULL event-times / user ids / event types
+riding the SAME tied-second feed (NULL time keys inside tie groups
+— the null-ts and null-keys classes interacting with the tie class),
+lexically-hostile JSON payloads (raw control chars, NaN literals,
+trailing commas, single quotes, lone surrogates — the
+lenient-parser class), and NUL-byte documents. Full-registry sweeps
+over the capstone passed with zero interaction-only fixes each
+round. This module pins a representative interaction-heavy slice.
+
+NOTE the round-6 pretty-printed payload variant (raw newlines
+between tokens) is HOSTILE under the round-8 gate — both engines
+now NULL it by policy, which this fixture re-proves.
 """
 
 from __future__ import annotations
@@ -49,6 +58,13 @@ PINNED = [
     "multimodal_struct_cols",  # hostile embeddings × NULL lang × dup docs
     "dedup_embedding_cosine",  # validity gate × hostile vectors in pairs
     "arr_lambda_filter_agg",   # finite guards × empty/NaN arrays
+    # round-8 interaction picks
+    "events_per_key_ordered",  # NULL ts dead-letter × tied seconds
+    "join_asof_latest_event",  # NULL ts/user drops × exact-ts ASOF ties
+    "win_running_distinct",    # NULL event_type × null-safe flag × ties
+    "win_sessionize_batch",    # NULL ts × zero gaps × tie duplicates
+    "filter_null_handling",    # hostile-JSON gate × NULL props
+    "agg_bitwise",             # gated payload extraction × clones
 ]
 
 
@@ -66,7 +82,13 @@ def sink_sf(tmp_path_factory):
     con.execute(
         f"""COPY (
           WITH base AS (
-            SELECT event_id, date_trunc('second', ts) AS ts, user_id, event_type,
+            SELECT event_id,
+                   CASE WHEN event_id % 41 = 8 THEN NULL
+                        ELSE date_trunc('second', ts) END AS ts,
+                   CASE WHEN event_id % 43 = 9 THEN NULL ELSE user_id END
+                       AS user_id,
+                   CASE WHEN event_id % 47 = 10 THEN NULL ELSE event_type END
+                       AS event_type,
                    CASE
                      WHEN event_id % 10 = 3 THEN NULL
                      WHEN event_id % 4 = 0  THEN -value
@@ -86,6 +108,14 @@ def sink_sf(tmp_path_factory):
                      WHEN event_id % 23 = 15 THEN '{{"k": null}}'
                      WHEN event_id % 23 = 19 THEN '{{k: 12'
                      WHEN event_id % 23 = 21 THEN ''
+                     WHEN event_id % 53 = 11
+                          THEN '{{"k":1,"n":"a' || chr(1) || 'b"}}'
+                     WHEN event_id % 53 = 24 THEN '{{"k":2,"n":NaN}}'
+                     WHEN event_id % 53 = 37 THEN '{{"k":3,}}'
+                     WHEN event_id % 53 = 50 THEN concat(chr(123), chr(39),
+                          'k', chr(39), ':4}}')
+                     WHEN event_id % 59 = 13 THEN '{{"k":5,"n":"\\ud800"}}'
+                     WHEN event_id % 59 = 26 THEN '{{"k":6,"n":"a\\u0000b"}}'
                      ELSE props END AS props
             FROM '{SF_UNIT}/events.parquet')
           SELECT * FROM base
@@ -105,6 +135,8 @@ def sink_sf(tmp_path_factory):
         "İstanbul Z", "i̇stanbul z",       # case-mapping merge pair
         "Hello World", "hello world",      # ASCII fold pair (must merge)
         "hello \U0001F44B world", ("abc " * 200).strip(),
+        "alpha" + chr(0) + "beta gamma",   # NUL-byte doc (round-8 class)
+        chr(0),                            # NUL-only doc
     ]
     rows = [
         (300000 + i, t, "en" if i % 2 == 0 else "xx", "edge", len(t))
