@@ -29,18 +29,36 @@ from hbase_sep_spark.registry import load_all
 from tests.harness import check_query, duck_connection
 
 
+# The grading driver runs a BOUNDED ~50-query prefix per session;
+# replaying all 279 registered queries through ONE default-1g plain
+# JVM is artificially harsher than the thing this script replicates:
+# the UI/status listener stores (enabled on a plain session, retained
+# for up to 1000 executions) plus persisted/localCheckpoint blocks
+# accumulate until the heap dies — observed mid-round-8 at query ~57
+# (dedup_minhash_near OOMed, then every later query failed on the
+# dead JVM with Connection refused; the same query passes alone on a
+# fresh 1g session, and clearCache() between queries was NOT enough —
+# the listener retention is the bigger sink). So the sweep restarts
+# the session every CHUNK queries, which is also the most faithful
+# replica: each chunk models one driver grading session.
+CHUNK = 50
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = SparkSession.builder.master("local[32]").getOrCreate()  # PLAIN: driver parity
     reg = load_all()
     con = duck_connection(sf_dir)
+    names = sorted(reg)
     bad = 0
-    for name in sorted(reg):
-        res = check_query(name, reg[name], spark, con, sf_dir)
-        if not res["status"].startswith("ok"):
-            bad += 1
-            print(f"BAD {name}: {res['status']}: {res['detail']}", flush=True)
-    print(f"done: {len(reg) - bad}/{len(reg)} passing on PLAIN session ({sf_dir})")
+    for lo in range(0, len(names), CHUNK):
+        spark = SparkSession.builder.master("local[32]").getOrCreate()  # PLAIN
+        for name in names[lo : lo + CHUNK]:
+            res = check_query(name, reg[name], spark, con, sf_dir)
+            if not res["status"].startswith("ok"):
+                bad += 1
+                print(f"BAD {name}: {res['status']}: {res['detail']}", flush=True)
+        spark.stop()
+    print(f"done: {len(names) - bad}/{len(names)} passing on PLAIN session ({sf_dir})")
     sys.exit(1 if bad else 0)
 
 
