@@ -230,13 +230,13 @@ def fin(col) -> Column:
     engines. Identity on finite data (incl. NULL: the when() condition
     is NULL so the otherwise branch passes the NULL through).
 
-    SQL mirror (use verbatim in oracles): FIN_SQL.format("value").
+    SQL mirror — spell ONE of the two canonical forms in the oracle
+    (tests/test_nonfinite_fixture.py rejects any other isnan spelling):
+      NULL-the-measure:  (CASE WHEN isnan(v) OR isinf(v) THEN NULL ELSE v END)
+      drop-the-row:      WHERE NOT (isnan(v) OR isinf(v))    -- rank tests
     """
     c = _c(col)
     return F.when(F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), F.lit(None)).otherwise(c)
-
-
-FIN_SQL = "(CASE WHEN isnan({0}) OR isinf({0}) THEN NULL ELSE {0} END)"
 
 
 def arr_str(arr, fmt: str | None = None, sep: str = ",") -> Column:

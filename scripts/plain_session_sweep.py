@@ -41,6 +41,11 @@ from tests.harness import check_query, duck_connection
 # the listener retention is the bigger sink). So the sweep restarts
 # the session every CHUNK queries, which is also the most faithful
 # replica: each chunk models one driver grading session.
+# NOTE (ADVICE-r8): spark.stop() + getOrCreate() recreates the
+# SparkContext but REUSES the same Py4J JVM — only per-context state
+# (listener stores, persisted blocks) is freed, which is what
+# accumulates here. Any JVM-global leak would still build across
+# chunks; if one ever appears, run each chunk in a subprocess.
 CHUNK = 50
 
 

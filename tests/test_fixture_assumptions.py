@@ -95,6 +95,38 @@ def test_events_ts_physical_type_is_dispatchable(sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_nanos_ts_values_are_microsecond_aligned(sf_dir):
+    """ADVICE-r8 item 2: stream_bootstrap_then_tail's nanos branch
+    rebuilds the seam literal from a µs-truncated Python datetime ×
+    1000 (pyarrow to_pylist drops sub-µs digits), which is lossless
+    ONLY if every stored ns value is µs-aligned. Rounds 1-3 feeds
+    were; pin it so a regenerated TIMESTAMP(NANOS) feed with real
+    sub-µs digits fails HERE by name instead of silently misplacing
+    the bootstrap/tail seam (gap or overlap). Skips on the current
+    TIMESTAMP(MICROS) encoding — the hazard only exists on the nanos
+    arm."""
+    path = f"{sf_dir}/events.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing")
+    if str(pq.read_schema(path).field("ts").type) != "int64":
+        pytest.skip("events.ts not int64-nanos encoded — branch inactive")
+    con = duckdb.connect()
+    try:
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{path}') "
+            f"WHERE ts IS NOT NULL AND ts % 1000 <> 0"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert n == 0, (
+        f"events ({sf_dir}): {n} nanos ts values carry sub-µs digits — "
+        f"the bootstrap seam's µs-grained datetime rebuild is lossy; "
+        f"read the boundary row's raw int64 ns value instead "
+        f"(streaming/queries.py nanos branch)"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_events_value_within_decimal_moment_envelope(sf_dir):
     """agg_skew_kurtosis_portable sums v..v^4 as exact DECIMAL(38,8)
     for order-independence (portable.py); since round 8 an

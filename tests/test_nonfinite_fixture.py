@@ -19,10 +19,12 @@ the list can't go stale either) must match its DuckDB oracle on the
 mutated feed.
 
 A second guard (ADVICE-r7 item 4) pins the non-finite gate's SQL
-FORM: every oracle's hand-inlined isnan/isinf expression must match
-one of the two canonical shapes — the FIN_SQL NULL-the-measure CASE
-or the NOT(isnan OR isinf) drop-the-row filter — so the ~20 inlined
-variants cannot silently drift from portable.fin's semantics.
+FORM: every oracle's inlined isnan/isinf expression must match one of
+the two canonical shapes — the NULL-the-measure CASE or the
+NOT(isnan OR isinf) drop-the-row filter — so the ~20 inlined variants
+cannot silently drift from portable.fin's semantics. The regexes
+below ARE the single source of truth for the form (the old FIN_SQL
+constant was deleted round 9 — it was a second, unused spelling).
 """
 
 from __future__ import annotations
@@ -46,9 +48,9 @@ FIN_GATED = sorted(
     n for n, q in REGISTRY.items() if q.oracle and "isnan(" in q.oracle
 )
 
-# The NULL-the-measure form (portable.FIN_SQL) and the drop-the-row
-# filter form (rank tests: agg_ks_test / agg_mannwhitney_u) — the only
-# two sanctioned ways to spell the gate in an oracle.
+# The NULL-the-measure form and the drop-the-row filter form (rank
+# tests: agg_ks_test / agg_mannwhitney_u) — the only two sanctioned
+# ways to spell the gate in an oracle.
 _CANON_NULL = re.compile(
     r"CASE\s+WHEN\s+isnan\(([a-z_0-9.]+)\)\s+OR\s+isinf\(\1\)"
     r"\s+THEN\s+NULL\s+ELSE\s+\1\s+END",
@@ -68,15 +70,10 @@ def test_fin_gated_class_is_nonempty_and_expected_size():
 
 
 def test_oracle_nonfinite_gates_match_canonical_form():
-    """ADVICE-r7 item 4: portable.FIN_SQL is the canonical mirror of
-    fin(); every hand-inlined oracle gate must be textually one of the
-    two canonical shapes so the variants can't drift (e.g. an oracle
-    that checks isnan but not isinf would silently disagree with fin()
-    on an Inf feed)."""
-    from hbase_sep_spark.functions.portable import FIN_SQL
-
-    # The constant itself instantiates the canonical NULL form.
-    assert _CANON_NULL.search(FIN_SQL.format("value")), FIN_SQL
+    """ADVICE-r7 item 4: every inlined oracle gate must be textually
+    one of the two canonical shapes so the variants can't drift (e.g.
+    an oracle that checks isnan but not isinf would silently disagree
+    with fin() on an Inf feed)."""
     for name in FIN_GATED:
         o = REGISTRY[name].oracle
         total = len(re.findall(r"isnan\(", o))
