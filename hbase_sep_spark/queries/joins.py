@@ -420,11 +420,26 @@ def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first construction — the scalable union+window trick:
     union both sides with a marker, ONE shuffle on user_id, then
-    last(click_id, ignoreNulls) over (ts, marker, event_id) gives the
-    prevailing click for every purchase row. No pairwise join blow-up;
-    state per key is one value — this survives 100 TB where a
-    naive join-then-max would not. Clicks are deduped to one per
-    (user, ts) (max event_id) so exact-ts ties match DuckDB ASOF.
+    last(click-id-when-click, ignoreNulls) over (ts, marker,
+    event_id) gives the prevailing click for every purchase row. No
+    pairwise join blow-up; state per key is one value — this survives
+    100 TB where a naive join-then-max would not.
+
+    Round-9 plan fix (VERDICT-r8 item 4 — this was the one non-UDF
+    query >2x DuckDB at 10x scale): the old form pre-deduped clicks
+    to one per (user, ts) via groupBy(user_id, ts) + max(event_id),
+    which cost a SECOND full exchange before the window. The dedup is
+    unnecessary: with event_id as the third sort key, clicks at the
+    same (user, ts) sort in event_id order inside the ONE window,
+    so last() naturally resolves an exact-ts tie to the max event_id
+    — exactly DuckDB ASOF's pick against the oracle's max(event_id)
+    dedup (event_id is unique, pinned by
+    tests/test_fixture_assumptions.py, so the order is total). The
+    plan is now scan -> union -> one Exchange(user_id) -> one Sort ->
+    Window, pinned by tests/test_plans.py.
+
+    marker=0 sorts clicks before purchases at equal ts, so a click at
+    exactly the purchase ts is visible to it (ASOF '>=' semantics).
     Null-time AND null-key dead-letter on both sides (round-8
     null-ts/null-keys sweeps): a NULL-ts purchase has no as-of
     position, a NULL-ts click no recency, and a NULL-user record no
@@ -434,39 +449,36 @@ def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("click_id"))
-        .select(
-            "user_id",
-            "ts",
-            F.lit(None).cast("long").alias("purchase_id"),
-            F.lit(None).cast("double").alias("purchase_value"),
-            "click_id",
-            F.lit(0).alias("marker"),
-        )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.lit(0).alias("marker"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         "ts",
-        F.col("event_id").alias("purchase_id"),
+        "event_id",
         F.col("value").alias("purchase_value"),
-        F.lit(None).cast("long").alias("click_id"),
         F.lit(1).alias("marker"),
     )
-    # marker=0 sorts clicks before purchases at equal ts, so a click at
-    # exactly the purchase ts is visible to it (ASOF '>=' semantics).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "marker", "purchase_id")
+        .orderBy("ts", "marker", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    unioned = clicks.unionByName(purchases)
+    click_id = F.when(F.col("marker") == 0, F.col("event_id"))
     return (
-        unioned.withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        clicks.unionByName(purchases)
+        .withColumn("last_click_id", F.last(click_id, ignorenulls=True).over(w))
         .filter(F.col("marker") == 1)
-        .select("user_id", "purchase_id", "purchase_value", "last_click_id")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "purchase_value",
+            "last_click_id",
+        )
     )
 
 

@@ -180,6 +180,20 @@ def test_sessionize_is_single_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
 
+def test_asof_latest_single_exchange(spark):
+    """Round-9 plan fix (VERDICT-r8 item 4): the as-of union+window
+    resolves exact-ts click ties INSIDE the one window sort (event_id
+    tiebreak) instead of a pre-dedup groupBy(user_id, ts), so the
+    whole query is scan -> Union -> ONE Exchange(user_id) -> ONE Sort
+    -> Window. A second exchange here was the structural floor that
+    kept this query >2x DuckDB at 10x scale."""
+    import re
+
+    plan = plan_of(spark, "join_asof_latest_event")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "HashAggregate" not in plan, "click pre-dedup agg reappeared"
+
+
 def test_training_prep_never_shuffles_text(spark):
     """The prep pipeline drops the text column before anything
     shuffles: every Exchange's input schema must be text-free (only
