@@ -253,32 +253,50 @@ def scan_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit parallelizes per file on a cluster via mapInPandas over
     file paths; the fixture has one file, so the driver path is the
     honest local form)."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
     schema_str = (
         "row_group INT, n_rows BIGINT, q_min DOUBLE, q_max DOUBLE, prunable BOOLEAN"
     )
-    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
-    if md.num_row_groups == 0:
-        return spark.createDataFrame([], schema_str)
-    paths = [
-        md.row_group(0).column(i).path_in_schema for i in range(md.num_columns)
-    ]
-    if "l_quantity" not in paths:  # renamed/nested column: empty audit
-        return spark.createDataFrame([], schema_str)
-    qi = paths.index("l_quantity")
+    table_path = f"{sf_dir}/lineitem.parquet"
+    # A table can be one file or a DIRECTORY of part files (round-9
+    # layout sweep); audit every file's row groups in sorted-filename
+    # order with a global running index, so the report is
+    # deterministic for either layout.
+    files = (
+        sorted(glob.glob(os.path.join(table_path, "*.parquet")))
+        if os.path.isdir(table_path)
+        else [table_path]
+    )
     rows = []
-    for g in range(md.num_row_groups):
-        col = md.row_group(g).column(qi)
-        st = col.statistics
-        if st is not None and st.has_min_max:
-            lo, hi = float(st.min), float(st.max)
-            # Prunable ⇔ the envelope is disjoint from [10, 20].
-            rows.append((g, col.num_values, lo, hi, bool(hi < 10.0 or lo > 20.0)))
-        else:
-            # Stats-less file (writer choice): no envelope, never
-            # prunable — report the row group rather than crash.
-            rows.append((g, col.num_values, None, None, False))
+    g_global = 0
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        if md.num_row_groups == 0:
+            continue
+        paths = [
+            md.row_group(0).column(i).path_in_schema for i in range(md.num_columns)
+        ]
+        if "l_quantity" not in paths:  # renamed/nested column: skip file
+            continue
+        qi = paths.index("l_quantity")
+        for g in range(md.num_row_groups):
+            col = md.row_group(g).column(qi)
+            st = col.statistics
+            if st is not None and st.has_min_max:
+                lo, hi = float(st.min), float(st.max)
+                # Prunable ⇔ the envelope is disjoint from [10, 20].
+                rows.append(
+                    (g_global, col.num_values, lo, hi, bool(hi < 10.0 or lo > 20.0))
+                )
+            else:
+                # Stats-less file (writer choice): no envelope, never
+                # prunable — report the row group rather than crash.
+                rows.append((g_global, col.num_values, None, None, False))
+            g_global += 1
     return spark.createDataFrame(rows, schema_str)
 
 

@@ -84,16 +84,24 @@ def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_pandas_group",
     oracle="""
     SELECT c_mktsegment,
-           round(avg(c_acctbal) FILTER (WHERE c_acctbal >= q10 AND c_acctbal <= q90), 4)
-               AS trimmed_mean_bal,
-           count(*) AS n_custs
+           CASE WHEN ns >= 0 THEN  ((2 * ns + nk) // (2 * nk))
+                ELSE             -((2 * (-ns) + nk) // (2 * nk))
+           END / 10000.0 AS trimmed_mean_bal,
+           n_custs
     FROM (
-        SELECT c_mktsegment, c_acctbal,
-               quantile_cont(c_acctbal, 0.1) OVER (PARTITION BY c_mktsegment) AS q10,
-               quantile_cont(c_acctbal, 0.9) OVER (PARTITION BY c_mktsegment) AS q90
-        FROM customer
+        SELECT c_mktsegment,
+               100 * CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     FILTER (WHERE c_acctbal >= q10 AND c_acctbal <= q90) AS BIGINT) AS ns,
+               CAST(count(*) FILTER (WHERE c_acctbal >= q10 AND c_acctbal <= q90) AS BIGINT) AS nk,
+               count(*) AS n_custs
+        FROM (
+            SELECT c_mktsegment, c_acctbal,
+                   quantile_cont(c_acctbal, 0.1) OVER (PARTITION BY c_mktsegment) AS q10,
+                   quantile_cont(c_acctbal, 0.9) OVER (PARTITION BY c_mktsegment) AS q90
+            FROM customer
+        )
+        GROUP BY c_mktsegment
     )
-    GROUP BY c_mktsegment
     """,
     section=SECTION,
 )
@@ -101,18 +109,36 @@ def udaf_pandas_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped custom aggregate via applyInPandas: 10%-trimmed mean of
     account balance per market segment. numpy's linear-interpolation
     quantile == SQL quantile_cont, so the oracle reproduces the exact
-    trim boundaries."""
+    trim boundaries.
+
+    The trimmed mean itself is computed in exact integer CENTS
+    (c_acctbal is 2-dp money — envelope pinned by
+    tests/test_fixture_assumptions.py), with the same
+    half-away-from-zero 4-dp integer division on both sides (the
+    _iavg4 idiom): a float `kept.mean()` changed with SCAN ORDER
+    (round-9 layout sweep — the fp sum's low bits depend on arrival
+    order, and round(., 4) sat on the boundary), where the integer
+    sum is order-independent at any layout."""
 
     def trimmed_mean(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         vals = pdf["c_acctbal"].to_numpy()
         q10, q90 = np.quantile(vals, 0.1), np.quantile(vals, 0.9)
-        kept = vals[(vals >= q10) & (vals <= q90)]
+        kept = (vals >= q10) & (vals <= q90)
+        # Exact cents: 2-dp values are within half an ulp of their
+        # scaled integer, so rint() recovers them exactly — the same
+        # number DuckDB's CAST(... AS DECIMAL(18,2)) * 100 produces.
+        cents = np.rint(vals * 100).astype(np.int64)
+        s = int(cents[kept].sum())
+        d = int(kept.sum())  # >= 1: the quantile envelope is nonempty
+        n4 = 100 * s  # numerator in 1e-4 units: (s / (100 d)) * 1e4
+        q4 = (2 * abs(n4) + d) // (2 * d)
+        mean4 = (q4 if n4 >= 0 else -q4) / 10000.0
         return pd.DataFrame(
             {
                 "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
-                "trimmed_mean_bal": [round(float(kept.mean()), 4)],
+                "trimmed_mean_bal": [mean4],
                 "n_custs": [len(vals)],
             }
         )

@@ -67,16 +67,66 @@ class SepRange(InputPartition):
     step: int = 1
 
 
-def _read_rows(path: str, lo: int, hi: int, step: int = 1):
-    """Worker-side range read: only row groups overlapping [lo, hi)
-    are fetched; the slice is exact within them. Returns an iterator
-    of tuples in EVENT_SCHEMA order with tz-aware timestamps (the
-    arrow converter on the Spark side requires tz-aware; feed is UTC).
+def _feed_segments(path: str) -> tuple[tuple[str, int, int], ...]:
+    """The feed as an ordered list of (file, base_offset, n_rows)
+    segments. A single parquet file is the one-segment case; a
+    DIRECTORY is replayed as its `*.parquet` files in sorted-filename
+    order — the shape a real 100 TB feed has (WAL/Kafka-style segment
+    files, each a contiguous ts range, named in rotation order). The
+    feed contract is unchanged either way: the concatenation in
+    segment order is (ts, event_id)-sorted (asserted in tests for the
+    fixture generator).
+
+    Footer-only: per segment, one metadata read. Memoized per path —
+    feed fixtures are immutable, and Spark reuses Python workers, so
+    a replay touches each footer once per process, not once per
+    micro-batch partition. (At cluster scale the same information
+    would come from the table format's manifest instead of footers;
+    the memo is the single-process stand-in.)
     """
-    import pyarrow as pa
+    cached = _SEGMENT_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
-    f = pq.ParquetFile(path)
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no *.parquet segments under {path}")
+    else:
+        files = [path]
+    segs = []
+    base = 0
+    for fp in files:
+        n = pq.ParquetFile(fp).metadata.num_rows
+        segs.append((fp, base, n))
+        base += n
+    out = tuple(segs)
+    if len(_SEGMENT_CACHE) > 64:
+        _SEGMENT_CACHE.clear()
+    _SEGMENT_CACHE[path] = out
+    return out
+
+
+_SEGMENT_CACHE: dict[str, tuple[tuple[str, int, int], ...]] = {}
+
+
+def feed_total(path: str) -> int:
+    """Total feed rows across all segments (footer-only reads)."""
+    segs = _feed_segments(path)
+    return segs[-1][1] + segs[-1][2] if segs else 0
+
+
+def _file_chunks(fp: str, lo: int, hi: int):
+    """Row-group-sliced read of file-local rows [lo, hi): only row
+    groups overlapping the range are fetched; the slice is exact
+    within them."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(fp)
     chunks = []
     g0 = 0
     for i in range(f.metadata.num_row_groups):
@@ -87,6 +137,26 @@ def _read_rows(path: str, lo: int, hi: int, step: int = 1):
             e = min(hi - g0, n)
             chunks.append(f.read_row_group(i).slice(s, e - s))
         g0 = g1
+        if g0 >= hi:
+            break
+    return chunks
+
+
+def _read_rows(path: str, lo: int, hi: int, step: int = 1):
+    """Worker-side range read of GLOBAL feed rows [lo, hi): segments
+    overlapping the range are visited in feed order, and within each
+    only the overlapping row groups are fetched. Returns an iterator
+    of tuples in EVENT_SCHEMA order with tz-aware timestamps (the
+    arrow converter on the Spark side requires tz-aware; feed is UTC).
+    """
+    import pyarrow as pa
+
+    chunks = []
+    for fp, base, n in _feed_segments(path):
+        if base + n > lo and base < hi:
+            chunks.extend(_file_chunks(fp, max(lo - base, 0), min(hi - base, n)))
+        if base + n >= hi:
+            break
     if not chunks:
         return iter(())
     # Python-native rows via to_pylist, NOT to_pandas: pandas widens a
@@ -152,10 +222,9 @@ class SepEventsStreamReader(DataSourceStreamReader):
     # -- driver-side: offset arithmetic only ---------------------------
     def _total(self) -> int:
         if self._n_rows is None:
-            import pyarrow.parquet as pq
-
-            # Footer-only read: no feed data touches the driver.
-            self._n_rows = pq.ParquetFile(self.path).metadata.num_rows
+            # Footer-only reads: no feed data touches the driver
+            # (handles both a single feed file and a segment dir).
+            self._n_rows = feed_total(self.path)
         return self._n_rows
 
     def initialOffset(self) -> dict:

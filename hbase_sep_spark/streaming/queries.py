@@ -281,13 +281,11 @@ def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet as PushedFilters and prunes row groups at the source. The
     previous shape (`orderBy(ts, event_id).limit(K)`) was a global
     sort plus a single-point limit — a non-starter at 100 TB."""
-    import pyarrow.parquet as pq
-
     from hbase_sep_spark.io import events_raw
-    from hbase_sep_spark.sources.sep_events import _read_rows
+    from hbase_sep_spark.sources.sep_events import _read_rows, feed_total
 
     path = f"{sf_dir}/events.parquet"
-    total = pq.ParquetFile(path).metadata.num_rows  # footer only
+    total = feed_total(path)  # footer-only; segment-dir aware
     k = total // 2
 
     raw = events_raw(spark, sf_dir)

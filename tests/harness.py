@@ -32,7 +32,14 @@ def duck_connection(sf_dir: str):
     con = duckdb.connect()
     for name in TABLES:
         path = f"{sf_dir}/{name}.parquet"
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # Multi-file table layout (scripts/gen_layout_fixture.py):
+            # Spark reads the directory natively; DuckDB needs a glob.
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS "
+                f"SELECT * FROM read_parquet('{path}/*.parquet')"
+            )
+        elif os.path.exists(path):
             con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
     return con
 

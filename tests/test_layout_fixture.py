@@ -1,0 +1,120 @@
+"""Physical-layout regression tests (round-9 sweep).
+
+The driver fixture ships every table as ONE parquet file in generator
+order, but nothing in the contract promises that — a regenerated
+fixture (or any production dataset) can ship multi-file tables with
+arbitrary row order. Results must be invariant to physical layout:
+a query whose answer depends on scan order passes forever on a single
+sorted file and silently diverges the day the layout changes.
+
+The round-9 sweep (scripts/gen_layout_fixture.py: every table a
+3-part directory, non-feed tables row-permuted, the events feed split
+into contiguous ts-ordered SEGMENTS — the WAL/Kafka shape a 100 TB
+feed actually has) ran the full registry through the spark-vs-DuckDB
+compare: two failures —
+
+- `scan_rowgroup_stats_audit` crashed (pq.ParquetFile on a directory);
+  now audits every part file in sorted-filename order with a global
+  row-group index;
+- `udaf_pandas_group` MISMATCHED: its float `kept.mean()` sum order
+  followed scan order, and round(., 4) sat on a rounding boundary —
+  the engines disagreed in the 4th decimal on the permuted layout.
+  Now exact integer cents with the half-away-from-zero 4-dp integer
+  division on both sides (the _iavg4 idiom; c_acctbal is 2-dp money,
+  envelope-pinned).
+
+The segment-dir feed support itself lives in
+sources/sep_events.py:_feed_segments (driver = footer-only reads;
+workers slice row groups per overlapping segment) and is exercised
+here end-to-end through the streaming source, the bootstrap seam,
+and a direct transport-equivalence check.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hbase_sep_spark.registry import load_all
+from scripts.gen_layout_fixture import mutate
+from tests.conftest import SF_UNIT
+from tests.harness import check_query, duck_connection
+
+REGISTRY = load_all()
+
+PINNED = [
+    # the two round-9 fixes
+    "udaf_pandas_group",
+    "scan_rowgroup_stats_audit",
+    # transport over a segmented feed (offsets, seam, per-key order)
+    "stream_sep_source",
+    "stream_bootstrap_then_tail",
+    "stream_stateful_latest",
+    # order-sensitive batch shapes that must not follow scan order
+    "events_per_key_ordered",
+    "win_row_number",
+    "topk_per_group",
+    "limit_topn",
+    "agg_collect_sorted",
+    "join_asof_latest_event",
+    # file-manifest pattern (input_file_name over its own landing)
+    "scan_incremental_manifest",
+]
+
+
+@pytest.fixture(scope="module")
+def layout_sf(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("layout") / "sf"
+    mutate(SF_UNIT, str(dst))
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_layout_fixture_matches_oracle(name, spark, layout_sf):
+    con = duck_connection(layout_sf)
+    try:
+        res = check_query(name, REGISTRY[name], spark, con, layout_sf)
+    finally:
+        con.close()
+    assert res["status"] in ("ok", "ok-rows-only"), (
+        f"{name}: {res['status']}: {res['detail']}"
+    )
+
+
+def test_segmented_feed_equals_single_file(layout_sf):
+    """Transport equivalence: reading the segmented feed in arbitrary
+    global-row slices yields exactly the single-file feed's rows, in
+    feed order (the replay-offset contract)."""
+    from hbase_sep_spark.sources.sep_events import _read_rows, feed_total
+
+    single = f"{SF_UNIT}/events.parquet"
+    seg = f"{layout_sf}/events.parquet"
+    assert feed_total(seg) == feed_total(single)
+    n = feed_total(seg)
+    # Slice boundaries chosen to straddle segment and row-group edges.
+    cuts = [0, 1, n // 5 - 1, n // 5 + 2, n // 2, n - 1, n]
+    got, want = [], []
+    for lo, hi in zip(cuts, cuts[1:]):
+        got.extend(_read_rows(seg, lo, hi))
+        want.extend(_read_rows(single, lo, hi))
+    assert got == want
+    # And one full-range read equals the concatenated slices.
+    assert list(_read_rows(seg, 0, n)) == got
+
+
+def test_rowgroup_audit_covers_all_parts(spark, layout_sf):
+    """The audit must report every part file's row groups (global
+    index, no duplicates), not just the first file's."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    q = REGISTRY["scan_rowgroup_stats_audit"]
+    rows = (q.raw or q.fn)(spark, layout_sf).collect()
+    files = sorted(glob.glob(f"{layout_sf}/lineitem.parquet/*.parquet"))
+    expected_groups = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    assert len(files) == 3
+    assert len(rows) == expected_groups
+    assert sorted(r["row_group"] for r in rows) == list(range(expected_groups))
+    assert sum(r["n_rows"] for r in rows) == pq.read_table(
+        f"{SF_UNIT}/lineitem.parquet"
+    ).num_rows
