@@ -64,26 +64,34 @@ from hbase_sep_spark import registry as _registry
 # changed-since-green null-sweep tail the r8 bound cut off, (2) burn
 # the r1 stale pre-regeneration block, (5) re-grade the six r3°
 # streaming names whose evidence predates both the regeneration and
-# the round-8 source rewrite.  ast_diff effc656..HEAD confirms exactly
-# ONE name changed in round 9 — it leads.
-# 1     = changed round 9: join_asof_latest_event (VERDICT-r8 item 4
+# the round-8 source rewrite.  ast_diff effc656..HEAD enumerates the
+# round-9 changed set (4 names) — changed-since-green leads.
+# 1-4   = changed round 9: join_asof_latest_event (VERDICT-r8 item 4
 #         perf fix — the click pre-dedup groupBy exchange is gone;
 #         exact-ts ties now resolve inside the one window via the
 #         event_id sort key; 10x-scale paired 2.24x -> 1.48x DuckDB;
-#         hash-equal under two shuffle configs, plan pinned).
-# 2-19  = the 18 round-8c/8d null-sweep-changed names the r8 bound
+#         hash-equal under two shuffle configs, plan pinned), then
+#         the round-9 physical-layout sweep fixes (multi-file
+#         row-permuted tables; 279/279 on the mutated fixture):
+#         udaf_pandas_group (scan-order-dependent float mean → exact
+#         integer cents, impl AND oracle changed),
+#         scan_rowgroup_stats_audit (directory-table audit),
+#         stream_bootstrap_then_tail (segment-aware feed_total).
+# 5-22  = the 18 round-8c/8d null-sweep-changed names the r8 bound
 #         displaced (impl AND oracle changed — two-sided null-time /
 #         null-key drops — highest re-grade value: their current form
 #         has never been driver-graded).
-# 20-44 = the r1° stale block (graded green once, round 1, BEFORE the
+# 23-47 = the r1° stale block (graded green once, round 1, BEFORE the
 #         round-4 testdata regeneration — the oldest evidence in the
 #         repo; 25 of 26, agg_approx_count_distinct being rows-only
 #         rotates behind the sql-hash names).
-# 45-50 = the six r3° streaming rows-only names (VERDICT-r8 item 5):
-#         evidence predates the regeneration AND the round-8
-#         NaT/NULL-key rewrite of sources/sep_events.py.
+# 48-50 = first three of the six r3° streaming rows-only names
+#         (VERDICT-r8 item 5): evidence predates the regeneration AND
+#         the round-8 NaT/NULL-key rewrite of sources/sep_events.py.
 # --- bound ---
-# 51+   = agg_approx_count_distinct (rows-only r1), the rows-only
+# 51-53 = the remaining three r3° streaming names (item 5 allows
+#         round-10; they lead its queue), then
+# 54+   = agg_approx_count_distinct (rows-only r1), the rows-only
 #         r7-changed vector/scan names (local oracle/property
 #         evidence strong), the stale r2 tail (18), then the r3
 #         block remainder in grade-age order; r4-r8 greens follow in
@@ -91,8 +99,11 @@ from hbase_sep_spark import registry as _registry
 #         the local oracle on current data before commit
 #         (tests.harness + chunked plain-session sweep).
 _GRADE_FIRST = [
-    # changed round 9 (single-exchange as-of plan)
+    # changed round 9 (single-exchange as-of plan + layout sweep)
     "join_asof_latest_event",
+    "udaf_pandas_group",
+    "scan_rowgroup_stats_audit",
+    "stream_bootstrap_then_tail",
     # round-8c/8d null-sweep changed, displaced past the r8 bound —
     # never driver-graded in their current two-sided-null-drop form
     "win_moving_avg",
@@ -144,11 +155,11 @@ _GRADE_FIRST = [
     "stream_tumbling_count",
     "stream_sliding_avg",
     "stream_session_window",
+    # --- ~50-entry grading boundary; positions below pay off only if
+    # the driver's bound is larger, and set the round-10 queue order.
     "stream_watermark_late",
     "stream_static_join",
     "stream_foreach_batch_sink",
-    # --- ~50-entry grading boundary; positions below pay off only if
-    # the driver's bound is larger, and set the round-10 queue order.
     "agg_approx_count_distinct",
     # rows-only changed-since-green (r7 vector hardening + scan
     # refactors): driver check is rows-only, re-grade adds little
@@ -175,7 +186,6 @@ _GRADE_FIRST = [
     "arr_sort_distinct_slice",
     "udf_python_scalar",
     "udf_pandas_vectorized",
-    "udaf_pandas_group",
     "udtf_python",
     "dedup_minhash_near",
     # round-3 greens in their r3 grading order (the next-stalest)
