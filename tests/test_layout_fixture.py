@@ -101,6 +101,32 @@ def test_segmented_feed_equals_single_file(layout_sf):
     assert list(_read_rows(seg, 0, n)) == got
 
 
+def test_empty_segment_is_transparent(tmp_path):
+    """A zero-row segment file (a rotation that caught no events) must
+    not shift offsets or break the range reader."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from hbase_sep_spark.sources.sep_events import _read_rows, feed_total
+
+    single = f"{SF_UNIT}/events.parquet"
+    seg_dir = tmp_path / "events.parquet"
+    seg_dir.mkdir()
+    tbl = pq.read_table(single)
+    n = tbl.num_rows
+    pq.write_table(tbl.slice(0, n // 2), str(seg_dir / "part-000.parquet"))
+    pq.write_table(tbl.slice(0, 0), str(seg_dir / "part-001.parquet"))
+    pq.write_table(tbl.slice(n // 2), str(seg_dir / "part-002.parquet"))
+    assert feed_total(str(seg_dir)) == n
+    assert list(_read_rows(str(seg_dir), 0, n)) == list(_read_rows(single, 0, n))
+    # A range that starts exactly at the empty segment's base.
+    assert list(_read_rows(str(seg_dir), n // 2, n)) == list(
+        _read_rows(single, n // 2, n)
+    )
+    shutil.rmtree(seg_dir)
+
+
 def test_rowgroup_audit_covers_all_parts(spark, layout_sf):
     """The audit must report every part file's row groups (global
     index, no duplicates), not just the first file's."""
