@@ -188,6 +188,53 @@ def test_money_columns_are_two_decimal(sf_dir, table, cols):
     )
 
 
+MEASURE_DTYPES = [
+    ("events", {"value": "double", "event_id": "int64", "user_id": "int64"}),
+    (
+        "lineitem",
+        {
+            "l_quantity": "double",
+            "l_extendedprice": "double",
+            "l_discount": "double",
+            "l_tax": "double",
+        },
+    ),
+    ("orders", {"o_totalprice": "double"}),
+    ("customer", {"c_acctbal": "double"}),
+    ("embeddings", {"embedding": "list<element: float>"}),
+]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("table,want", MEASURE_DTYPES, ids=[t for t, _ in MEASURE_DTYPES])
+def test_measure_columns_physical_types(sf_dir, table, want):
+    """Physical-type canary for the columns every portable decimal /
+    float path assumes are DOUBLE (or float vectors / int64 ids).
+    Precedent: the driver DID change a physical type between rounds
+    (events.ts, TIMESTAMP(NANOS) -> MICROS before round 4). If a
+    regeneration ships money as DECIMAL(p,2) (the TPC-H spec type) or
+    ids as int32, Spark and DuckDB would each apply their OWN decimal
+    arithmetic/promotion rules where today both read identical
+    doubles — every `CAST(x AS DECIMAL)` oracle mirror and every
+    fin()/isnan gate (undefined on decimal) needs re-auditing. Fail
+    here by name instead of debugging silent hash mismatches; the
+    playbook is CLAUDE.md's regeneration note plus io.t()-edge
+    normalization if it ever fires."""
+    path = f"{sf_dir}/{table}.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing")
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    got = {f.name: str(f.type) for f in schema}
+    for col, dtype in want.items():
+        assert got.get(col) == dtype, (
+            f"{table}.{col} ({sf_dir}): physical type changed to "
+            f"{got.get(col)!r} (expected {dtype!r}) — re-audit decimal "
+            f"casts / isnan gates before trusting any compare"
+        )
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_events_event_id_non_null(sf_dir):
     """event_id is the ONE remaining non-null fixture assumption on
