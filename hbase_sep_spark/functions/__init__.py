@@ -8,6 +8,7 @@ from hbase_sep_spark.functions.portable import (  # noqa: F401
     dsum,
     dsum_window,
     fin,
+    hostile_json_sql,
     json_gate,
     json_int,
     json_int_sql,

@@ -168,11 +168,54 @@ HOSTILE_JSON_RE = (
 )
 
 
+# Jackson (Spark's JSON parser) enforces a nesting-depth cap (fails
+# between depth 1000 and 1100, probed round 9): past it,
+# get_json_object/from_json return NULL for the WHOLE payload while
+# DuckDB's yyjson parses iteratively to any depth (probed to 100 000)
+# and happily extracts — a silent divergence on every json_int
+# consumer. Depth can't be gated by regex: a counted-repetition
+# pattern (`([{\\[][^{\\[]*){901,}`) fatally StackOverflows the JVM's
+# backtracking matcher on a long opener run (probed — it KILLED the
+# driver), so the gate is pure length arithmetic instead: total count
+# of opening braces/brackets, an OVERBROAD depth proxy (depth ≤
+# openers always; a wide-but-shallow 1000-element payload gets gated
+# too — conservatism, never disagreement). Computed identically on
+# both engines via length(x) - length(replace(replace(x,'{',''),
+# '[',''))  — linear, no recursion. Real fixture payloads are ~3
+# openers; zero gate hits at any SF.
+MAX_JSON_OPENERS = 900
+
+
+def _openers(col) -> Column:
+    p = _c(col)
+    return F.length(p) - F.length(
+        F.replace(F.replace(p, F.lit("{"), F.lit("")), F.lit("["), F.lit(""))
+    )
+
+
+def _openers_sql(col: str) -> str:
+    return (
+        "length(" + col + ") - length(replace(replace(" + col + ", '{', ''), '[', ''))"
+    )
+
+
+def hostile_json_sql(col: str = "props") -> str:
+    """The FULL hostility predicate as DuckDB SQL (regex gate + depth
+    proxy), single-sourced: interpolate THIS into any oracle that
+    hand-mirrors json parse semantics (json_to_map's coercion mirror)
+    instead of re-spelling regexp_matches(HOSTILE_JSON_RE)."""
+    return (
+        f"(regexp_matches({col}, '{HOSTILE_JSON_RE}') OR "
+        f"{_openers_sql(col)} > {MAX_JSON_OPENERS})"
+    )
+
+
 def json_gate(col) -> Column:
     """True iff the payload is transport-clean (not hostile-gated).
     NULL input → NULL (callers wrap in F.when, which treats it as
     not-true → NULL result, matching the SQL CASE in json_int_sql)."""
-    return ~_c(col).rlike(HOSTILE_JSON_RE)
+    p = _c(col)
+    return ~p.rlike(HOSTILE_JSON_RE) & (_openers(p) <= F.lit(MAX_JSON_OPENERS))
 
 
 def json_int(col, path: str = "$.k", typ: str = "int") -> Column:
@@ -196,19 +239,21 @@ def json_int(col, path: str = "$.k", typ: str = "int") -> Column:
     two spellings cannot drift.
     """
     p = _c(col)
-    return F.when(p.rlike(HOSTILE_JSON_RE), F.lit(None).cast("string")).otherwise(
-        F.get_json_object(p, path)
-    ).try_cast(typ)
+    return F.when(
+        p.rlike(HOSTILE_JSON_RE) | (_openers(p) > F.lit(MAX_JSON_OPENERS)),
+        F.lit(None).cast("string"),
+    ).otherwise(F.get_json_object(p, path)).try_cast(typ)
 
 
 def json_int_sql(col: str = "props", key: str = "k", sql_type: str = "INTEGER") -> str:
     """DuckDB mirror of json_int(): hostile gate (same HOSTILE_JSON_RE
-    bytes) + json_valid guard (DuckDB's json_* functions ERROR on
-    malformed input where Spark's get_json_object yields NULL) +
-    json_extract_string (unquotes scalars exactly like
-    get_json_object, minifies nested objects identically) + TRY_CAST."""
+    bytes + the MAX_JSON_OPENERS depth proxy) + json_valid guard
+    (DuckDB's json_* functions ERROR on malformed input where Spark's
+    get_json_object yields NULL) + json_extract_string (unquotes
+    scalars exactly like get_json_object, minifies nested objects
+    identically) + TRY_CAST."""
     return (
-        f"TRY_CAST(CASE WHEN NOT regexp_matches({col}, '{HOSTILE_JSON_RE}') "
+        f"TRY_CAST(CASE WHEN NOT {hostile_json_sql(col)} "
         f"AND json_valid({col}) THEN "
         f"json_extract_string({col}, '$.{key}') END AS {sql_type})"
     )

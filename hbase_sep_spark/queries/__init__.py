@@ -64,34 +64,48 @@ from hbase_sep_spark import registry as _registry
 # changed-since-green null-sweep tail the r8 bound cut off, (2) burn
 # the r1 stale pre-regeneration block, (5) re-grade the six r3°
 # streaming names whose evidence predates both the regeneration and
-# the round-8 source rewrite.  ast_diff effc656..HEAD enumerates the
-# round-9 changed set (4 names) — changed-since-green leads.
-# 1-4   = changed round 9: join_asof_latest_event (VERDICT-r8 item 4
-#         perf fix — the click pre-dedup groupBy exchange is gone;
-#         exact-ts ties now resolve inside the one window via the
-#         event_id sort key; 10x-scale paired 2.24x -> 1.48x DuckDB;
-#         hash-equal under two shuffle configs, plan pinned), then
-#         the round-9 physical-layout sweep fixes (multi-file
-#         row-permuted tables; 279/279 on the mutated fixture):
-#         udaf_pandas_group (scan-order-dependent float mean → exact
-#         integer cents, impl AND oracle changed),
-#         scan_rowgroup_stats_audit (directory-table audit),
-#         stream_bootstrap_then_tail (segment-aware feed_total).
-# 5-22  = the 18 round-8c/8d null-sweep-changed names the r8 bound
+# the round-8 source rewrite.  ast_diff effc656..HEAD enumerates 4
+# changed names — PLUS the 8 json_int consumers it CANNOT see (their
+# oracles are runtime f-string interpolations of json_int_sql(); a
+# helper change alters the rendered SQL without touching the query
+# module's AST — round-9 depth gate).  Changed-since-green leads.
+# 1-4   = changed round 9 (ast-visible): join_asof_latest_event
+#         (VERDICT-r8 item 4 perf fix — the click pre-dedup groupBy
+#         exchange is gone; exact-ts ties resolve inside the one
+#         window via the event_id sort key; 10x paired 2.24x ->
+#         1.41x, 30x 0.50x; plan pinned), then the physical-layout
+#         sweep fixes (multi-file row-permuted tables; 279/279 on
+#         the mutated fixture): udaf_pandas_group (scan-order-
+#         dependent float mean → exact integer cents, impl AND
+#         oracle changed), scan_rowgroup_stats_audit (directory-
+#         table audit), stream_bootstrap_then_tail (segment-aware
+#         feed_total).
+# 5-12  = changed round 9 (helper-driven, ast-invisible): the
+#         nesting-depth gate — Jackson caps depth ~1000 and NULLs
+#         the whole payload where yyjson extracts fine; gated by the
+#         MAX_JSON_OPENERS length proxy in json_int/json_int_sql/
+#         json_gate (a counted-repetition regex fatally
+#         StackOverflows the JVM — portable.py comment).  Every
+#         json consumer's impl AND rendered oracle changed:
+#         events_payload_extract, filter_null_handling, cast_types,
+#         agg_bitwise, agg_regr_slope, json_extract_props,
+#         json_to_map, map_lambda_ops.  279/279 on the
+#         depth-augmented hostile fixture; zero gate hits on clean
+#         data (outputs provably unchanged at fixture scale — same
+#         strict-rule placement as the r6 hash-hardened block).
+# 13-30 = the 18 round-8c/8d null-sweep-changed names the r8 bound
 #         displaced (impl AND oracle changed — two-sided null-time /
-#         null-key drops — highest re-grade value: their current form
-#         has never been driver-graded).
-# 23-47 = the r1° stale block (graded green once, round 1, BEFORE the
-#         round-4 testdata regeneration — the oldest evidence in the
-#         repo; 25 of 26, agg_approx_count_distinct being rows-only
-#         rotates behind the sql-hash names).
-# 48-50 = first three of the six r3° streaming rows-only names
-#         (VERDICT-r8 item 5): evidence predates the regeneration AND
-#         the round-8 NaT/NULL-key rewrite of sources/sep_events.py.
+#         null-key drops — their current form has never been
+#         driver-graded).
+# 31-50 = the r1° stale block, oldest evidence in the repo (first 20
+#         of 25 sql-hash names; the agg tail and
+#         agg_approx_count_distinct rotate behind).
 # --- bound ---
-# 51-53 = the remaining three r3° streaming names (item 5 allows
-#         round-10; they lead its queue), then
-# 54+   = agg_approx_count_distinct (rows-only r1), the rows-only
+# 51-55 = the last five r1° names (agg_min_max_stats, agg_corr,
+#         agg_rollup, agg_cube, agg_grouping_sets — lead round 10),
+# 56-61 = the six r3° streaming rows-only names (VERDICT-r8 item 5
+#         allows round-10), then
+# 62+   = agg_approx_count_distinct (rows-only r1), the rows-only
 #         r7-changed vector/scan names (local oracle/property
 #         evidence strong), the stale r2 tail (18), then the r3
 #         block remainder in grade-age order; r4-r8 greens follow in
@@ -104,6 +118,16 @@ _GRADE_FIRST = [
     "udaf_pandas_group",
     "scan_rowgroup_stats_audit",
     "stream_bootstrap_then_tail",
+    # changed round 9 via the json_int depth gate (helper-driven;
+    # ast_diff-invisible — see comment block above)
+    "events_payload_extract",
+    "filter_null_handling",
+    "cast_types",
+    "agg_bitwise",
+    "agg_regr_slope",
+    "json_extract_props",
+    "json_to_map",
+    "map_lambda_ops",
     # round-8c/8d null-sweep changed, displaced past the r8 bound —
     # never driver-graded in their current two-sided-null-drop form
     "win_moving_avg",
@@ -145,6 +169,8 @@ _GRADE_FIRST = [
     "join_interval_events",
     "agg_having",
     "agg_count_distinct",
+    # --- ~50-entry grading boundary; positions below pay off only if
+    # the driver's bound is larger, and set the round-10 queue order.
     "agg_min_max_stats",
     "agg_corr",
     "agg_rollup",
@@ -155,8 +181,6 @@ _GRADE_FIRST = [
     "stream_tumbling_count",
     "stream_sliding_avg",
     "stream_session_window",
-    # --- ~50-entry grading boundary; positions below pay off only if
-    # the driver's bound is larger, and set the round-10 queue order.
     "stream_watermark_late",
     "stream_static_join",
     "stream_foreach_batch_sink",

@@ -18,9 +18,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hbase_sep_spark.functions import (
-    HOSTILE_JSON_RE,
     arr_str,
     dsum,
+    hostile_json_sql,
     json_gate,
     json_int,
     json_int_sql,
@@ -67,7 +67,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ok AS (
       SELECT event_id,
-             CASE WHEN props IS NULL OR regexp_matches(props, '{HOSTILE_JSON_RE}')
+             CASE WHEN props IS NULL OR {hostile_json_sql('props')}
                        OR NOT json_valid(props)
                        OR json_type(props) <> 'OBJECT' THEN NULL
                   WHEN len(list_filter(json_keys(props), kk ->

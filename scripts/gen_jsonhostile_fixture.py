@@ -59,6 +59,12 @@ HOSTILE_PROPS = {
     32: lambda k: '{"k":' + str(k) + ',"n":"' + _BS + _BS + 'ud800b"}',  # literal \u text
     34: lambda k: '{"k":' + str(k) + ',"n":"NaN"}',               # NaN inside str
     36: lambda k: '{"k":"' + str(k) + '"}',                       # quoted int (clean)
+    # nesting-depth class (round 9): Jackson caps depth ~1000 and
+    # NULLs the whole payload where yyjson extracts fine — gated by
+    # the MAX_JSON_OPENERS length proxy (portable.py)
+    38: lambda k: '{"k":' + str(k) + ',"d":' + '{"a":' * 1200 + "1" + "}" * 1200 + "}",
+    40: lambda k: '{"k":' + str(k) + ',"a":[' + '{"b":1},' * 949 + '{"b":1}]}',
+    5: lambda k: '{"k":' + str(k) + ',"d":{"a":{"b":{"c":{"e":1}}}}}',  # clean nested
 }
 
 

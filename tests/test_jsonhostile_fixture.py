@@ -74,6 +74,24 @@ VARIANTS = {
     "bare_scalar": ("17", None),
     "utf8_bom": (chr(0xFEFF) + '{"k":1}', None),
     "ctrl_del_in_str": ('{"k":1,"n":"a' + chr(127) + 'b"}', 1),
+    # Nesting-depth class (round 9): Jackson caps depth (~1000) and
+    # NULLs the whole payload where yyjson parses to any depth —
+    # gated by the MAX_JSON_OPENERS length proxy on both sides.
+    "clean_nested6": ('{"k":1,"d":{"a":{"b":{"c":{"e":{"f":1}}}}}}', 1),
+    "deep_950_under_cap": (
+        '{"k":1,"d":' + '{"a":' * 950 + "1" + "}" * 950 + "}",
+        None,  # overbroad: both parsers handle it, the gate NULLs both
+    ),
+    "deep_1200_over_cap": (
+        '{"k":1,"d":' + '{"a":' * 1200 + "1" + "}" * 1200 + "}",
+        None,  # the real divergence: Jackson fails, yyjson extracts
+    ),
+    "deep_100k_arrays": ('{"k":1,"d":' + "[" * 100000 + "1" + "]" * 100000 + "}", None),
+    "wide_952_openers": (
+        '{"k":1,"a":[' + '{"b":1},' * 949 + '{"b":1}]}',
+        None,  # shallow but >900 openers: conservative NULL both sides
+    ),
+    "braces_in_string_950": ('{"k":1,"s":"' + "{" * 950 + '"}', None),
 }
 
 # Queries whose Spark side or oracle touches props-JSON.
