@@ -186,6 +186,28 @@ HOSTILE_JSON_RE = (
 MAX_JSON_OPENERS = 900
 
 
+# Jackson's other StreamReadConstraints caps (2.15+, probed round 10)
+# are the same silent-divergence class as the depth cap — each makes
+# Spark NULL the WHOLE payload while yyjson parses and extracts fine,
+# even when the extracted key itself is tiny and clean:
+#   - max NUMBER token length (~1000 chars): '{"k": 5, "pad": 777…}'
+#     with a 2000-digit sibling number → Spark NULL, DuckDB 5.
+#     Proxy: total ASCII-digit count via length-translate arithmetic.
+#     A >1000-char number token carries ≥996 digits (token = sign +
+#     digits + '.' + 'e' + sign ≤ digits+4), so digits > 900 gates
+#     every payload that could hit the cap, with margin. Overbroad
+#     (900 digits spread over many small numbers gates too) — costs
+#     only conservatism, never agreement.
+#   - max field-NAME length (50k chars): a 60k-char key → Spark NULL,
+#     DuckDB extracts the sibling fine (probed). Proxy: total payload
+#     length > 32768 (any >50k name makes the payload >50k chars).
+#     Also subsumes the 20M string-token cap. A 1M-char STRING value
+#     parses fine on both engines (probed) but gates — conservatism
+#     again; real fixture payloads are ~100 bytes, zero gate hits.
+MAX_JSON_DIGITS = 900
+MAX_JSON_LENGTH = 32768
+
+
 def _openers(col) -> Column:
     p = _c(col)
     return F.length(p) - F.length(
@@ -199,14 +221,27 @@ def _openers_sql(col: str) -> str:
     )
 
 
+def _digits(col) -> Column:
+    p = _c(col)
+    return F.length(p) - F.length(F.translate(p, "0123456789", ""))
+
+
+def _digits_sql(col: str) -> str:
+    return "length(" + col + ") - length(translate(" + col + ", '0123456789', ''))"
+
+
 def hostile_json_sql(col: str = "props") -> str:
-    """The FULL hostility predicate as DuckDB SQL (regex gate + depth
-    proxy), single-sourced: interpolate THIS into any oracle that
-    hand-mirrors json parse semantics (json_to_map's coercion mirror)
-    instead of re-spelling regexp_matches(HOSTILE_JSON_RE)."""
+    """The FULL hostility predicate as DuckDB SQL (regex gate + the
+    three StreamReadConstraints proxies: depth/openers, number-token/
+    digits, name-length/payload-length), single-sourced: interpolate
+    THIS into any oracle that hand-mirrors json parse semantics
+    (json_to_map's coercion mirror) instead of re-spelling
+    regexp_matches(HOSTILE_JSON_RE)."""
     return (
         f"(regexp_matches({col}, '{HOSTILE_JSON_RE}') OR "
-        f"{_openers_sql(col)} > {MAX_JSON_OPENERS})"
+        f"{_openers_sql(col)} > {MAX_JSON_OPENERS} OR "
+        f"{_digits_sql(col)} > {MAX_JSON_DIGITS} OR "
+        f"length({col}) > {MAX_JSON_LENGTH})"
     )
 
 
@@ -215,7 +250,12 @@ def json_gate(col) -> Column:
     NULL input → NULL (callers wrap in F.when, which treats it as
     not-true → NULL result, matching the SQL CASE in json_int_sql)."""
     p = _c(col)
-    return ~p.rlike(HOSTILE_JSON_RE) & (_openers(p) <= F.lit(MAX_JSON_OPENERS))
+    return (
+        ~p.rlike(HOSTILE_JSON_RE)
+        & (_openers(p) <= F.lit(MAX_JSON_OPENERS))
+        & (_digits(p) <= F.lit(MAX_JSON_DIGITS))
+        & (F.length(p) <= F.lit(MAX_JSON_LENGTH))
+    )
 
 
 def json_int(col, path: str = "$.k", typ: str = "int") -> Column:
@@ -239,23 +279,47 @@ def json_int(col, path: str = "$.k", typ: str = "int") -> Column:
     two spellings cannot drift.
     """
     p = _c(col)
-    return F.when(
-        p.rlike(HOSTILE_JSON_RE) | (_openers(p) > F.lit(MAX_JSON_OPENERS)),
-        F.lit(None).cast("string"),
-    ).otherwise(F.get_json_object(p, path)).try_cast(typ)
+    return (
+        F.when(~json_gate(p), F.lit(None).cast("string"))
+        .otherwise(F.get_json_object(p, path))
+        .try_cast(typ)
+    )
+
+
+# DuckDB's TRY_CAST(VARCHAR AS INTEGER/BIGINT) accepts fractional and
+# exponent strings and ROUNDS them ('1.5' → 2, '1e3' → 1000, and
+# json_extract_string renders 1e3/5.0 as '1000.0'/'5.0') where ANSI
+# Spark's try_cast to an integral type NULLs anything non-integral —
+# probed round 10: 8 silent divergences ('{"k": 1.5}', '{"k": 1e3}',
+# quoted forms, negatives) through the OLD unguarded mirror. The
+# oracle therefore pre-filters the extracted string with an integral
+# pattern before TRY_CAST; Spark's own semantics are unchanged (it is
+# the system under test). Optional '[ ]*' padding only: both engines
+# trim plain spaces identically ('  -7', '+9 ' probed equal), and any
+# OTHER whitespace inside a payload string is a raw C0 control char,
+# already hostile-gated payload-wide. Signs, leading zeros, nbsp,
+# '5.', '.5', '5e0', '٥', '0x5' probed NULL-equal under the guard.
+_INTEGRAL_RE = "^[ ]*[-+]?[0-9]+[ ]*$"
 
 
 def json_int_sql(col: str = "props", key: str = "k", sql_type: str = "INTEGER") -> str:
     """DuckDB mirror of json_int(): hostile gate (same HOSTILE_JSON_RE
-    bytes + the MAX_JSON_OPENERS depth proxy) + json_valid guard
-    (DuckDB's json_* functions ERROR on malformed input where Spark's
-    get_json_object yields NULL) + json_extract_string (unquotes
-    scalars exactly like get_json_object, minifies nested objects
-    identically) + TRY_CAST."""
+    bytes + the openers/digits/length StreamReadConstraints proxies) +
+    json_valid guard (DuckDB's json_* functions ERROR on malformed
+    input where Spark's get_json_object yields NULL) +
+    json_extract_string (unquotes scalars exactly like
+    get_json_object, minifies nested objects identically) + the
+    _INTEGRAL_RE guard (DuckDB TRY_CAST rounds fractional/exponent
+    strings where Spark NULLs them — see the constant's comment) +
+    TRY_CAST. Integral targets only (INTEGER/BIGINT): the guard
+    deliberately rejects fractional strings, so do NOT pass a float
+    sql_type — add a separate guarded helper if one is ever needed."""
+    extracted = f"json_extract_string({col}, '$.{key}')"
     return (
         f"TRY_CAST(CASE WHEN NOT {hostile_json_sql(col)} "
-        f"AND json_valid({col}) THEN "
-        f"json_extract_string({col}, '$.{key}') END AS {sql_type})"
+        f"AND json_valid({col}) "
+        f"AND regexp_matches({extracted}, '{_INTEGRAL_RE}') THEN "
+        f"{extracted} END AS {sql_type})"
     )
 
 

@@ -10,7 +10,7 @@ rule; every computed column is aliased identically to the oracle SQL.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hbase_sep_spark import io as io_mod
 from hbase_sep_spark.functions import arr_str, davg, dsum, fin, json_int, json_int_sql
@@ -247,18 +247,46 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_corr",
     oracle="""
+    WITH guarded AS (
+        SELECT l_returnflag, l_quantity, l_extendedprice,
+               count(*) OVER w >= 2
+                 AND min(l_quantity) OVER w <> max(l_quantity) OVER w
+                 AND min(l_extendedprice) OVER w <> max(l_extendedprice) OVER w
+                 AS ok
+        FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
+    )
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
-    FROM lineitem
-    GROUP BY l_returnflag
+           round(corr(CASE WHEN ok THEN l_quantity END,
+                      CASE WHEN ok THEN l_extendedprice END), 4) + 0.0
+               AS corr_qty_price
+    FROM guarded GROUP BY l_returnflag
     """,
     section=SECTION,
 )
 def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"))
+    """Pearson correlation per return flag, with the degenerate-group
+    guard (the agg_spearman_corr / ts_autocorrelation pattern): under
+    ANSI (the driver's plain session) `F.corr` THROWS DIVIDE_BY_ZERO
+    on a 1-row or zero-variance group where DuckDB returns NULL, so
+    both inputs are nulled on degenerate groups via same-exchange
+    window min/max — degrading them to the safe n=0 → NULL case
+    identically on both engines. The window's l_returnflag hash
+    partitioning satisfies the groupBy's distribution, so the guard
+    adds NO extra exchange. `+ 0.0` normalizes a rounded -0.0 (the
+    maybe-negative rounded-float rule)."""
+    w = Window.partitionBy("l_returnflag")
+    ok = (
+        (F.count(F.lit(1)).over(w) >= 2)
+        & (F.min("l_quantity").over(w) != F.max("l_quantity").over(w))
+        & (F.min("l_extendedprice").over(w) != F.max("l_extendedprice").over(w))
+    )
+    guarded = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.when(ok, F.col("l_quantity")).alias("q"),
+        F.when(ok, F.col("l_extendedprice")).alias("p"),
+    )
+    return guarded.groupBy("l_returnflag").agg(
+        (F.round(F.corr("q", "p"), 4) + F.lit(0.0)).alias("corr_qty_price")
     )
 
 

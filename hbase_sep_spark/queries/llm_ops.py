@@ -77,9 +77,12 @@ def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible in the oracle engine. Injected exact copies guarantee
     a non-trivial result (est_jaccard = 1.0 pairs)."""
     corpus = _docs_with_redelivered(spark, sf_dir)
-    # coalesce(1)+sortWithinPartitions: deterministic output order on a
-    # ~1k-row candidate list without a global-sort range-sampling job.
-    return D.minhash_near_dup_pairs(corpus).coalesce(1).sortWithinPartitions("id_a", "id_b")
+    # Range-partitioned orderBy for deterministic output order: at
+    # 100 TB the candidate-pair list is itself large (332 k at sf1,
+    # measured), so a coalesce(1) here would serialize the final
+    # stage into one task — a global sort stays parallel at any pair
+    # count (VERDICT-r9 item 3).
+    return D.minhash_near_dup_pairs(corpus).orderBy("id_a", "id_b")
 
 
 @register(

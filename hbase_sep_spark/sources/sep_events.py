@@ -77,20 +77,19 @@ def _feed_segments(path: str) -> tuple[tuple[str, int, int], ...]:
     segment order is (ts, event_id)-sorted (asserted in tests for the
     fixture generator).
 
-    Footer-only: per segment, one metadata read. Memoized per path —
-    feed fixtures are immutable, and Spark reuses Python workers, so
-    a replay touches each footer once per process, not once per
-    micro-batch partition. (At cluster scale the same information
-    would come from the table format's manifest instead of footers;
-    the memo is the single-process stand-in.)
+    Footer-only: per segment, one metadata read. Memoized per
+    (path, listing-signature) — the signature is each file's
+    (name, size, mtime_ns), so a feed regenerated or rewritten AT THE
+    SAME PATH inside a live process (the driver's testdata-regeneration
+    precedent) misses the memo and re-reads footers instead of serving
+    stale offsets — wrong replay slices and feed_total otherwise.
+    Signature cost is one glob + one stat per segment, paid every
+    call; only the footer reads are memoized. (At cluster scale the
+    same information would come from the table format's manifest
+    instead of footers; the memo is the single-process stand-in.)
     """
-    cached = _SEGMENT_CACHE.get(path)
-    if cached is not None:
-        return cached
     import glob
     import os
-
-    import pyarrow.parquet as pq
 
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.parquet")))
@@ -98,6 +97,14 @@ def _feed_segments(path: str) -> tuple[tuple[str, int, int], ...]:
             raise FileNotFoundError(f"no *.parquet segments under {path}")
     else:
         files = [path]
+    sig = tuple(
+        (fp, st.st_size, st.st_mtime_ns) for fp in files for st in (os.stat(fp),)
+    )
+    cached = _SEGMENT_CACHE.get((path, sig))
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
     segs = []
     base = 0
     for fp in files:
@@ -107,11 +114,11 @@ def _feed_segments(path: str) -> tuple[tuple[str, int, int], ...]:
     out = tuple(segs)
     if len(_SEGMENT_CACHE) > 64:
         _SEGMENT_CACHE.clear()
-    _SEGMENT_CACHE[path] = out
+    _SEGMENT_CACHE[(path, sig)] = out
     return out
 
 
-_SEGMENT_CACHE: dict[str, tuple[tuple[str, int, int], ...]] = {}
+_SEGMENT_CACHE: dict[tuple, tuple[tuple[str, int, int], ...]] = {}
 
 
 def feed_total(path: str) -> int:

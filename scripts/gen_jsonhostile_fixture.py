@@ -65,6 +65,22 @@ HOSTILE_PROPS = {
     38: lambda k: '{"k":' + str(k) + ',"d":' + '{"a":' * 1200 + "1" + "}" * 1200 + "}",
     40: lambda k: '{"k":' + str(k) + ',"a":[' + '{"b":1},' * 949 + '{"b":1}]}',
     5: lambda k: '{"k":' + str(k) + ',"d":{"a":{"b":{"c":{"e":1}}}}}',  # clean nested
+    # integral-cast class (round 10): DuckDB TRY_CAST rounds
+    # fractional/exponent strings where ANSI Spark NULLs them —
+    # hostile through the _INTEGRAL_RE oracle guard, NULL both sides
+    1: lambda k: '{"k":' + str(k) + ".5}",                        # fractional value
+    3: lambda k: '{"k":' + str(k) + "e1}",                        # exponent value
+    7: lambda k: '{"k":"' + str(k) + '.5"}',                      # quoted fractional
+    # number-token-length class (round 10): Jackson's ~1000-char
+    # number cap NULLs the whole payload; yyjson extracts fine —
+    # gated by the MAX_JSON_DIGITS total-digit proxy
+    9: lambda k: '{"k":' + str(k) + ',"pad":' + "7" * 1200 + "}",  # long sibling number
+    11: lambda k: '{"k":' + "1" * 1100 + "}",                      # long k itself
+    # field-name-length class (round 10): Jackson's 50k name cap —
+    # gated by MAX_JSON_LENGTH
+    13: lambda k: '{"' + "a" * 60000 + '":1,"k":' + str(k) + "}",
+    15: lambda k: '{"k":" ' + str(k) + ' "}',                      # spaced quoted int (clean)
+    17: lambda k: '{"k":' + str(k) + ',"a":[' + "11," * 470 + "11]}",  # >900 digits spread
 }
 
 

@@ -33,6 +33,7 @@ GUARDED = [
     "ts_autocorrelation",        # 1-pair / zero-variance corr groups
     "agg_spearman_corr",         # 1-day groups → n=1 corr
     "agg_skew_kurtosis_portable",  # zero-variance group → pow(0,..) div
+    "agg_corr",                  # 1-row / zero-variance returnflag groups
 ]
 
 
@@ -74,6 +75,23 @@ def degenerate_sf(tmp_path_factory):
             ) t(event_id, ts, user_id, event_type, value, props)
             ORDER BY ts, event_id
         ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    # Lineitem: every corr-degenerate class by return flag — 1-row
+    # group 'X' (n < 2), zero-variance quantity 'Y', zero-variance
+    # price 'Z', plus a healthy varied group 'N'. Without the
+    # same-exchange guard, ANSI Spark's corr THROWS DIVIDE_BY_ZERO on
+    # X/Y/Z where DuckDB returns NULL.
+    con.execute(
+        f"""
+        COPY (
+            SELECT * FROM (VALUES
+                ('X', CAST(10.0 AS DOUBLE), CAST(100.0 AS DOUBLE)),
+                ('Y', 5.0, 100.0), ('Y', 5.0, 250.0), ('Y', 5.0, 400.0),
+                ('Z', 1.0, 777.0), ('Z', 9.0, 777.0),
+                ('N', 1.0, 120.0), ('N', 2.0, 260.0), ('N', 3.0, 330.0)
+            ) t(l_returnflag, l_quantity, l_extendedprice)
+        ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
         """
     )
     # Documents: every doc ≥ 300 chars AND ≥ 55 tokens → both kappa

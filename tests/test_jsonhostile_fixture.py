@@ -92,6 +92,44 @@ VARIANTS = {
         None,  # shallow but >900 openers: conservative NULL both sides
     ),
     "braces_in_string_950": ('{"k":1,"s":"' + "{" * 950 + '"}', None),
+    # Integral-cast class (round 10): DuckDB TRY_CAST(VARCHAR AS INT)
+    # accepts fractional/exponent strings and ROUNDS them ('1.5' → 2,
+    # '1e3' → 1000) where ANSI Spark's try_cast NULLs anything
+    # non-integral — the oracle pre-filters with _INTEGRAL_RE.
+    "frac_val": ('{"k":1.5}', None),
+    "frac_round_up": ('{"k":2.5}', None),
+    "frac_neg": ('{"k":-1.5}', None),
+    "frac_int_valued": ('{"k":7.0}', None),  # duck renders '7.0' — still non-integral
+    "exp_val": ('{"k":1e3}', None),  # duck renders '1000.0'
+    "quoted_frac": ('{"k":"1.5"}', None),
+    "quoted_exp": ('{"k":"1e3"}', None),
+    "quoted_spaced_int": ('{"k":" 87 "}', 87),  # both engines trim plain spaces
+    "quoted_signed": ('{"k":"+9"}', 9),
+    "int32_overflow": ('{"k":2147483648}', None),  # try_cast overflow, both NULL
+    # Number-token-length class (round 10): Jackson caps number tokens
+    # at ~1000 chars and NULLs the WHOLE payload — even extracting a
+    # different, clean key — where yyjson parses fine. Gated by the
+    # MAX_JSON_DIGITS total-digit proxy on both sides.
+    "longnum_k_1001": ('{"k":' + "1" * 1001 + "}", None),
+    "longnum_sibling": ('{"k":5,"pad":' + "7" * 2000 + "}", None),
+    "longfrac_sibling": ('{"k":5,"pad":1.' + "1" * 2000 + "}", None),
+    "digits_950_spread": (
+        '{"k":1,"a":[' + "11," * 470 + "11]}",
+        None,  # overbroad: both parsers fine, >900 total digits gates both
+    ),
+    "digits_890_spread": (
+        '{"k":1,"a":[' + "11," * 440 + "11]}",
+        1,  # under the digit cap: stays clean, extracts
+    ),
+    # Field-name-length class (round 10): Jackson caps key names at
+    # 50k chars — a 60k name NULLs the whole payload, yyjson extracts
+    # the clean sibling. Gated by MAX_JSON_LENGTH on both sides.
+    "name_60k": ('{"' + "a" * 60000 + '":1,"k":5}', None),
+    "len_40k_string": (
+        '{"k":5,"pad":"' + "x" * 40000 + '"}',
+        None,  # overbroad: both parsers fine, >32768 chars gates both
+    ),
+    "str_25k_under_cap": ('{"k":5,"pad":"' + "x" * 25000 + '"}', 5),
 }
 
 # Queries whose Spark side or oracle touches props-JSON.

@@ -127,6 +127,33 @@ def test_empty_segment_is_transparent(tmp_path):
     shutil.rmtree(seg_dir)
 
 
+def test_segment_memo_detects_same_path_rewrite(tmp_path):
+    """A feed regenerated AT THE SAME PATH inside a live process (the
+    driver's testdata-regeneration precedent) must not be served stale
+    (file, base, n) offsets: the memo keys on the listing's
+    (name, size, mtime_ns) signature, so a rewrite misses and
+    re-reads footers (ADVICE r9)."""
+    import pyarrow.parquet as pq
+
+    from hbase_sep_spark.sources.sep_events import feed_total
+
+    single = f"{SF_UNIT}/events.parquet"
+    tbl = pq.read_table(single)
+    n = tbl.num_rows
+    feed = tmp_path / "events.parquet"
+    pq.write_table(tbl.slice(0, n // 2), str(feed))
+    assert feed_total(str(feed)) == n // 2
+    pq.write_table(tbl, str(feed))  # same path, different content/size
+    assert feed_total(str(feed)) == n
+    # Directory feeds too: adding a rotation segment must be seen.
+    seg_dir = tmp_path / "seg_feed.parquet"
+    seg_dir.mkdir()
+    pq.write_table(tbl.slice(0, n // 2), str(seg_dir / "part-000.parquet"))
+    assert feed_total(str(seg_dir)) == n // 2
+    pq.write_table(tbl.slice(n // 2), str(seg_dir / "part-001.parquet"))
+    assert feed_total(str(seg_dir)) == n
+
+
 def test_rowgroup_audit_covers_all_parts(spark, layout_sf):
     """The audit must report every part file's row groups (global
     index, no duplicates), not just the first file's."""

@@ -1204,6 +1204,21 @@ def test_lsh_distinct_exchange_ids_only(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_minhash_output_order_is_parallel_sort(spark):
+    """VERDICT-r9 item 3: dedup_minhash_near's deterministic output
+    ordering must be a range-partitioned global Sort, not the old
+    coalesce(1)+sortWithinPartitions — at 100 TB the candidate-pair
+    list is itself large (332 k pairs at sf1, measured), and a
+    coalesce(1) serializes the final stage into one task."""
+    q = REGISTRY["dedup_minhash_near"]
+    df = (q.raw or q.fn)(spark, SF_UNIT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce" not in plan, "single-task coalesce back in the minhash plan"
+    assert "Sort" in plan and "rangepartitioning" in plan.lower(), (
+        "expected a range-partitioned global sort for deterministic output"
+    )
+
+
 def test_csv_roundtrip_read_stays_splittable(spark, tmp_path):
     """VERDICT-r7 item 6: the CSV roundtrip must not depend on
     multiLine=true (which makes every file a single input split and
