@@ -27,6 +27,13 @@ def get_spark(app_name: str = "hbase-sep-spark", shuffle_partitions: int | None 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bigger Arrow batches amortize the Python-worker transfer:
+        # the round-10 sweep on Spark 4.1.2 measured the pandas-UDF
+        # specimen at 0.209 s (default 10k rows/batch) vs 0.160 s
+        # (200k) at sf0.1 — and a 100k-row batch of a few numeric
+        # columns is ~MBs, trivially inside executor memory at any
+        # deployment size. Value semantics are batch-size-invariant.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
