@@ -75,6 +75,7 @@ def main() -> None:
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_at_start = os.getloadavg()[0]
     from hbase_sep_spark.registry import load_all
 
     registry = load_all()
@@ -135,6 +136,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": _sf_from_dir(sf_dir),
+        # 1-minute load average at capture start: both legs inflate
+        # ~12% when a capture follows the verification sweeps without
+        # an idle gap (BASELINE.md round-10 protocol note) — this
+        # field makes band conditions visible in the artifact.
+        "loadavg_1m_at_start": round(load_at_start, 2),
     }
     if duck_times:
         result["duckdb_queries"] = duck_times
