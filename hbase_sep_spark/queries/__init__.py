@@ -67,11 +67,15 @@ from hbase_sep_spark import registry as _registry
 # (oracles are runtime f-string interpolations of json_int_sql() /
 # hostile_json_sql() — the helper changed, so every rendered oracle
 # changed; CLAUDE.md documents the class).
-# 1-2   = changed round 10 (ast-visible): agg_corr (degenerate-group
+# 1-3   = changed round 10 (ast-visible): agg_corr (degenerate-group
 #         guard, VERDICT-r9 item 2 — also the r1°-stale name),
 #         dedup_minhash_near (range-partitioned orderBy replacing
-#         coalesce(1), VERDICT-r9 item 3 — also r2°-stale; rows-only).
-# 3-10  = changed round 10 (helper-driven): three new payload gates —
+#         coalesce(1), VERDICT-r9 item 3 — also r2°-stale; rows-only;
+#         measured 28.1 → 0.61 s at 30×), dedup_simhash (the same
+#         orderBy fix — its coalesce(1) twin was found by the
+#         round-10 single-task-stage audit; also r3°-stale;
+#         rows-only).
+# 4-11  = changed round 10 (helper-driven): three new payload gates —
 #         _INTEGRAL_RE oracle guard (DuckDB TRY_CAST rounds '1.5'/
 #         '1e3' where ANSI Spark NULLs), MAX_JSON_DIGITS (Jackson's
 #         ~1000-char number-token cap NULLs the whole payload; yyjson
@@ -82,18 +86,20 @@ from hbase_sep_spark import registry as _registry
 #         agg_bitwise, agg_regr_slope, json_extract_props,
 #         json_to_map, map_lambda_ops.  279/279 on the extended
 #         hostile fixture; zero gate hits on clean data at any SF.
-# 11-14 = the last r1° sql-hash agg names (VERDICT-r9 item 1 lead
+# 12-15 = the last r1° sql-hash agg names (VERDICT-r9 item 1 lead
 #         block): agg_min_max_stats, agg_rollup, agg_cube,
 #         agg_grouping_sets.
-# 15-20 = the six r3° streaming rows-only names (evidence predates
+# 16-21 = the six r3° streaming rows-only names (evidence predates
 #         both the regeneration and the r8 source rewrite).
-# 21-25 = the r1° leftovers: agg_approx_count_distinct (rows-only),
+# 22-26 = the r1° leftovers: agg_approx_count_distinct (rows-only),
 #         agg_string_concat, events_sep_cell_model,
 #         sink_bucketed_join, sink_compaction.
-# 26-46 = the full r2° block (21 names — scalars, sets tail, arrays,
+# 27-47 = the full r2° block (21 names — scalars, sets tail, arrays,
 #         UDFs, SEP cell-model queries; dedup_minhash_near already
 #         sits at position 2).
-# 47-50 = the four oldest r3° text ops.
+# 48-50 = the three oldest r3° text ops (text_lang_filter_stats was
+#         displaced past the bound by the dedup_simhash queue-jump
+#         and re-leads round 11).
 # --- bound ---
 # 51-72 = the r3° remainder (22 names) — the LAST stale evidence;
 #         clears in round 11 even at a strict 50-bound.
@@ -107,6 +113,7 @@ _GRADE_FIRST = [
     # changed round 10 (ast-visible)
     "agg_corr",
     "dedup_minhash_near",
+    "dedup_simhash",
     # changed round 10 via the integral-cast / digit / length payload
     # gates (helper-driven; ast_diff-invisible — see comment block)
     "events_payload_extract",
@@ -159,15 +166,17 @@ _GRADE_FIRST = [
     "events_latest_op_wins",
     "events_delete_column_mask",
     "events_tombstone_cell_model",
-    # oldest r3° text ops
+    # oldest r3° text ops (the fourth, text_lang_filter_stats, was
+    # displaced past the bound by the dedup_simhash queue-jump)
     "text_tokenize_wordcount",
     "text_ngrams",
     "text_tfidf",
-    "text_lang_filter_stats",
     # --- ~50-entry grading boundary; positions below pay off only if
     # the driver's bound is larger, and set the round-11 queue order:
     # the r3° remainder — the last pre-regeneration evidence.
-    "dedup_simhash",
+    # (text_lang_filter_stats displaced past the bound when the
+    # simhash orderBy change jumped the queue — it re-leads round 11.)
+    "text_lang_filter_stats",
     "dedup_ngram_jaccard",
     "text_langid_heuristic",
     "text_quality_score",

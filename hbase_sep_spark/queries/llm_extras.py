@@ -35,9 +35,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     copies = d.filter(F.col("doc_id") % 7 == 0).withColumn("doc_id", F.col("doc_id") + 100000)
     corpus = d.unionByName(copies)
-    # coalesce(1)+sortWithinPartitions: deterministic order on a tiny
-    # pair list without a global-sort range-sampling job.
-    return D.simhash_near_dup_pairs(corpus).coalesce(1).sortWithinPartitions("id_a", "id_b")
+    # Range-partitioned orderBy for deterministic output order: the
+    # same single-task-stage hazard the round-10 30x capture measured
+    # on the minhash twin (coalesce(1) was 28 s — 75% of the whole
+    # suite — at a ~3M-pair list; the global sort stays parallel at
+    # any pair count).
+    return D.simhash_near_dup_pairs(corpus).orderBy("id_a", "id_b")
 
 
 @register(

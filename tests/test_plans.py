@@ -1204,16 +1204,19 @@ def test_lsh_distinct_exchange_ids_only(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
-def test_minhash_output_order_is_parallel_sort(spark):
-    """VERDICT-r9 item 3: dedup_minhash_near's deterministic output
-    ordering must be a range-partitioned global Sort, not the old
-    coalesce(1)+sortWithinPartitions — at 100 TB the candidate-pair
-    list is itself large (332 k pairs at sf1, measured), and a
-    coalesce(1) serializes the final stage into one task."""
-    q = REGISTRY["dedup_minhash_near"]
+@pytest.mark.parametrize("name", ["dedup_minhash_near", "dedup_simhash"])
+def test_dedup_pair_output_order_is_parallel_sort(name, spark):
+    """VERDICT-r9 item 3 (+ the simhash twin found by the round-10
+    single-task-stage audit): the near-dup pair queries' deterministic
+    output ordering must be a range-partitioned global Sort, not the
+    old coalesce(1)+sortWithinPartitions — the candidate-pair list is
+    itself large at scale (332 k pairs at sf1; the minhash coalesce(1)
+    measured 28 s — 75% of the whole 30× suite — before the fix), and
+    a coalesce(1) serializes the final stage into one task."""
+    q = REGISTRY[name]
     df = (q.raw or q.fn)(spark, SF_UNIT)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Coalesce" not in plan, "single-task coalesce back in the minhash plan"
+    assert "Coalesce" not in plan, f"single-task coalesce back in the {name} plan"
     assert "Sort" in plan and "rangepartitioning" in plan.lower(), (
         "expected a range-partitioned global sort for deterministic output"
     )
