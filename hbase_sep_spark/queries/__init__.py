@@ -88,7 +88,11 @@ from hbase_sep_spark import registry as _registry
 #         hostile fixture; zero gate hits on clean data at any SF.
 # 12-15 = the last r1° sql-hash agg names (VERDICT-r9 item 1 lead
 #         block): agg_min_max_stats, agg_rollup, agg_cube,
-#         agg_grouping_sets.
+#         agg_grouping_sets.  The latter three ALSO changed round 10
+#         (oracle-only `HAVING count(*) > 0`, the zero-row-table
+#         sweep's empty-input policy — a no-op on non-empty input,
+#         hashes unchanged on real data; see CLAUDE.md) — already
+#         in-bound here, so no reorder needed.
 # 16-21 = the six r3° streaming rows-only names (evidence predates
 #         both the regeneration and the r8 source rewrite).
 # 22-26 = the r1° leftovers: agg_approx_count_distinct (rows-only),

@@ -301,13 +301,23 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    HAVING count(*) > 0
     """,
     section=SECTION,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals region→nation. The dim joins broadcast
     (nation=25, region=5 rows); rollup expands grouping sets in one
-    aggregate."""
+    aggregate.
+
+    Empty-input policy (zero-row sweep, round 10): Spark's grouping
+    sets expand to Expand + hash aggregate keyed by grouping id, so
+    zero input rows → zero groups → ZERO output rows, while DuckDB
+    follows the standard and still emits the grand-total `()` row.
+    The engine's contract is Spark's (empty in → empty out); the
+    oracle mirrors it with `HAVING count(*) > 0` — a no-op on any
+    non-empty input (every grouping-set row aggregates ≥1 row), it
+    only drops the lone ()-row when the whole input is empty."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
@@ -329,10 +339,13 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING count(*) > 0
     """,
     section=SECTION,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Empty-input policy: empty in → empty out on both sides (the
+    # HAVING is a no-op on non-empty input — see agg_rollup).
     return t(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("sum_price"),
@@ -349,12 +362,16 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_items
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    HAVING count(*) > 0
     """,
     section=SECTION,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with grouping() markers, via spark.sql
-    (SURVEY §3.2 EP2 — SQL entry point)."""
+    (SURVEY §3.2 EP2 — SQL entry point).
+
+    Empty-input policy: empty in → empty out on both sides (the
+    oracle HAVING is a no-op on non-empty input — see agg_rollup)."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
     return spark.sql(
         """
