@@ -107,8 +107,36 @@ def _feed_segments(path: str) -> tuple[tuple[str, int, int], ...]:
 
     segs = []
     base = 0
+    prev_max_ts = None
+    prev_fp = None
     for fp in files:
-        n = pq.ParquetFile(fp).metadata.num_rows
+        md = pq.ParquetFile(fp).metadata
+        n = md.num_rows
+        # Feed-contract check (footer-only): sorted-filename order must
+        # be ts-order. A regenerated feed named data_9/data_10 sorts
+        # 10-before-9 LEXICALLY and would silently corrupt every replay
+        # slice — parquet ts min/max statistics detect that for free.
+        # Best-effort: skipped when stats are absent or the physical ts
+        # encodings differ across segments (never true of a real feed).
+        # min == prev max is allowed — equal-ts rows may span a
+        # boundary (the composite (ts, event_id) order can't be
+        # verified footer-only, and doesn't need to be: every consumer
+        # tie-breaks on event_id). Stats min/max exclude NULL ts rows,
+        # which the transport dead-letters anyway.
+        mn, mx = _ts_stats_range(md)
+        if (
+            mn is not None
+            and prev_max_ts is not None
+            and type(mn) is type(prev_max_ts)
+            and mn < prev_max_ts
+        ):
+            raise ValueError(
+                f"feed segments out of order: {fp} starts at {mn}, before "
+                f"{prev_fp} ends at {prev_max_ts} — segment filenames must "
+                f"sort in ts order (zero-pad rotation numbers)"
+            )
+        if mx is not None:
+            prev_max_ts, prev_fp = mx, fp
         segs.append((fp, base, n))
         base += n
     out = tuple(segs)
@@ -116,6 +144,30 @@ def _feed_segments(path: str) -> tuple[tuple[str, int, int], ...]:
         _SEGMENT_CACHE.clear()
     _SEGMENT_CACHE[(path, sig)] = out
     return out
+
+
+def _ts_stats_range(md) -> tuple:
+    """(min_ts, max_ts) of the `ts` column from row-group statistics,
+    or (None, None) when any row group lacks stats or the file has no
+    rows. Footer-only — no data pages are read. Values are whatever
+    the physical encoding yields (datetime for timestamp columns, int
+    for the rounds-1-3 int64-nanos encoding); callers only compare
+    like-typed values from the same feed."""
+    ts_idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == "ts":
+            ts_idx = i
+            break
+    if ts_idx is None or md.num_row_groups == 0:
+        return None, None
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ts_idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        mn = st.min if mn is None else min(mn, st.min)
+        mx = st.max if mx is None else max(mx, st.max)
+    return mn, mx
 
 
 _SEGMENT_CACHE: dict[tuple, tuple[tuple[str, int, int], ...]] = {}

@@ -127,6 +127,36 @@ def test_empty_segment_is_transparent(tmp_path):
     shutil.rmtree(seg_dir)
 
 
+def test_out_of_order_segments_fail_loudly(tmp_path):
+    """The feed contract — sorted-filename order IS ts order — is now
+    CHECKED from row-group ts statistics (footer-only), not assumed: a
+    regenerated feed named data_9/data_10 sorts 10-before-9 lexically
+    and would silently corrupt every replay slice. The transport must
+    raise, not serve wrong offsets."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from hbase_sep_spark.sources.sep_events import feed_total
+
+    single = f"{SF_UNIT}/events.parquet"
+    tbl = pq.read_table(single)
+    n = tbl.num_rows
+    seg_dir = tmp_path / "events.parquet"
+    seg_dir.mkdir()
+    # The lexical trap: data_10 < data_9 as filenames, but data_9
+    # holds the EARLIER half of the feed.
+    pq.write_table(tbl.slice(n // 2), str(seg_dir / "data_10.parquet"))
+    pq.write_table(tbl.slice(0, n // 2), str(seg_dir / "data_9.parquet"))
+    with _pytest.raises(ValueError, match="out of order"):
+        feed_total(str(seg_dir))
+    # Zero-padded rotation names order correctly and pass the check.
+    ok_dir = tmp_path / "ok.parquet"
+    ok_dir.mkdir()
+    pq.write_table(tbl.slice(0, n // 2), str(ok_dir / "data_09.parquet"))
+    pq.write_table(tbl.slice(n // 2), str(ok_dir / "data_10.parquet"))
+    assert feed_total(str(ok_dir)) == n
+
+
 def test_segment_memo_detects_same_path_rewrite(tmp_path):
     """A feed regenerated AT THE SAME PATH inside a live process (the
     driver's testdata-regeneration precedent) must not be served stale
