@@ -95,6 +95,20 @@ from hbase_sep_spark import registry as _registry
 #         in-bound here, so no reorder needed.
 # 16-21 = the six r3° streaming rows-only names (evidence predates
 #         both the regeneration and the r8 source rewrite).
+#         NOTE for round 11: sources/sep_events.py changed TWICE in
+#         round 10 (segment-memo listing signature per ADVICE-r9;
+#         feed-order contract check from footer ts stats) — EVERY
+#         transport consumer is changed-since-green and ast_diff
+#         won't see it (sources/, not a query module).  The six here
+#         get round-10 grades on the new transport; the remaining
+#         transport consumers (stream_sep_source, stream_anomaly_score,
+#         stream_bootstrap_then_tail, stream_dedup_watermark,
+#         stream_incremental_upsert_view, stream_latest_op_wins,
+#         stream_scd2_maintain, stream_stateful_latest,
+#         stream_stream_interval_join, stream_windowed_distinct_hll,
+#         plus scan_events_feed if it routes through the source)
+#         belong in the round-11 lead block alongside whatever
+#         CORRECTNESS_r10 flags.
 # 22-26 = the r1° leftovers: agg_approx_count_distinct (rows-only),
 #         agg_string_concat, events_sep_cell_model,
 #         sink_bucketed_join, sink_compaction.
