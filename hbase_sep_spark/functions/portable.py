@@ -136,6 +136,38 @@ def ascii_lower(col) -> Column:
     return F.translate(_c(col), _ASCII_UP, _ASCII_LO)
 
 
+# SQL mirror (use verbatim in oracles, with the column spliced in):
+ASCII_UPPER_SQL = f"translate({{}}, '{_ASCII_LO}', '{_ASCII_UP}')"
+
+
+def ascii_upper(col) -> Column:
+    """Engine-identical uppering: fold a-z only (see ascii_lower).
+
+    The upper() direction diverges the same way lower() does — and
+    worse: Java's full mapping expands U+00DF 'ß' to "SS" (two code
+    points) where utf8proc's simple mapping leaves it unchanged, so
+    upper() output columns disagree byte-for-byte the moment a
+    regenerated dimension carries German/Turkish names (round-10
+    unicode-enum sweep: str_basic's upper(c_name) was the exposure).
+    """
+    return F.translate(_c(col), _ASCII_LO, _ASCII_UP)
+
+
+# Engine-identical input fold for code-unit-sensitive string metrics
+# (levenshtein): the engines COUNT differently on non-ASCII input
+# (Java operates on UTF-16 units / full mappings, DuckDB on UTF-8
+# codepoints), so collapse every RUN of non-ASCII code points to a
+# single '#' BEFORE measuring — runs collapse identically on both
+# engines (a surrogate pair is one run member either way), and the
+# fold is the identity on ASCII corpora. Spark side: F.regexp_replace
+# (col, ASCII_FOLD_RE, '#'); DuckDB mirror needs the 'g' flag:
+# regexp_replace(x, '<re>', '#', 'g'). Both dialects parse the \\xNN
+# escapes identically (the textual escape must reach the regex
+# engine — don't interpolate raw bytes).
+ASCII_FOLD_RE = "[^\\x00-\\x7F]+"
+ASCII_FOLD_SQL = "regexp_replace({}, '[^\\x00-\\x7F]+', '#', 'g')"
+
+
 # Hostile-JSON gate (round-8 lenient-parser sweep). The two engines'
 # JSON PARSERS disagree at the lexical fringe, in BOTH directions:
 # Spark's get_json_object (Jackson, lenient) extracts values from

@@ -13,6 +13,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hbase_sep_spark.functions import arr_str, json_int, json_int_sql
+from hbase_sep_spark.functions.portable import (
+    ASCII_FOLD_RE,
+    ASCII_FOLD_SQL,
+    ASCII_LOWER_SQL,
+    ASCII_UPPER_SQL,
+    ascii_lower,
+    ascii_upper,
+)
 from hbase_sep_spark.io import t
 from hbase_sep_spark.registry import register
 
@@ -21,10 +29,10 @@ SECTION = "2.8"
 
 @register(
     "str_basic",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey,
-           upper(c_name) AS name_upper,
-           lower(c_mktsegment) AS seg_lower,
+           {ASCII_UPPER_SQL.format("c_name")} AS name_upper,
+           {ASCII_LOWER_SQL.format("c_mktsegment")} AS seg_lower,
            CAST(length(c_name) AS INT) AS name_len,
            concat(c_mktsegment, ':', c_name) AS seg_name,
            trim(concat('  ', c_name, ' ')) AS name_trim,
@@ -34,11 +42,18 @@ SECTION = "2.8"
     section=SECTION,
 )
 def str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface. Case folds are the ASCII translate
+    forms, not upper()/lower(): full-Unicode case mapping DIVERGES
+    between engines (Java full mappings — 'ß'→"SS", 'İ'→"i"+combining
+    dot — vs utf8proc simple mappings; round-10 unicode-enum sweep
+    caught exactly this on a mutated c_name/c_mktsegment). length/
+    substring/trim/concat are codepoint-identical on both engines and
+    stay native."""
     c = t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
-        F.upper("c_name").alias("name_upper"),
-        F.lower("c_mktsegment").alias("seg_lower"),
+        ascii_upper("c_name").alias("name_upper"),
+        ascii_lower("c_mktsegment").alias("seg_lower"),
         F.length("c_name").alias("name_len"),
         F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("seg_name"),
         F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
@@ -270,23 +285,33 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.c_custkey AS key_a,
            b.c_custkey AS key_b,
-           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+           CAST(levenshtein({a_fold}, {b_fold}) AS INT) AS edit_dist
     FROM (SELECT * FROM customer WHERE c_custkey <= 30) a
     JOIN (SELECT * FROM customer WHERE c_custkey <= 30) b
       ON a.c_custkey < b.c_custkey
-    """,
+    """.format(
+        a_fold=ASCII_FOLD_SQL.format("a.c_name"),
+        b_fold=ASCII_FOLD_SQL.format("b.c_name"),
+    ),
     section=SECTION,
 )
 def str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise edit distance on a bounded slice — the string-distance
     primitive fuzzy dedup builds on (bounded pair space, same blocking
-    discipline as the dedup operators)."""
+    discipline as the dedup operators). Inputs pass through the
+    ASCII_FOLD_RE run-collapse first: the engines COUNT edit units
+    differently on non-ASCII strings (UTF-16 units vs codepoints —
+    round-10 unicode-enum sweep), and the fold is the identity on the
+    ASCII corpus while making hostile names measure identically."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 30)
     a, b = c.alias("a"), c.alias("b")
+    fold = lambda col: F.regexp_replace(col, ASCII_FOLD_RE, "#")  # noqa: E731
     return a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey")).select(
         F.col("a.c_custkey").alias("key_a"),
         F.col("b.c_custkey").alias("key_b"),
-        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edit_dist"),
+        F.levenshtein(fold(F.col("a.c_name")), fold(F.col("b.c_name"))).alias(
+            "edit_dist"
+        ),
     )
 
 

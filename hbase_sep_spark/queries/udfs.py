@@ -22,6 +22,7 @@ from hbase_sep_spark.registry import register
 SECTION = "2.12"
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _ALPHA.upper()
 _ROT13 = _ALPHA[13:] + _ALPHA[:13]
 
 
@@ -30,7 +31,7 @@ _ROT13 = _ALPHA[13:] + _ALPHA[:13]
     oracle=f"""
     SELECT s_suppkey,
            s_name,
-           translate(lower(s_name), '{_ALPHA}', '{_ROT13}') AS name_rot13
+           translate(s_name, '{_UPPER}{_ALPHA}', '{_ROT13}{_ROT13}') AS name_rot13
     FROM supplier
     """,
     section=SECTION,
@@ -38,12 +39,17 @@ _ROT13 = _ALPHA[13:] + _ALPHA[:13]
 def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python scalar UDF (deterministic rot13 cipher) —
     kept on the supplier dim (≤1k rows) on purpose; the oracle
-    re-expresses it as SQL translate()."""
-    table = str.maketrans(_ALPHA, _ROT13)
+    re-expresses it as SQL translate(). The case fold is ASCII-only
+    (one combined A-Z/a-z → rot13 table, no str.lower()): Python's
+    full-Unicode lower() diverges from DuckDB's simple mapping the
+    same way Spark's lower() does (round-10 unicode-enum sweep —
+    'İzmir' probed the gap), and translate is codepoint-wise-identical
+    on both sides."""
+    table = str.maketrans(_UPPER + _ALPHA, _ROT13 + _ROT13)
 
     @udf(returnType="string", useArrow=False)
     def rot13(s: str) -> str:
-        return s.lower().translate(table)
+        return s.translate(table)
 
     s = t(spark, sf_dir, "supplier")
     return s.select("s_suppkey", "s_name", rot13("s_name").alias("name_rot13"))
