@@ -108,7 +108,14 @@ def knuth_hash(col, k: int = KNUTH, m: int = HASH_MOD) -> Column:
     """Overflow-safe multiplicative (Knuth) hash of an integer id.
 
     SQL mirror (use verbatim in oracles):
-      ((id % 2147483648) * <k>) % <m>
+      ((CAST(id AS BIGINT) % 2147483648) * <k>) % <m>
+
+    The BIGINT cast matters on the DuckDB side only: a parquet UINT32
+    id column stays UINT32 through `%` there, and the UINT32×UINT32
+    Knuth multiply overflows (round-10 unsigned sweep) — where BIGINT
+    arithmetic is exact for every operand here. A no-op on signed
+    inputs. (Spark never needs it: unsigned ids are normalized to
+    BIGINT at the scan by io._normalize_unsigned.)
     """
     return ((_c(col) % F.lit(HASH_ID_MOD)) * F.lit(k)) % F.lit(m)
 

@@ -128,8 +128,32 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = raw
     else:
         df = spark.read.parquet(path)
+    df = _normalize_unsigned(df)
     _SCAN_CACHE.put(key, df)
     return df
+
+
+def _normalize_unsigned(df: DataFrame) -> DataFrame:
+    """Normalize parquet UNSIGNED integer columns to signed BIGINT.
+
+    A C++/Rust writer (the reference transport's native ecosystem)
+    legitimately ships unsigned ids; Spark maps parquet UINT64 to
+    DecimalType(20,0) — which crashes printf('%0Nd', id) composite
+    keys in codegen (IllegalFormatConversionException, round-10
+    unsigned sweep) and renders as Decimal('101') vs the oracle's
+    101 in every id output column (31 hash-risk warns). UINT8/16/32
+    already widen to signed int/bigint natively and need nothing.
+    The cast is exact for ids < 2^63 and THROWS under ANSI above —
+    loud, and an id that large is out of every envelope here anyway.
+    Metadata-only: touches the plan, not the data, and only when a
+    decimal(20,0) column (the unique UINT64 signature) is present.
+    """
+    dec_cols = [c for c, dt in df.dtypes if dt == "decimal(20,0)"]
+    if not dec_cols:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.withColumns({c: F.col(c).cast("bigint") for c in dec_cols})
 
 
 def events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,9 +91,25 @@ from hbase_sep_spark import registry as _registry
 #         agg_grouping_sets.  The latter three ALSO changed round 10
 #         (oracle-only `HAVING count(*) > 0`, the zero-row-table
 #         sweep's empty-input policy — a no-op on non-empty input,
-#         hashes unchanged on real data; see CLAUDE.md) — already
-#         in-bound here, so no reorder needed.
-# 16-21 = the six r3° streaming rows-only names (evidence predates
+#         hashes unchanged on real data; see CLAUDE.md).
+# 16-18 = changed round 10 by the unicode-enum sweep (ascii_upper /
+#         ascii_lower case folds, levenshtein non-ASCII-run input
+#         fold; CLAUDE.md unicode class extension): str_basic,
+#         str_levenshtein, udf_python_scalar — also r2°-stale, moved
+#         up from the r2° block.
+# 19-27 = changed round 10 by the unsigned-id sweep (CLAUDE.md): a
+#         parquet UINT64 id reads as Decimal(20,0) in Spark (crashes
+#         printf keys, diverges every id repr — fixed generically at
+#         the scan by io._normalize_unsigned) and a UINT32 id stays
+#         narrow through DuckDB arithmetic (knuth multiply overflows
+#         — fixed by BIGINT casts in the oracle mirror).  The nine
+#         names whose ORACLES changed (no-op on signed data,
+#         hash-verified): agg_argmax_misc, ts_weekly_ohlc,
+#         agg_cms_freq_sketch, agg_kmv_distinct_sketch,
+#         pipeline_dataset_split, pipeline_mixture_sample,
+#         sample_bernoulli_hash, sample_quality_weighted,
+#         sample_reservoir_topk_hash.
+# 28-33 = the six r3° streaming rows-only names (evidence predates
 #         both the regeneration and the r8 source rewrite).
 #         NOTE for round 11: sources/sep_events.py changed TWICE in
 #         round 10 (segment-memo listing signature per ADVICE-r9;
@@ -109,19 +125,23 @@ from hbase_sep_spark import registry as _registry
 #         plus scan_events_feed if it routes through the source)
 #         belong in the round-11 lead block alongside whatever
 #         CORRECTNESS_r10 flags.
-# 22-26 = the r1° leftovers: agg_approx_count_distinct (rows-only),
+# 34-38 = the r1° leftovers: agg_approx_count_distinct (rows-only),
 #         agg_string_concat, events_sep_cell_model,
 #         sink_bucketed_join, sink_compaction.
-# 27-47 = the full r2° block (21 names — scalars, sets tail, arrays,
-#         UDFs, SEP cell-model queries; dedup_minhash_near already
-#         sits at position 2).
-# 48-50 = the three oldest r3° text ops (text_lang_filter_stats was
-#         displaced past the bound by the dedup_simhash queue-jump
-#         and re-leads round 11).
+# 39-50 = the r2° block remainder (12 names — sets tail, scalars,
+#         arrays; str_basic/str_levenshtein/udf_python_scalar moved
+#         up to 16-18, and the unsigned-sweep insertion displaced
+#         the last nine r2°/r3° names past the bound).
 # --- bound ---
-# 51-72 = the r3° remainder (22 names) — the LAST stale evidence;
-#         clears in round 11 even at a strict 50-bound.
-# 73+   = rows-only r7-changed vector/scan names (local evidence
+# 51-59 = the nine displaced r2°/r3° names (arr_sort_distinct_slice,
+#         udf_pandas_vectorized, udtf_python, events_latest_op_wins,
+#         events_delete_column_mask, events_tombstone_cell_model,
+#         text_tokenize_wordcount, text_ngrams, text_tfidf) — they
+#         LEAD round 11 together with the r3° remainder.
+# 60-81 = the r3° remainder (22 names) — the LAST stale evidence;
+#         round 11 = 9 displaced + 22 remainder + the ~10 transport
+#         consumers noted above ≈ 41, inside a 50-bound.
+# 82+   = rows-only r7-changed vector/scan names (local evidence
 #         strong), then r4-r9 greens by registration order.  All
 #         prefix names re-verified against the local oracle on
 #         current data under two shuffle configs + plain-session
@@ -142,11 +162,31 @@ _GRADE_FIRST = [
     "json_extract_props",
     "json_to_map",
     "map_lambda_ops",
-    # last r1° sql-hash stale names (oldest evidence in the repo)
+    # last r1° sql-hash stale names (oldest evidence in the repo);
+    # rollup/cube/grouping_sets ALSO changed round 10 (oracle-only
+    # `HAVING count(*) > 0`, zero-row sweep)
     "agg_min_max_stats",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
+    # changed round 10 by the unicode-enum sweep (ascii case folds,
+    # levenshtein input fold) — also r2°-stale, moved up from the r2°
+    # block
+    "str_basic",
+    "str_levenshtein",
+    "udf_python_scalar",
+    # changed round 10 by the unsigned-id sweep (oracle-only BIGINT
+    # casts in the knuth-hash mirror and the %010d printf keys —
+    # no-ops on the signed fixture, hash-verified)
+    "agg_argmax_misc",
+    "ts_weekly_ohlc",
+    "agg_cms_freq_sketch",
+    "agg_kmv_distinct_sketch",
+    "pipeline_dataset_split",
+    "pipeline_mixture_sample",
+    "sample_bernoulli_hash",
+    "sample_quality_weighted",
+    "sample_reservoir_topk_hash",
     # r3° streaming rows-only (VERDICT-r9 item 1: evidence predates
     # the regeneration and the r8 sep_events source rewrite)
     "stream_tumbling_count",
@@ -161,15 +201,14 @@ _GRADE_FIRST = [
     "events_sep_cell_model",
     "sink_bucketed_join",
     "sink_compaction",
-    # the full r2° block (scalars / sets tail / arrays / UDFs / SEP
-    # cell-model)
+    # the r2° block (scalars / sets tail / arrays — str_basic,
+    # str_levenshtein and udf_python_scalar moved up into the
+    # changed block; the 12 below fill the bound exactly)
     "set_intersect",
     "set_except",
     "set_intersect_all",
-    "str_basic",
     "str_regex",
     "str_split_pad",
-    "str_levenshtein",
     "date_parts",
     "date_trunc_arith",
     "math_basic",
@@ -177,23 +216,21 @@ _GRADE_FIRST = [
     "arr_construct_contains",
     "arr_explode",
     "arr_posexplode",
+    # --- ~50-entry grading boundary; positions below pay off only if
+    # the driver's bound is larger, and set the round-11 queue order:
+    # first the r2°/r3° names the round-10 unsigned-sweep insertion
+    # displaced past the bound, then the r3° remainder — the last
+    # pre-regeneration evidence. (text_lang_filter_stats was already
+    # displaced in the earlier dedup_simhash queue-jump.)
     "arr_sort_distinct_slice",
-    "udf_python_scalar",
     "udf_pandas_vectorized",
     "udtf_python",
     "events_latest_op_wins",
     "events_delete_column_mask",
     "events_tombstone_cell_model",
-    # oldest r3° text ops (the fourth, text_lang_filter_stats, was
-    # displaced past the bound by the dedup_simhash queue-jump)
     "text_tokenize_wordcount",
     "text_ngrams",
     "text_tfidf",
-    # --- ~50-entry grading boundary; positions below pay off only if
-    # the driver's bound is larger, and set the round-11 queue order:
-    # the r3° remainder — the last pre-regeneration evidence.
-    # (text_lang_filter_stats displaced past the bound when the
-    # simhash orderBy change jumped the queue — it re-leads round 11.)
     "text_lang_filter_stats",
     "dedup_ngram_jaccard",
     "text_langid_heuristic",

@@ -327,7 +327,7 @@ _CMS_M = 4294967296
 
 def _cms_bucket_sql(i: int) -> str:
     return (
-        f"((((user_id + 1) % 2147483648) * {_CMS_KS[i]}) % {_CMS_M}) % {_CMS_W}"
+        f"((((CAST(user_id AS BIGINT) + 1) % 2147483648) * {_CMS_KS[i]}) % {_CMS_M}) % {_CMS_W}"
     )
 
 
@@ -407,9 +407,9 @@ def agg_cms_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT lang, n_chars, doc_id,
-               CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
+               CASE WHEN ((CAST(doc_id AS BIGINT) % 2147483648) * 2654435761) % 4294967296
                          % 100 < 80 THEN 'train'
-                    WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
+                    WHEN ((CAST(doc_id AS BIGINT) % 2147483648) * 2654435761) % 4294967296
                          % 100 < 90 THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
@@ -523,7 +523,7 @@ _KMV_K = 32
     oracle=f"""
     WITH h AS (
         SELECT DISTINCT event_type,
-               (((user_id + 1) % 2147483648) * 2654435761) % 4294967296 AS hv
+               (((CAST(user_id AS BIGINT) + 1) % 2147483648) * 2654435761) % 4294967296 AS hv
         FROM events WHERE user_id IS NOT NULL
     ),
     rk AS (

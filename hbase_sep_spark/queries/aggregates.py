@@ -546,11 +546,11 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            arg_max(CASE WHEN event_type IS NOT NULL THEN event_type END,
                    CASE WHEN event_type IS NOT NULL THEN
-                        printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, event_id) END)
+                        printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, CAST(event_id AS BIGINT)) END)
                AS latest_type,
            arg_min(CASE WHEN event_type IS NOT NULL THEN event_type END,
                    CASE WHEN event_type IS NOT NULL THEN
-                        printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, event_id) END)
+                        printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, CAST(event_id AS BIGINT)) END)
                AS first_type,
            CAST(count(*) FILTER (WHERE value > 250) AS BIGINT) AS n_high,
            bool_or(value > 480) AS any_extreme,

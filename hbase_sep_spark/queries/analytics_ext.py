@@ -246,7 +246,7 @@ _MIX_RATE_SQL = "CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.8 ELSE 1.0 END"
     oracle=f"""
     WITH flagged AS (
         SELECT lang,
-               ((doc_id % 2147483648) * 2654435761) % 4294967296
+               ((CAST(doc_id AS BIGINT) % 2147483648) * 2654435761) % 4294967296
                    < ({_MIX_RATE_SQL}) * 4294967296 AS kept
         FROM documents
     )

@@ -169,9 +169,9 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
-           arg_min(value, printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, event_id))
+           arg_min(value, printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, CAST(event_id AS BIGINT)))
                AS open_v,
-           arg_max(value, printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, event_id))
+           arg_max(value, printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, CAST(event_id AS BIGINT)))
                AS close_v,
            min(value) AS low_v,
            max(value) AS high_v,

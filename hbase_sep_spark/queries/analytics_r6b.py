@@ -384,7 +384,7 @@ def agg_jensen_shannon_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, event_id,
                row_number() OVER (
                    PARTITION BY event_type
-                   ORDER BY ((event_id % 2147483648) * 2654435761)
+                   ORDER BY ((CAST(event_id AS BIGINT) % 2147483648) * 2654435761)
                             % 4294967296, event_id
                ) AS rk
         FROM events

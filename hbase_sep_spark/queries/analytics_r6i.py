@@ -42,7 +42,7 @@ from hbase_sep_spark.queries.llm_extras import _DUCK_QUALITY as _QUALITY_SQL
     )
     SELECT doc_id, lang, quality
     FROM scored
-    WHERE CAST(((doc_id % 2147483648) * 2654435761) % 4294967296
+    WHERE CAST(((CAST(doc_id AS BIGINT) % 2147483648) * 2654435761) % 4294967296
                AS DOUBLE)
           < quality * 0.5 * 4294967296
     """,

@@ -828,7 +828,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang, n_chars
     FROM documents
-    WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296
+    WHERE ((CAST(doc_id AS BIGINT) % 2147483648) * 2654435761) % 4294967296
           < 0.2 * 4294967296
     """,
     section=SECTION,
