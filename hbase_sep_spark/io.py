@@ -134,26 +134,42 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_unsigned(df: DataFrame) -> DataFrame:
-    """Normalize parquet UNSIGNED integer columns to signed BIGINT.
+    """Normalize exotic parquet physical types to the engine's
+    canonical scan schema (BIGINT ids, DOUBLE measures).
 
-    A C++/Rust writer (the reference transport's native ecosystem)
-    legitimately ships unsigned ids; Spark maps parquet UINT64 to
-    DecimalType(20,0) — which crashes printf('%0Nd', id) composite
-    keys in codegen (IllegalFormatConversionException, round-10
-    unsigned sweep) and renders as Decimal('101') vs the oracle's
-    101 in every id output column (31 hash-risk warns). UINT8/16/32
-    already widen to signed int/bigint natively and need nothing.
-    The cast is exact for ids < 2^63 and THROWS under ANSI above —
-    loud, and an id that large is out of every envelope here anyway.
+    Two regeneration-plausible encodings land as DecimalType and
+    break the surface downstream (round-10 sweeps):
+
+    - UNSIGNED ids: a C++/Rust writer (the reference transport's
+      native ecosystem) ships parquet UINT64, which Spark maps to
+      DecimalType(20,0) — crashing printf('%0Nd', id) composite keys
+      in codegen (IllegalFormatConversionException) and rendering
+      Decimal('101') vs the oracle's 101 in every id output column
+      (31 hash-risk warns). → cast BIGINT (exact below 2^63,
+      ANSI-loud above; UINT8/16/32 already widen to signed natively).
+    - DECIMAL money: TPC-H's canonical encoding is DECIMAL(12,2);
+      a regen shipping it breaks 29 of 100 money queries (Decimal
+      output objects vs the oracle's floats, decimal→object dtype
+      crashing pandas UDFs). → cast DOUBLE, which reproduces the
+      double-fixture semantics bit-for-bit: a 2-dp decimal converts
+      to the same nearest-double the generator wrote, and the dsum/
+      davg DECIMAL(18,6) casts recover identical exact values on
+      both engines.
+
     Metadata-only: touches the plan, not the data, and only when a
-    decimal(20,0) column (the unique UINT64 signature) is present.
+    decimal column is present in the scan schema.
     """
-    dec_cols = [c for c, dt in df.dtypes if dt == "decimal(20,0)"]
-    if not dec_cols:
+    casts = {}
+    for c, dt in df.dtypes:
+        if dt == "decimal(20,0)":
+            casts[c] = "bigint"
+        elif dt.startswith("decimal("):
+            casts[c] = "double"
+    if not casts:
         return df
     from pyspark.sql import functions as F
 
-    return df.withColumns({c: F.col(c).cast("bigint") for c in dec_cols})
+    return df.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
 
 
 def events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:

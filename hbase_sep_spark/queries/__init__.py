@@ -109,7 +109,17 @@ from hbase_sep_spark import registry as _registry
 #         pipeline_dataset_split, pipeline_mixture_sample,
 #         sample_bernoulli_hash, sample_quality_weighted,
 #         sample_reservoir_topk_hash.
-# 28-33 = the six r3° streaming rows-only names (evidence predates
+# 28-33 = changed round 10 by the decimal-money sweep (CLAUDE.md):
+#         TPC-H's canonical DECIMAL(12,2) money encoding maps to
+#         DecimalType — io._normalize_unsigned now casts scan-edge
+#         decimals to DOUBLE (29 of 100 money queries failed raw),
+#         and six oracles gained DOUBLE casts so DuckDB's exact
+#         decimal per-row/quantile arithmetic mirrors Spark's
+#         doubles: math_basic, project_alias, limit_topn,
+#         agg_median_percentile, agg_median_abs_deviation,
+#         agg_trimmed_mean (no-ops on the double fixture,
+#         hash-verified).
+# 34-39 = the six r3° streaming rows-only names (evidence predates
 #         both the regeneration and the r8 source rewrite).
 #         NOTE for round 11: sources/sep_events.py changed TWICE in
 #         round 10 (segment-memo listing signature per ADVICE-r9;
@@ -125,23 +135,29 @@ from hbase_sep_spark import registry as _registry
 #         plus scan_events_feed if it routes through the source)
 #         belong in the round-11 lead block alongside whatever
 #         CORRECTNESS_r10 flags.
-# 34-38 = the r1° leftovers: agg_approx_count_distinct (rows-only),
+# 40-44 = the r1° leftovers: agg_approx_count_distinct (rows-only),
 #         agg_string_concat, events_sep_cell_model,
 #         sink_bucketed_join, sink_compaction.
-# 39-50 = the r2° block remainder (12 names — sets tail, scalars,
-#         arrays; str_basic/str_levenshtein/udf_python_scalar moved
-#         up to 16-18, and the unsigned-sweep insertion displaced
-#         the last nine r2°/r3° names past the bound).
+# 45-50 = the r2° block head (set_intersect, set_except,
+#         set_intersect_all, str_regex, str_split_pad, date_parts —
+#         str_basic/str_levenshtein/udf_python_scalar/math_basic
+#         moved up into the changed blocks; the unsigned and
+#         decimal-money insertions displaced the other fourteen
+#         r2°/r3° names past the bound).
 # --- bound ---
-# 51-59 = the nine displaced r2°/r3° names (arr_sort_distinct_slice,
+# 51    = scan_rowgroup_stats_audit (rows-only; impl gained the
+#         decimal-stats guard this round — leads round 11).
+# 52-65 = the fourteen displaced r2°/r3° names (date_trunc_arith,
+#         cond_case_coalesce, arr_construct_contains, arr_explode,
+#         arr_posexplode, arr_sort_distinct_slice,
 #         udf_pandas_vectorized, udtf_python, events_latest_op_wins,
 #         events_delete_column_mask, events_tombstone_cell_model,
 #         text_tokenize_wordcount, text_ngrams, text_tfidf) — they
 #         LEAD round 11 together with the r3° remainder.
-# 60-81 = the r3° remainder (22 names) — the LAST stale evidence;
-#         round 11 = 9 displaced + 22 remainder + the ~10 transport
-#         consumers noted above ≈ 41, inside a 50-bound.
-# 82+   = rows-only r7-changed vector/scan names (local evidence
+# 66-87 = the r3° remainder (22 names) — the LAST stale evidence;
+#         round 11 = 1 + 14 displaced + 22 remainder + the ~10
+#         transport consumers noted above ≈ 47, inside a 50-bound.
+# 88+   = rows-only r7-changed vector/scan names (local evidence
 #         strong), then r4-r9 greens by registration order.  All
 #         prefix names re-verified against the local oracle on
 #         current data under two shuffle configs + plain-session
@@ -187,6 +203,16 @@ _GRADE_FIRST = [
     "sample_bernoulli_hash",
     "sample_quality_weighted",
     "sample_reservoir_topk_hash",
+    # changed round 10 by the decimal-money sweep (oracle-only DOUBLE
+    # casts so DuckDB's exact decimal arithmetic mirrors Spark's
+    # normalized doubles — no-ops on the double fixture,
+    # hash-verified; math_basic moved up from the r2° block)
+    "math_basic",
+    "project_alias",
+    "limit_topn",
+    "agg_median_percentile",
+    "agg_median_abs_deviation",
+    "agg_trimmed_mean",
     # r3° streaming rows-only (VERDICT-r9 item 1: evidence predates
     # the regeneration and the r8 sep_events source rewrite)
     "stream_tumbling_count",
@@ -210,18 +236,21 @@ _GRADE_FIRST = [
     "str_regex",
     "str_split_pad",
     "date_parts",
+    # --- ~50-entry grading boundary; positions below pay off only if
+    # the driver's bound is larger, and set the round-11 queue order:
+    # scan_rowgroup_stats_audit first (rows-only; its impl gained the
+    # decimal-stats guard this round — local evidence strong, r7
+    # precedent says rows-only re-grades add little), then the
+    # r2°/r3° names the unsigned/decimal-sweep insertions displaced
+    # past the bound, then the r3° remainder — the last
+    # pre-regeneration evidence. (text_lang_filter_stats was already
+    # displaced in the earlier dedup_simhash queue-jump.)
+    "scan_rowgroup_stats_audit",
     "date_trunc_arith",
-    "math_basic",
     "cond_case_coalesce",
     "arr_construct_contains",
     "arr_explode",
     "arr_posexplode",
-    # --- ~50-entry grading boundary; positions below pay off only if
-    # the driver's bound is larger, and set the round-11 queue order:
-    # first the r2°/r3° names the round-10 unsigned-sweep insertion
-    # displaced past the bound, then the r3° remainder — the last
-    # pre-regeneration evidence. (text_lang_filter_stats was already
-    # displaced in the earlier dedup_simhash queue-jump.)
     "arr_sort_distinct_slice",
     "udf_pandas_vectorized",
     "udtf_python",

@@ -176,8 +176,8 @@ def agg_min_max_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_median_percentile",
     oracle="""
     SELECT l_linestatus,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 2) AS median_price,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 2) AS p90_price
     FROM lineitem
     GROUP BY l_linestatus
     """,

@@ -286,8 +286,23 @@ def scan_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for g in range(md.num_row_groups):
             col = md.row_group(g).column(qi)
             st = col.statistics
-            if st is not None and st.has_min_max:
-                lo, hi = float(st.min), float(st.max)
+            try:
+                has_stats = st is not None and st.has_min_max
+                lo_hi = (float(st.min), float(st.max)) if has_stats else None
+            except Exception as exc:  # noqa: BLE001
+                # pyarrow cannot DECODE statistics for some physical
+                # types (ArrowNotImplementedError on DECIMAL row-group
+                # stats — round-10 decimal-money sweep). An envelope
+                # we can't read is an envelope we can't prune on:
+                # degrade to the stats-less branch, don't crash.
+                if type(exc).__name__ not in (
+                    "ArrowNotImplementedError",
+                    "NotImplementedError",
+                ):
+                    raise
+                lo_hi = None
+            if lo_hi is not None:
+                lo, hi = lo_hi
                 # Prunable ⇔ the envelope is disjoint from [10, 20].
                 rows.append(
                     (g_global, col.num_values, lo, hi, bool(hi < 10.0 or lo > 20.0))
@@ -458,8 +473,8 @@ def scan_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
         SELECT l_linestatus,
-               quantile_cont(l_extendedprice, 0.05) AS p05,
-               quantile_cont(l_extendedprice, 0.95) AS p95
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS p05,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95
         FROM lineitem GROUP BY l_linestatus
     )
     SELECT l.l_linestatus,
@@ -708,12 +723,12 @@ def agg_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH med AS (
         SELECT l_linestatus,
-               quantile_cont(l_extendedprice, 0.5) AS med
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
         FROM lineitem GROUP BY l_linestatus
     )
     SELECT l.l_linestatus,
            round(max(m.med), 2) AS median_price,
-           round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 2)
+           round(quantile_cont(abs(CAST(l.l_extendedprice AS DOUBLE) - m.med), 0.5), 2)
                AS mad_price
     FROM lineitem l JOIN med m ON l.l_linestatus = m.l_linestatus
     GROUP BY l.l_linestatus

@@ -23,7 +23,7 @@ SECTION = "2.2"
     oracle="""
     SELECT l_orderkey,
            l_linenumber,
-           l_extendedprice * (1 - l_discount) AS revenue,
+           CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)) AS revenue,
            l_quantity AS qty
     FROM lineitem
     """,

@@ -179,16 +179,16 @@ def date_trunc_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey,
            l_linenumber,
-           abs(l_discount - l_tax) AS abs_diff,
+           abs(CAST(l_discount AS DOUBLE) - CAST(l_tax AS DOUBLE)) AS abs_diff,
            CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
            CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
-           sqrt(l_quantity) AS qty_sqrt,
-           round(pow(l_quantity, 1.5), 6) AS qty_pow,
-           round(ln(l_extendedprice), 6) AS price_ln,
-           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
-           greatest(l_discount, l_tax) AS max_rate,
-           least(l_discount, l_tax) AS min_rate
+           sqrt(CAST(l_quantity AS DOUBLE)) AS qty_sqrt,
+           round(pow(CAST(l_quantity AS DOUBLE), 1.5), 6) AS qty_pow,
+           round(ln(CAST(l_extendedprice AS DOUBLE)), 6) AS price_ln,
+           CAST(sign(CAST(l_discount AS DOUBLE) - 0.05) AS DOUBLE) AS disc_sign,
+           greatest(CAST(l_discount AS DOUBLE), CAST(l_tax AS DOUBLE)) AS max_rate,
+           least(CAST(l_discount AS DOUBLE), CAST(l_tax AS DOUBLE)) AS min_rate
     FROM lineitem
     WHERE l_orderkey <= 1000
     """,

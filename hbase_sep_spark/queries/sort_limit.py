@@ -51,7 +51,7 @@ def sort_multi_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey,
            l_linenumber,
-           l_extendedprice * (1 - l_discount) AS revenue
+           CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)) AS revenue
     FROM lineitem
     ORDER BY revenue DESC, l_orderkey, l_linenumber
     LIMIT 10
