@@ -226,6 +226,29 @@ def _read_rows(path: str, lo: int, hi: int, step: int = 1):
     # accepts for any nullable field.
     names = [fld.name for fld in EVENT_SCHEMA.fields]
     tbl = pa.concat_tables(chunks).select(names)
+    # Physical-type normalization at the feed edge, mirroring
+    # io._normalize_unsigned's scan-edge rule: a DECIMAL column
+    # (decimal-money regeneration of events.value — round-10
+    # collapse probe crashed all 16 streaming queries on it:
+    # to_pylist yields decimal.Decimal, which the Spark-side arrow
+    # converter cannot coerce to the declared DoubleType) casts to
+    # float64; decimal(20,0) — the UINT64 signature if a writer
+    # routed it through arrow — casts to int64. Unsigned arrow ints
+    # need nothing (to_pylist yields Python ints either way).
+    casts = {
+        f.name: (pa.int64() if (f.type.precision, f.type.scale) == (20, 0) else pa.float64())
+        for f in tbl.schema
+        if pa.types.is_decimal(f.type)
+    }
+    if casts:
+        tbl = tbl.cast(
+            pa.schema(
+                [
+                    pa.field(f.name, casts.get(f.name, f.type), f.nullable)
+                    for f in tbl.schema
+                ]
+            )
+        )
     records = tbl.to_pylist()
     if step > 1:
         records = records[::step]
