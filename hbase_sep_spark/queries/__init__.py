@@ -58,194 +58,62 @@ from hbase_sep_spark.streaming import queries as _streaming_queries  # noqa: F40
 
 from hbase_sep_spark import registry as _registry
 
-# Driver-grading prefix for round 10 (standing rotation policy; round
-# 9 graded exactly positions 1-50 — 50/50 green, CORRECTNESS_r09).
-# Round-10 goals per VERDICT-r9: finish the stale-grade drain (items
-# 1-3) — 64 names' latest grade predates the round-4 regeneration.
-# Changed-since-green leads.  ast_diff 6865f41..HEAD sees agg_corr and
-# dedup_minhash_near; the 10 JSON-consumer names are AST-INVISIBLE
-# (oracles are runtime f-string interpolations of json_int_sql() /
-# hostile_json_sql() — the helper changed, so every rendered oracle
-# changed; CLAUDE.md documents the class).
-# 1-3   = changed round 10 (ast-visible): agg_corr (degenerate-group
-#         guard, VERDICT-r9 item 2 — also the r1°-stale name),
-#         dedup_minhash_near (range-partitioned orderBy replacing
-#         coalesce(1), VERDICT-r9 item 3 — also r2°-stale; rows-only;
-#         measured 28.1 → 0.61 s at 30×), dedup_simhash (the same
-#         orderBy fix — its coalesce(1) twin was found by the
-#         round-10 single-task-stage audit; also r3°-stale;
-#         rows-only).
-# 4-11  = changed round 10 (helper-driven): three new payload gates —
-#         _INTEGRAL_RE oracle guard (DuckDB TRY_CAST rounds '1.5'/
-#         '1e3' where ANSI Spark NULLs), MAX_JSON_DIGITS (Jackson's
-#         ~1000-char number-token cap NULLs the whole payload; yyjson
-#         extracts clean siblings fine), MAX_JSON_LENGTH (Jackson's
-#         50k field-name cap, ditto).  Every json consumer's impl
-#         (json_gate got stricter) AND rendered oracle changed:
-#         events_payload_extract, filter_null_handling, cast_types,
-#         agg_bitwise, agg_regr_slope, json_extract_props,
-#         json_to_map, map_lambda_ops.  279/279 on the extended
-#         hostile fixture; zero gate hits on clean data at any SF.
-# 12-15 = the last r1° sql-hash agg names (VERDICT-r9 item 1 lead
-#         block): agg_min_max_stats, agg_rollup, agg_cube,
-#         agg_grouping_sets.  The latter three ALSO changed round 10
-#         (oracle-only `HAVING count(*) > 0`, the zero-row-table
-#         sweep's empty-input policy — a no-op on non-empty input,
-#         hashes unchanged on real data; see CLAUDE.md).
-# 16-18 = changed round 10 by the unicode-enum sweep (ascii_upper /
-#         ascii_lower case folds, levenshtein non-ASCII-run input
-#         fold; CLAUDE.md unicode class extension): str_basic,
-#         str_levenshtein, udf_python_scalar — also r2°-stale, moved
-#         up from the r2° block.
-# 19-27 = changed round 10 by the unsigned-id sweep (CLAUDE.md): a
-#         parquet UINT64 id reads as Decimal(20,0) in Spark (crashes
-#         printf keys, diverges every id repr — fixed generically at
-#         the scan by io._normalize_unsigned) and a UINT32 id stays
-#         narrow through DuckDB arithmetic (knuth multiply overflows
-#         — fixed by BIGINT casts in the oracle mirror).  The nine
-#         names whose ORACLES changed (no-op on signed data,
-#         hash-verified): agg_argmax_misc, ts_weekly_ohlc,
-#         agg_cms_freq_sketch, agg_kmv_distinct_sketch,
-#         pipeline_dataset_split, pipeline_mixture_sample,
-#         sample_bernoulli_hash, sample_quality_weighted,
-#         sample_reservoir_topk_hash.
-# 28-33 = changed round 10 by the decimal-money sweep (CLAUDE.md):
-#         TPC-H's canonical DECIMAL(12,2) money encoding maps to
-#         DecimalType — io._normalize_unsigned now casts scan-edge
-#         decimals to DOUBLE (29 of 100 money queries failed raw),
-#         and six oracles gained DOUBLE casts so DuckDB's exact
-#         decimal per-row/quantile arithmetic mirrors Spark's
-#         doubles: math_basic, project_alias, limit_topn,
-#         agg_median_percentile, agg_median_abs_deviation,
-#         agg_trimmed_mean (no-ops on the double fixture,
-#         hash-verified).
-# 34-39 = the six r3° streaming rows-only names (evidence predates
-#         both the regeneration and the r8 source rewrite).
-#         NOTE for round 11: sources/sep_events.py changed TWICE in
-#         round 10 (segment-memo listing signature per ADVICE-r9;
-#         feed-order contract check from footer ts stats) — EVERY
-#         transport consumer is changed-since-green and ast_diff
-#         won't see it (sources/, not a query module).  The six here
-#         get round-10 grades on the new transport; the remaining
-#         transport consumers (stream_sep_source, stream_anomaly_score,
-#         stream_bootstrap_then_tail, stream_dedup_watermark,
-#         stream_incremental_upsert_view, stream_latest_op_wins,
-#         stream_scd2_maintain, stream_stateful_latest,
-#         stream_stream_interval_join, stream_windowed_distinct_hll,
-#         plus scan_events_feed if it routes through the source)
-#         belong in the round-11 lead block alongside whatever
-#         CORRECTNESS_r10 flags.
-# 40-44 = the r1° leftovers: agg_approx_count_distinct (rows-only),
-#         agg_string_concat, events_sep_cell_model,
-#         sink_bucketed_join, sink_compaction.
-# 45-50 = the r2° block head (set_intersect, set_except,
-#         set_intersect_all, str_regex, str_split_pad, date_parts —
-#         str_basic/str_levenshtein/udf_python_scalar/math_basic
-#         moved up into the changed blocks; the unsigned and
-#         decimal-money insertions displaced the other fourteen
-#         r2°/r3° names past the bound).
+# Driver-grading prefix for round 11 (standing rotation policy;
+# round 10 graded exactly positions 1-50 — 50/50 green,
+# CORRECTNESS_r10; zero failures, zero cut off).  Round-11 goal per
+# VERDICT-r10 item 1: FINISH the stale-grade drain — after this
+# prefix grades, zero names' latest evidence predates the round-4
+# testdata regeneration.  ast_diff 55ed4aa..HEAD on round-10 final
+# code saw 0 changed-since-green; the round-11 changes so far are
+# guard-path-only (sources/sep_events.py feed-order check now skips
+# mixed-tzinfo stats instead of raising TypeError — behavior
+# identical on every in-contract feed) and test/comment-only, but
+# per the transport rule every sep_events consumer re-enters anyway.
+# 1-10  = the transport streaming consumers whose latest grades
+#         (r8/r9) predate BOTH round-10 sep_events changes (segment
+#         feed-order contract check, decimal feed normalization) and
+#         today's tzinfo guard — ast_diff-invisible (sources/, not a
+#         query module; enumerated by the helper-consumer grep).
+#         scan_events_feed is NOT here: it reads batch parquet via
+#         io.t(), never touches the transport (events.py:57).
+# 11    = scan_rowgroup_stats_audit (rows-only; impl gained the
+#         decimal-stats degrade in round 10 — the one r10-changed
+#         name the r10 bound cut off).
+# 12-25 = the fourteen r2°/r3° names the round-10 unsigned/decimal
+#         sweep insertions displaced past the bound.
+# 26-44 = the r3° remainder (22 minus the 3 streaming names already
+#         at positions 5, 9, 10) — the LAST pre-regeneration
+#         evidence in the registry.
+# 45-50 = the six streaming names graded r10 on the round-10
+#         transport, re-entering for today's (guard-path-only)
+#         transport touch — freshest evidence, so they fill the tail
+#         and are the cheapest names to lose if the driver's bound
+#         lands under 50.
 # --- bound ---
-# 51    = scan_rowgroup_stats_audit (rows-only; impl gained the
-#         decimal-stats guard this round — leads round 11).
-# 52-65 = the fourteen displaced r2°/r3° names (date_trunc_arith,
-#         cond_case_coalesce, arr_construct_contains, arr_explode,
-#         arr_posexplode, arr_sort_distinct_slice,
-#         udf_pandas_vectorized, udtf_python, events_latest_op_wins,
-#         events_delete_column_mask, events_tombstone_cell_model,
-#         text_tokenize_wordcount, text_ngrams, text_tfidf) — they
-#         LEAD round 11 together with the r3° remainder.
-# 66-87 = the r3° remainder (22 names) — the LAST stale evidence;
-#         round 11 = 1 + 14 displaced + 22 remainder + the ~10
-#         transport consumers noted above ≈ 47, inside a 50-bound.
-# 88+   = rows-only r7-changed vector/scan names (local evidence
-#         strong), then r4-r9 greens by registration order.  All
-#         prefix names re-verified against the local oracle on
-#         current data under two shuffle configs + plain-session
-#         driver sim before commit (tests.harness + chunked
-#         plain_session_sweep.py).
+# 51+   = round-12 queue: rows-only r7-changed vector/scan names
+#         (local evidence strong; rows-only re-grades add little),
+#         then r4+ greens by age via registration order.  Registry
+#         UNFREEZES in round 12 per VERDICT-r10 item 3 once this
+#         prefix grades (any new op added then must sit inside that
+#         round's prefix, round-4 precedent).
+# All prefix names re-verified against the local oracle on current
+# data under two shuffle configs + a chunked plain-session driver
+# sim before commit (tests.harness + plain_session_sweep.py).
 _GRADE_FIRST = [
-    # changed round 10 (ast-visible)
-    "agg_corr",
-    "dedup_minhash_near",
-    "dedup_simhash",
-    # changed round 10 via the integral-cast / digit / length payload
-    # gates (helper-driven; ast_diff-invisible — see comment block)
-    "events_payload_extract",
-    "filter_null_handling",
-    "cast_types",
-    "agg_bitwise",
-    "agg_regr_slope",
-    "json_extract_props",
-    "json_to_map",
-    "map_lambda_ops",
-    # last r1° sql-hash stale names (oldest evidence in the repo);
-    # rollup/cube/grouping_sets ALSO changed round 10 (oracle-only
-    # `HAVING count(*) > 0`, zero-row sweep)
-    "agg_min_max_stats",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    # changed round 10 by the unicode-enum sweep (ascii case folds,
-    # levenshtein input fold) — also r2°-stale, moved up from the r2°
-    # block
-    "str_basic",
-    "str_levenshtein",
-    "udf_python_scalar",
-    # changed round 10 by the unsigned-id sweep (oracle-only BIGINT
-    # casts in the knuth-hash mirror and the %010d printf keys —
-    # no-ops on the signed fixture, hash-verified)
-    "agg_argmax_misc",
-    "ts_weekly_ohlc",
-    "agg_cms_freq_sketch",
-    "agg_kmv_distinct_sketch",
-    "pipeline_dataset_split",
-    "pipeline_mixture_sample",
-    "sample_bernoulli_hash",
-    "sample_quality_weighted",
-    "sample_reservoir_topk_hash",
-    # changed round 10 by the decimal-money sweep (oracle-only DOUBLE
-    # casts so DuckDB's exact decimal arithmetic mirrors Spark's
-    # normalized doubles — no-ops on the double fixture,
-    # hash-verified; math_basic moved up from the r2° block)
-    "math_basic",
-    "project_alias",
-    "limit_topn",
-    "agg_median_percentile",
-    "agg_median_abs_deviation",
-    "agg_trimmed_mean",
-    # r3° streaming rows-only (VERDICT-r9 item 1: evidence predates
-    # the regeneration and the r8 sep_events source rewrite)
-    "stream_tumbling_count",
-    "stream_sliding_avg",
-    "stream_session_window",
-    "stream_watermark_late",
-    "stream_static_join",
-    "stream_foreach_batch_sink",
-    # r1° leftovers
-    "agg_approx_count_distinct",
-    "agg_string_concat",
-    "events_sep_cell_model",
-    "sink_bucketed_join",
-    "sink_compaction",
-    # the r2° block (scalars / sets tail / arrays — str_basic,
-    # str_levenshtein and udf_python_scalar moved up into the
-    # changed block; the 12 below fill the bound exactly)
-    "set_intersect",
-    "set_except",
-    "set_intersect_all",
-    "str_regex",
-    "str_split_pad",
-    "date_parts",
-    # --- ~50-entry grading boundary; positions below pay off only if
-    # the driver's bound is larger, and set the round-11 queue order:
-    # scan_rowgroup_stats_audit first (rows-only; its impl gained the
-    # decimal-stats guard this round — local evidence strong, r7
-    # precedent says rows-only re-grades add little), then the
-    # r2°/r3° names the unsigned/decimal-sweep insertions displaced
-    # past the bound, then the r3° remainder — the last
-    # pre-regeneration evidence. (text_lang_filter_stats was already
-    # displaced in the earlier dedup_simhash queue-jump.)
+    # 1-10: transport consumers with pre-round-10-transport grades
+    "stream_sep_source",
+    "stream_bootstrap_then_tail",
+    "stream_stateful_latest",
+    "stream_dedup_watermark",
+    "stream_latest_op_wins",
+    "stream_scd2_maintain",
+    "stream_anomaly_score",
+    "stream_windowed_distinct_hll",
+    "stream_stream_interval_join",
+    "stream_incremental_upsert_view",
+    # 11: r10-changed, cut off by the r10 bound
     "scan_rowgroup_stats_audit",
+    # 12-25: the fourteen displaced r2°/r3° names
     "date_trunc_arith",
     "cond_case_coalesce",
     "arr_construct_contains",
@@ -260,6 +128,7 @@ _GRADE_FIRST = [
     "text_tokenize_wordcount",
     "text_ngrams",
     "text_tfidf",
+    # 26-44: the r3° remainder (non-streaming 19 of 22)
     "text_lang_filter_stats",
     "dedup_ngram_jaccard",
     "text_langid_heuristic",
@@ -277,14 +146,16 @@ _GRADE_FIRST = [
     "source_json_roundtrip",
     "source_orc_roundtrip",
     "source_schema_evolution",
-    "stream_latest_op_wins",
-    "stream_stream_interval_join",
-    "stream_incremental_upsert_view",
     "agg_collect_sorted",
     "simsearch_ivf_coarse",
-    # rows-only changed-since-green (r7 vector hardening + scan
-    # refactors): driver check is rows-only, re-grade adds little
-    # over local oracle/property evidence (round-6/7 precedent).
+    # 45-50: r10-graded streaming, re-entering for the tzinfo guard
+    "stream_tumbling_count",
+    "stream_sliding_avg",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_static_join",
+    "stream_foreach_batch_sink",
+    # --- 50-entry grading boundary; below = round-12 queue ---
     "simsearch_quantized_rerank",
     "vec_pca_project",
     "vec_kmeans_lloyd",
