@@ -62,23 +62,113 @@ def test_unsigned_fixture_matches_oracle(name, spark, unsigned_sf):
     assert res["status"] in ("ok", "ok-rows-only"), f"{name}: {res['status']}: {res['detail']}"
 
 
+import re
+
+_ID_REF = re.compile(r"\b\w+_id\b|\b[a-z]_\w*key\b")
+
+
+def _knuth_operand(sql: str, at: int) -> str:
+    """Expression text immediately left of a `% 2147483648` occurrence
+    at index `at`, scanned back over one balanced-paren operand chain
+    (stops at an unmatched '(' or a top-level comma/keyword break)."""
+    depth = 0
+    j = at - 1
+    while j >= 0:
+        c = sql[j]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and c == ",":
+            break
+        j -= 1
+    return sql[j + 1 : at].strip()
+
+
+def _printf_args(sql: str) -> list:
+    """Top-level-comma-split argument lists of every printf(...) whose
+    format string carries a zero-padded integer conversion."""
+    out = []
+    for m in re.finditer(r"printf\s*\(", sql, re.IGNORECASE):
+        i = m.end()
+        depth = 1
+        args, start = [], i
+        while i < len(sql) and depth:
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(sql[start:i].strip())
+            elif c == "," and depth == 1:
+                args.append(sql[start:i].strip())
+                start = i + 1
+            i += 1
+        if args and "%0" in args[0]:
+            out.append(args)
+    return out
+
+
+def _unsigned_unsafe_sites(sql: str) -> list:
+    """All unsigned-unsafe arithmetic sites in one rendered oracle:
+    a `% 2147483648` whose operand lacks the BIGINT cast (DuckDB
+    UINT32 arithmetic stays narrow and overflows the knuth multiply),
+    or a printf('%0Nd', ...) argument referencing an id/key column
+    without one (printf rejects UBIGINT outright)."""
+    bad = []
+    for m in re.finditer(r"%\s*2147483648", sql):
+        operand = _knuth_operand(sql, m.start())
+        if _ID_REF.search(operand) and "AS BIGINT" not in operand.upper():
+            bad.append(("knuth-no-cast", operand))
+    for args in _printf_args(sql):
+        for a in args[1:]:
+            if _ID_REF.search(a) and "AS BIGINT" not in a.upper():
+                bad.append(("printf-no-cast", a))
+    return bad
+
+
 def test_knuth_mirror_carries_bigint_cast():
     """Drift guard: every knuth-hash oracle site must cast the id to
-    BIGINT before the mod-multiply (DuckDB UINT32 arithmetic stays
-    narrow and overflows otherwise), and every printf('%..d') id
-    argument must be BIGINT-cast (printf rejects UBIGINT)."""
-    import re
-
+    BIGINT before the mod-multiply, and every printf('%0Nd') argument
+    that references an id must be BIGINT-cast. Balanced-paren scan —
+    the old regexes could not cross `epoch_us(ts)` inside a printf
+    argument list nor see the `(id + 1) %` knuth variant (ADVICE-r10)."""
     bad = []
     for name, q in REGISTRY.items():
         if not q.oracle:
             continue
-        for m in re.finditer(r"\(\s*(\w+(?:\.\w+)?)\s*%\s*2147483648", q.oracle):
-            if not re.match(r"(?i)cast", m.group(1)):
-                bad.append((name, "knuth-no-cast", m.group(0)))
-        for m in re.finditer(r"%010d'[^)]*?,\s*([A-Za-z_.]+)\)", q.oracle):
-            if "CAST" not in q.oracle[m.start() : m.end()].upper() and m.group(
-                1
-            ).endswith("_id"):
-                bad.append((name, "printf-no-cast", m.group(0)))
+        for kind, frag in _unsigned_unsafe_sites(q.oracle):
+            bad.append((name, kind, frag))
     assert not bad, f"unsigned-unsafe oracle arithmetic: {bad}"
+
+
+def test_unsigned_guard_catches_known_bad_shapes():
+    """Negative self-test: the exact shapes ADVICE-r10 proved the old
+    guard blind to must be flagged by the scanner."""
+    uncast_printf = (
+        "SELECT arg_max(value, printf('%020d-%010d', "
+        "epoch_us(ts) + 4611686018427387904, event_id)) FROM events"
+    )
+    assert any(
+        k == "printf-no-cast" for k, _ in _unsigned_unsafe_sites(uncast_printf)
+    ), "printf guard missed an uncast final id argument behind epoch_us(ts)"
+
+    uncast_knuth_plus = "WHERE ((((user_id + 1) % 2147483648) * 31) % 7) = 0"
+    assert any(
+        k == "knuth-no-cast" for k, _ in _unsigned_unsafe_sites(uncast_knuth_plus)
+    ), "knuth guard missed the (id + 1) % variant"
+
+    uncast_knuth_plain = "ORDER BY ((doc_id % 2147483648) * 2654435761)"
+    assert any(
+        k == "knuth-no-cast" for k, _ in _unsigned_unsafe_sites(uncast_knuth_plain)
+    )
+
+    cast_ok = (
+        "SELECT printf('%020d-%010d', epoch_us(ts) + 4611686018427387904, "
+        "CAST(event_id AS BIGINT)), "
+        "(((CAST(user_id AS BIGINT) + 1) % 2147483648) * 31) % 7 FROM events"
+    )
+    assert _unsigned_unsafe_sites(cast_ok) == []
