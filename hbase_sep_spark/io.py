@@ -102,9 +102,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so the events branch dispatches on the scanned dtype instead of
     assuming one encoding:
 
-    - `bigint`        → nanos file read under `nanosAsLong` (see
-      events_raw): rebuild TimestampType via timestamp_micros(ns/1000)
-      (lossless — nanos generators emitted whole microseconds).
+    - `bigint`        → an integer epoch column: TIMESTAMP(NANOS) read
+      under `nanosAsLong` (see events_raw), OR a raw UNANNOTATED int64
+      epoch — the Kafka/Debezium CDC wire shape, whose unit (s/ms/µs/
+      ns) is not recorded anywhere in the file. The unit is classified
+      from footer statistics (`int_ts_unit`; the magnitude bands are
+      1000× apart, so the classification is unambiguous for any epoch
+      between 1973 and 5138) and the rebuild uses the matching
+      timestamp_seconds/millis/micros constructor. The previous code
+      assumed nanos unconditionally, which would have turned an
+      int64-millis feed into silent 1970-era garbage.
     - `timestamp_ntz` → micros file read natively: cast to the session
       TimestampType (value-preserving under the UTC session timezone)
       so every downstream query sees the same type as before.
@@ -121,7 +128,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raw = events_raw(spark, sf_dir)
         ts_type = dict(raw.dtypes)["ts"]
         if ts_type == "bigint":
-            df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = raw.withColumn("ts", int_ts_to_session_expr(int_ts_unit(path)))
         elif ts_type == "timestamp_ntz":
             df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
@@ -131,6 +138,129 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _normalize_unsigned(df)
     _SCAN_CACHE.put(key, df)
     return df
+
+
+# Integer-epoch unit classification (round-11 int64-ts hardening).
+# The bands sit 1000× apart, so any epoch from 1973-04 (1e8 s) to
+# 5138 (1e11 s) classifies unambiguously in every unit — and a
+# pre-1970 feed (negative-epoch class) classifies by |value| the same
+# way. Only data within ~days of 1970-01-01 is ambiguous; that is the
+# documented envelope (such a feed must ship an annotated encoding).
+_EPOCH_BANDS = (("s", 10**11), ("ms", 10**14), ("us", 10**17))
+
+
+def classify_epoch_unit(max_abs: int) -> str:
+    """Unit of an integer epoch column given its max |value|."""
+    for unit, bound in _EPOCH_BANDS:
+        if max_abs < bound:
+            return unit
+    return "ns"
+
+
+# path → unit, keyed with the file listing signature so a same-path
+# regeneration (the driver's precedent) re-classifies.
+_TS_UNIT_CACHE: LruCache[str] = LruCache(maxsize=64)
+
+
+def int_ts_unit(path: str) -> str:
+    """Epoch unit ('s'/'ms'/'us'/'ns') of an INTEGER-typed ts column,
+    classified from parquet row-group statistics — footer-only, no
+    data pages read (the sep_events segment-index discipline). Falls
+    back to reading the ts column itself only when every row group
+    lacks usable stats (the round-10 undecodable-stats precedent),
+    which is the rare recovery path for an exotic writer; an empty or
+    all-NULL feed returns 'ns' (nothing to convert — preserves the
+    pre-round-11 nanos assumption byte-for-byte on rounds-1-3 files,
+    whose values classify as 'ns' by magnitude anyway)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    sig = tuple(
+        (fp, st.st_size, st.st_mtime_ns) for fp in files for st in (os.stat(fp),)
+    )
+    cached = _TS_UNIT_CACHE.get(("unit", sig))
+    if cached is not None:
+        return cached
+    # An ANNOTATED timestamp column that still scanned as bigint can
+    # only be TIMESTAMP(NANOS) under nanosAsLong (the rounds-1-3
+    # shape) — pyarrow reads its stats as datetimes, not ints, so
+    # short-circuit on the arrow schema before touching statistics.
+    import pyarrow.types as patypes
+
+    first_schema = pq.read_schema(files[0])
+    if "ts" in first_schema.names and patypes.is_timestamp(
+        first_schema.field("ts").type
+    ):
+        _TS_UNIT_CACHE.put(("unit", sig), "ns")
+        return "ns"
+    max_abs = 0
+    stats_missing = False
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        idx = next(
+            (i for i in range(md.num_columns) if md.schema.column(i).name == "ts"),
+            None,
+        )
+        if idx is None:
+            continue
+        for rg in range(md.num_row_groups):
+            try:
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    stats_missing = True
+                    continue
+                max_abs = max(max_abs, abs(int(st.min)), abs(int(st.max)))
+            except Exception:
+                stats_missing = True
+    if max_abs == 0 and stats_missing:
+        # No usable stats anywhere: read the column (pruned to ts).
+        for fp in files:
+            col = pq.read_table(fp, columns=["ts"]).column("ts")
+            for chunk in col.chunks:
+                for v in chunk:
+                    if v.is_valid:
+                        max_abs = max(max_abs, abs(v.as_py()))
+    unit = classify_epoch_unit(max_abs) if max_abs else "ns"
+    _TS_UNIT_CACHE.put(("unit", sig), unit)
+    return unit
+
+
+def int_ts_to_session_expr(unit: str):
+    """Session-TimestampType rebuild expression for an integer `ts`
+    column of the given epoch unit. The 'ns' form truncates toward
+    zero (`div 1000`) — exact under the whole-microseconds envelope
+    every nanos generator observed (io docstring, rounds 1-3)."""
+    from pyspark.sql import functions as F
+
+    if unit == "ns":
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    if unit == "us":
+        return F.timestamp_micros(F.col("ts"))
+    if unit == "ms":
+        return F.timestamp_millis(F.col("ts"))
+    return F.timestamp_seconds(F.col("ts"))
+
+
+def epoch_us_to_unit(epoch_us: int, unit: str) -> int:
+    """Convert a whole-microseconds epoch to the feed's integer unit
+    (for pushable literals against the PHYSICAL int column). The
+    ms/s floors are exact whenever the value came FROM the feed (a
+    whole-ms feed's epochs have zero sub-ms digits)."""
+    if unit == "ns":
+        return epoch_us * 1000
+    if unit == "us":
+        return epoch_us
+    if unit == "ms":
+        return epoch_us // 1000
+    return epoch_us // 10**6
 
 
 def _normalize_unsigned(df: DataFrame) -> DataFrame:

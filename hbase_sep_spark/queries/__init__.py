@@ -66,9 +66,12 @@ from hbase_sep_spark import registry as _registry
 # testdata regeneration.  ast_diff 55ed4aa..HEAD on round-10 final
 # code saw 0 changed-since-green; the round-11 changes so far are
 # guard-path-only (sources/sep_events.py feed-order check now skips
-# mixed-tzinfo stats instead of raising TypeError — behavior
-# identical on every in-contract feed) and test/comment-only, but
-# per the transport rule every sep_events consumer re-enters anyway.
+# mixed-tzinfo stats instead of raising TypeError; io.t()/transport/
+# bootstrap gained the int64-epoch-unit dispatch, dead code on the
+# annotated-micros fixture — behavior identical on every in-contract
+# feed, full registry 279/279 on the int64-ms fixture AND current
+# data) and test/comment-only, but per the transport rule every
+# sep_events consumer re-enters anyway.
 # 1-10  = the transport streaming consumers whose latest grades
 #         (r8/r9) predate BOTH round-10 sep_events changes (segment
 #         feed-order contract check, decimal feed normalization) and

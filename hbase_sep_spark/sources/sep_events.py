@@ -117,7 +117,11 @@ def _feed_segments(path: str) -> tuple[tuple[str, int, int], ...]:
         # 10-before-9 LEXICALLY and would silently corrupt every replay
         # slice — parquet ts min/max statistics detect that for free.
         # Best-effort: skipped when stats are absent or the physical ts
-        # encodings differ across segments (never true of a real feed).
+        # encodings differ across segments — including naive-vs-aware
+        # datetimes, which share a Python type but don't order against
+        # each other (ADVICE-r10: such a mixed feed is out of contract
+        # and still fails loudly with ArrowInvalid at read time; the
+        # index build must not trip over it first).
         # min == prev max is allowed — equal-ts rows may span a
         # boundary (the composite (ts, event_id) order can't be
         # verified footer-only, and doesn't need to be: every consumer
@@ -128,6 +132,8 @@ def _feed_segments(path: str) -> tuple[tuple[str, int, int], ...]:
             mn is not None
             and prev_max_ts is not None
             and type(mn) is type(prev_max_ts)
+            and (getattr(mn, "tzinfo", None) is None)
+            == (getattr(prev_max_ts, "tzinfo", None) is None)
             and mn < prev_max_ts
         ):
             raise ValueError(
@@ -249,6 +255,27 @@ def _read_rows(path: str, lo: int, hi: int, step: int = 1):
                 ]
             )
         )
+    # Integer-epoch ts (a raw Kafka/Debezium int64 feed, no unit
+    # annotation): classify the unit from footer stats exactly like
+    # io.t() (round-11 — the bands are 1000× apart, unambiguous for
+    # 1973-5138 epochs) and rebuild timestamp[us] at the arrow level.
+    # An int→timestamp arrow cast interprets the value in the TARGET
+    # unit, so cast to the classified unit first, then normalize to
+    # µs (safe=False floors sub-µs nanos — matching io.t()'s
+    # `div 1000` under the whole-µs envelope). Without this, every
+    # row below hit AttributeError on ts.tzinfo.
+    ts_i = tbl.schema.get_field_index("ts")
+    if pa.types.is_integer(tbl.schema.field(ts_i).type):
+        from hbase_sep_spark.io import int_ts_unit
+
+        unit = int_ts_unit(path)
+        col = (
+            tbl.column("ts")
+            .cast(pa.int64())
+            .cast(pa.timestamp(unit))
+            .cast(pa.timestamp("us"), safe=False)
+        )
+        tbl = tbl.set_column(ts_i, pa.field("ts", pa.timestamp("us"), True), col)
     records = tbl.to_pylist()
     if step > 1:
         records = records[::step]

@@ -277,7 +277,8 @@ def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     one footer read plus one row-group-sliced single-row read (the
     same arithmetic the source's offsets use; driver cost is O(1)
     regardless of feed size), and the snapshot filters the RAW
-    int64-ns scan with `(ts, event_id) < boundary`, which reaches
+    physical-ts scan (int64 epoch of any unit, or ntz) with
+    `(ts, event_id) < boundary`, which reaches
     parquet as PushedFilters and prunes row groups at the source. The
     previous shape (`orderBy(ts, event_id).limit(K)`) was a global
     sort plus a single-point limit — a non-starter at 100 TB."""
@@ -288,11 +289,16 @@ def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = feed_total(path)  # footer-only; segment-dir aware
     k = total // 2
 
+    from hbase_sep_spark.io import epoch_us_to_unit, int_ts_to_session_expr, int_ts_unit
+
     raw = events_raw(spark, sf_dir)
-    nanos = dict(raw.dtypes)["ts"] == "bigint"
+    # Integer-epoch feeds carry NO unit annotation (nanos under
+    # nanosAsLong, or a raw Kafka/Debezium int64 in s/ms/µs/ns) —
+    # classify from footer stats like io.t() does (round-11).
+    int_unit = int_ts_unit(path) if dict(raw.dtypes)["ts"] == "bigint" else None
     to_session_ts = (
-        F.timestamp_micros(F.expr("ts div 1000"))
-        if nanos
+        int_ts_to_session_expr(int_unit)
+        if int_unit
         else F.col("ts").cast("timestamp")
     )
     # Boundary = the first row the TAIL will deliver. The transport
@@ -324,15 +330,19 @@ def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         # _read_rows emits tz-aware UTC datetimes (Python-native rows
         # since the round-8 null-keys fix — not pandas Timestamps).
         b_naive = b_ts.replace(tzinfo=None)
-        if nanos:
-            # TIMESTAMP(NANOS) file: physical column is int64 ns.
-            # Exact integer epoch math (float .timestamp() would lose
-            # precision); the generator's sub-µs digits are zero, so
-            # the µs-grained datetime is lossless for this feed.
+        if int_unit:
+            # Integer-epoch file: physical column is int64 in
+            # `int_unit`. Exact integer epoch math (float .timestamp()
+            # would lose precision); the boundary row came FROM the
+            # feed, so converting its whole-µs epoch back to the
+            # feed's unit is lossless (whole-ms feeds have zero sub-ms
+            # digits, etc.).
             delta = b_naive - _dt.datetime(1970, 1, 1)
             b_lit = F.lit(
-                ((delta.days * 86400 + delta.seconds) * 10**6 + delta.microseconds)
-                * 1000
+                epoch_us_to_unit(
+                    (delta.days * 86400 + delta.seconds) * 10**6 + delta.microseconds,
+                    int_unit,
+                )
             )
         else:
             # TIMESTAMP(MICROS) file: physical column is timestamp_ntz;

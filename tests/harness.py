@@ -32,15 +32,37 @@ def duck_connection(sf_dir: str):
     con = duckdb.connect()
     for name in TABLES:
         path = f"{sf_dir}/{name}.parquet"
-        if os.path.isdir(path):
+        src = (
+            f"read_parquet('{path}/*.parquet')"
+            if os.path.isdir(path)
             # Multi-file table layout (scripts/gen_layout_fixture.py):
             # Spark reads the directory natively; DuckDB needs a glob.
-            con.execute(
-                f"CREATE OR REPLACE VIEW {name} AS "
-                f"SELECT * FROM read_parquet('{path}/*.parquet')"
+            else f"read_parquet('{path}')"
+        )
+        if not os.path.exists(path):
+            continue
+        select = "SELECT *"
+        if name == "events":
+            # Integer-epoch ts (raw Kafka/Debezium int64, no unit
+            # annotation): mirror io.t()'s footer-stats unit
+            # classification so the oracle sees the same instants
+            # (round-11; the `//` floor on nanos matches Spark's
+            # `div 1000` under the whole-µs envelope).
+            (ts_type,) = (
+                r[1]
+                for r in con.execute(f"DESCRIBE SELECT ts FROM {src}").fetchall()
             )
-        elif os.path.exists(path):
-            con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+            if ts_type in ("BIGINT", "INTEGER", "UBIGINT", "UINTEGER"):
+                from hbase_sep_spark.io import int_ts_unit
+
+                rebuild = {
+                    "s": "make_timestamp(CAST(ts AS BIGINT) * 1000000)",
+                    "ms": "make_timestamp(CAST(ts AS BIGINT) * 1000)",
+                    "us": "make_timestamp(CAST(ts AS BIGINT))",
+                    "ns": "make_timestamp(CAST(ts AS BIGINT) // 1000)",
+                }[int_ts_unit(path)]
+                select = f"SELECT * REPLACE ({rebuild} AS ts)"
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS {select} FROM {src}")
     return con
 
 

@@ -157,6 +157,38 @@ def test_out_of_order_segments_fail_loudly(tmp_path):
     assert feed_total(str(ok_dir)) == n
 
 
+def test_mixed_tz_segments_skip_order_check(tmp_path):
+    """A feed mixing ntz and tz-annotated segments is out of contract
+    (cross-segment reads fail loudly with ArrowInvalid), but the
+    footer-only feed-order check must not trip over it first: naive
+    and aware datetime stats share a Python type yet don't order
+    against each other, and the old type()-only guard raised a bare
+    TypeError at index-build time (ADVICE-r10). The check now also
+    compares tzinfo-ness and skips, best-effort."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from hbase_sep_spark.sources.sep_events import feed_total
+
+    single = f"{SF_UNIT}/events.parquet"
+    tbl = pq.read_table(single)
+    n = tbl.num_rows
+    first, second = tbl.slice(0, n // 2), tbl.slice(n // 2)
+    ts_i = second.schema.get_field_index("ts")
+    tz_ts = pc.assume_timezone(
+        second.column("ts").combine_chunks().cast(pa.timestamp("us")), "UTC"
+    )
+    second = second.set_column(ts_i, pa.field("ts", tz_ts.type), tz_ts)
+    seg_dir = tmp_path / "events.parquet"
+    seg_dir.mkdir()
+    pq.write_table(first, str(seg_dir / "data_00.parquet"))
+    pq.write_table(second, str(seg_dir / "data_01.parquet"))
+    # Index build succeeds (check skipped across the encoding change),
+    # no TypeError.
+    assert feed_total(str(seg_dir)) == n
+
+
 def test_segment_memo_detects_same_path_rewrite(tmp_path):
     """A feed regenerated AT THE SAME PATH inside a live process (the
     driver's testdata-regeneration precedent) must not be served stale
