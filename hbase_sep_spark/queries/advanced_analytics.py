@@ -149,7 +149,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
                sum(value) AS v, count(*) AS n
-        FROM events GROUP BY 1, 2
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1, 2
     ),
     span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
     cal AS (
@@ -179,36 +181,70 @@ def ts_daily_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar (their own [first, last] active span) and carry the last
     observed daily value across gap days.
 
-    Scale shape (two shuffles, measured): the daily aggregate
-    shuffles once on (user_id, day) — map-side-combinable, so the
-    shuffle carries day-level partials, not events; the span
-    aggregate and generated calendar are user-cardinality and
-    broadcast back onto the daily table; the forward-fill window is
-    the second shuffle, on user_id alone. The calendar is GENERATED
-    per user with sequence()+explode — span-sized, no driver loop, no
-    global calendar table; the fill itself is last(ignorenulls) over
-    a running frame — O(1) state per row."""
-    ev = t(spark, sf_dir, "events")
+    Scale shape (two shuffles, ZERO joins — round-11 rewrite): the
+    daily aggregate shuffles once on (user_id, day), map-side-
+    combinable so the shuffle carries day-level partials, not events;
+    one user_id window pass over the DAILY table (not the densified
+    output) computes the forward-fill value and each row's next
+    active day; then every row GENERATES its own gap days with
+    sequence()+posexplode — the gap rows inherit the generating row's
+    filled value directly, so no second window runs over the (larger)
+    densified result. The previous span+calendar+LEFT JOIN shape was
+    measured at sf1 to spend +0.686 s (half the query) in the spine
+    join (scripts/decompose_gapfill_sf1.py); generating gaps from
+    lead() removes that term entirely and nothing in the plan grows
+    faster than the daily table.
+
+    NULL policy (two-sided, round-11): NULL ts or NULL user_id rows
+    are dead-lettered — a keyless or timeless record has no position
+    on any per-user calendar (the as-of/PIT family's policy; the old
+    join shape dropped NULL days structurally but emitted a spurious
+    all-gap calendar for a NULL user). The oracle carries the same
+    WHERE; a no-op on feeds with non-null keys, where the join and
+    generator forms are value-identical.
+
+    Oracle note: the oracle keeps the spine-join formulation (DuckDB
+    plans it fine at oracle SF) — it pins that the generator rewrite
+    preserves the join semantics exactly."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     daily = ev.groupBy(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
-    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    cal = span.select(
+    w_ord = Window.partitionBy("user_id").orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    enriched = daily.select(
         "user_id",
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        "day",
+        "v",
+        "n",
+        F.last("v", ignorenulls=True).over(w_cum).alias("vf"),
+        F.lead("day").over(w_ord).alias("next_day"),
     )
-    j = cal.join(daily, ["user_id", "day"], "left")
-    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    gen = enriched.select(
+        "user_id",
+        "v",
+        "n",
+        "vf",
+        F.posexplode(
+            F.sequence(
+                "day", F.coalesce(F.date_sub("next_day", 1), F.col("day"))
+            )
+        ).alias("pos", "day"),
     )
-    return j.select(
+    return gen.select(
         "user_id",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
-        (F.round(F.last("v", ignorenulls=True).over(w), 2) + F.lit(0.0)).alias(
-            "value_filled"
-        ),
-        F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        F.when(F.col("pos") == 0, F.col("n"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_events"),
+        (F.round("vf", 2) + F.lit(0.0)).alias("value_filled"),
+        F.when((F.col("pos") == 0) & F.col("v").isNotNull(), 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("is_gap"),
     )
 
 

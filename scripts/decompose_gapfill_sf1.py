@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hbase_sep_spark.io import t
-from hbase_sep_spark.session import get_session
+from hbase_sep_spark.session import get_spark
 
 
 def timed(label: str, build, runs: int = 5) -> float:
@@ -37,7 +37,7 @@ def timed(label: str, build, runs: int = 5) -> float:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkgraft_sf1"
-    spark = get_session()
+    spark = get_spark()
     ev = t(spark, sf_dir, "events")
 
     def daily():

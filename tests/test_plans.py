@@ -298,15 +298,22 @@ def test_pagerank_caches_edges_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_gapfill_two_shuffles_span_broadcast(spark):
+def test_gapfill_two_shuffles_no_join(spark):
     """Calendar gap-fill: (user_id, day) daily aggregate + user_id
-    window = exactly two Exchanges; the user-cardinality span/calendar
-    side must broadcast back onto the daily table, never sort-merge."""
+    window = exactly two Exchanges and ZERO joins — gap days are
+    GENERATED from each daily row's lead(day) with sequence()+
+    posexplode (round-11 rewrite: the old span+calendar LEFT JOIN
+    spine was measured at +0.686 s / half the query at sf1,
+    scripts/decompose_gapfill_sf1.py; nothing in this plan grows
+    faster than the daily table)."""
     import re
 
     plan = plan_of(spark, "ts_daily_gapfill_ffill")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    # One window pass over the daily table, BEFORE the generator —
+    # never over the (larger) densified output.
+    assert plan.index("Window") > plan.index("Generate")
 
 
 def test_interpolate_two_shuffles(spark):
