@@ -72,53 +72,59 @@ from hbase_sep_spark import registry as _registry
 # feed, full registry 279/279 on the int64-ms fixture AND current
 # data) and test/comment-only, but per the transport rule every
 # sep_events consumer re-enters anyway.
-# 1     = ts_daily_gapfill_ffill — the ONE sql-hash query that
-#         materially changed in round 11 (VERDICT-r10 item 4: the
-#         span+calendar LEFT JOIN was measured at +0.686 s — half the
-#         query — at sf1; rewritten join-free with lead()+sequence()+
-#         posexplode, 0.91 → 0.37 s at sf1 = 1.1× DuckDB, under the
-#         gate; oracle gained the two-sided NULL ts/user_id
-#         dead-letter WHERE — hash-identical on the null-free driver
-#         fixture, verified across eight hostile fixture classes and
-#         two shuffle configs).  Changed-since-green leads.
-# 2-11  = the transport streaming consumers whose latest grades
+# 1-2   = the TWO sql-hash queries that materially changed in round
+#         11 (changed-since-green leads): ts_daily_gapfill_ffill
+#         (VERDICT-r10 item 4: the span+calendar LEFT JOIN was
+#         measured at +0.686 s — half the query — at sf1; rewritten
+#         join-free with lead()+sequence()+posexplode, 0.91 → 0.37 s
+#         at sf1 = 1.1× DuckDB, under the gate) and
+#         ts_linear_interpolate (the same spine-join shape, same
+#         generator rewrite — 0.85× DuckDB at sf1; anchors computed
+#         on the daily table are provably identical to the densified
+#         window's).  Both oracles gained the two-sided NULL
+#         ts/user_id dead-letter WHERE — hash-identical on the
+#         null-free driver fixture, verified across eight hostile
+#         fixture classes, two shuffle configs, and sf1.
+# 3-12  = the transport streaming consumers whose latest grades
 #         (r8/r9) predate BOTH round-10 sep_events changes (segment
 #         feed-order contract check, decimal feed normalization) and
 #         today's tzinfo guard — ast_diff-invisible (sources/, not a
 #         query module; enumerated by the helper-consumer grep).
 #         scan_events_feed is NOT here: it reads batch parquet via
 #         io.t(), never touches the transport (events.py:57).
-# 12    = scan_rowgroup_stats_audit (rows-only; impl gained the
+# 13    = scan_rowgroup_stats_audit (rows-only; impl gained the
 #         decimal-stats degrade in round 10 — the one r10-changed
 #         name the r10 bound cut off).
-# 13-26 = the fourteen r2°/r3° names the round-10 unsigned/decimal
+# 14-27 = the fourteen r2°/r3° names the round-10 unsigned/decimal
 #         sweep insertions displaced past the bound.
-# 27-45 = the r3° remainder (22 minus the 3 streaming names already
-#         at positions 6, 10, 11) — the LAST pre-regeneration
+# 28-46 = the r3° remainder (22 minus the 3 streaming names already
+#         at positions 7, 11, 12) — the LAST pre-regeneration
 #         evidence in the registry.
-# 46-50 = five of the six streaming names graded r10 on the round-10
+# 47-50 = four of the six streaming names graded r10 on the round-10
 #         transport, re-entering for today's (guard-path-only)
 #         transport touch — freshest evidence, so they fill the tail
 #         and are the cheapest names to lose if the driver's bound
-#         lands under 50 (the gapfill queue-jump displaced the sixth,
-#         stream_foreach_batch_sink, to position 51: it keeps its
-#         fresh r10 grade and the tzinfo guard is dead code on
-#         in-contract feeds).
+#         lands under 50 (the two queue-jumps displaced the other
+#         two, stream_static_join and stream_foreach_batch_sink, to
+#         positions 51-52: they keep their fresh r10 grades and the
+#         tzinfo guard is dead code on in-contract feeds).
 # --- bound ---
-# 51+   = round-12 queue: stream_foreach_batch_sink first, then
-#         rows-only r7-changed vector/scan names (local evidence
-#         strong; rows-only re-grades add little), then r4+ greens by
-#         age via registration order.  Registry UNFREEZES in round 12
-#         per VERDICT-r10 item 3 once this prefix grades (any new op
+# 51+   = round-12 queue: stream_static_join and
+#         stream_foreach_batch_sink first, then rows-only r7-changed
+#         vector/scan names (local evidence strong; rows-only
+#         re-grades add little), then r4+ greens by age via
+#         registration order.  Registry UNFREEZES in round 12 per
+#         VERDICT-r10 item 3 once this prefix grades (any new op
 #         added then must sit inside that round's prefix, round-4
 #         precedent).
 # All prefix names re-verified against the local oracle on current
 # data under two shuffle configs + a chunked plain-session driver
 # sim before commit (tests.harness + plain_session_sweep.py).
 _GRADE_FIRST = [
-    # 1: the round-11 changed-since-green sql-hash query
+    # 1-2: the round-11 changed-since-green sql-hash queries
     "ts_daily_gapfill_ffill",
-    # 2-11: transport consumers with pre-round-10-transport grades
+    "ts_linear_interpolate",
+    # 3-12: transport consumers with pre-round-10-transport grades
     "stream_sep_source",
     "stream_bootstrap_then_tail",
     "stream_stateful_latest",
@@ -166,13 +172,13 @@ _GRADE_FIRST = [
     "source_schema_evolution",
     "agg_collect_sorted",
     "simsearch_ivf_coarse",
-    # 46-50: r10-graded streaming, re-entering for the tzinfo guard
+    # 47-50: r10-graded streaming, re-entering for the tzinfo guard
     "stream_tumbling_count",
     "stream_sliding_avg",
     "stream_session_window",
     "stream_watermark_late",
-    "stream_static_join",
     # --- 50-entry grading boundary; below = round-12 queue ---
+    "stream_static_join",
     "stream_foreach_batch_sink",
     "simsearch_quantized_rerank",
     "vec_pca_project",

@@ -254,7 +254,9 @@ def ts_daily_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
                sum(value) AS v
-        FROM events GROUP BY 1, 2
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1, 2
     ),
     span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
     cal AS (
@@ -310,41 +312,71 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the concrete failure mode portable.py's "no per-row rounding of
     short-decimal products" rule exists for.
 
-    Scale shape: same two-shuffle profile as the gap-fill op
-    ((user_id, day) daily aggregate, then the user_id window); the
-    four neighbor lookups are last/first(ignorenulls) over one-sided
-    frames — O(1) window state, no self-join against the observed
-    subset (the naive nearest-neighbor join formulation shuffles the
-    observed table twice more and skews on gap-heavy users)."""
-    ev = t(spark, sf_dir, "events")
+    Scale shape (two shuffles, ZERO joins — round-11 rewrite, the
+    gap-fill generator pattern): the (user_id, day) daily aggregate
+    shuffles once; ONE user_id window pass over the DAILY table
+    computes each row's next active day plus the nearest non-NULL
+    anchors on both sides (last/first ignorenulls over one-sided
+    frames — O(1) window state); then sequence()+posexplode GENERATES
+    the gap days, which interpolate from the generating row's anchors
+    directly. The gap-fill op's sf1 decomposition measured the old
+    span+calendar LEFT JOIN spine at half the query — this op shared
+    that exact shape, so the same rewrite applies; the anchors are
+    identical because every generated day g in (R.day, next_day) has
+    its previous non-NULL observation at or before R.day and its next
+    one at or after next_day — exactly R's own cumulative/forward
+    lookups.
+
+    NULL policy (two-sided, round-11): NULL ts or NULL user_id rows
+    are dead-lettered, as in the gap-fill op (the old join shape
+    emitted a spurious all-NULL interpolation calendar for a NULL
+    user)."""
+    ev = t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     daily = ev.groupBy(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(F.sum("value").alias("v"))
-    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    cal = span.select(
-        "user_id",
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
-    )
-    j = cal.join(daily, ["user_id", "day"], "left")
-    past = Window.partitionBy("user_id").orderBy("day").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    future = Window.partitionBy("user_id").orderBy("day").rowsBetween(
-        1, Window.unboundedFollowing
-    )
+    w_ord = Window.partitionBy("user_id").orderBy("day")
+    cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w_ord.rowsBetween(1, Window.unboundedFollowing)
     obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
-    pv = F.last("v", ignorenulls=True).over(past)
-    pd_ = F.last(obs_day, ignorenulls=True).over(past)
-    nv = F.first("v", ignorenulls=True).over(future)
-    nd = F.first(obs_day, ignorenulls=True).over(future)
-    interp = pv + (nv - pv) * F.datediff(F.col("day"), pd_) / F.datediff(nd, pd_)
-    return j.select(
+    enriched = daily.select(
+        "user_id",
+        "day",
+        "v",
+        F.lead("day").over(w_ord).alias("next_day"),
+        # Nearest non-NULL observation at/before this row (== itself
+        # when v is non-NULL — the anchor every generated gap day
+        # wants) and strictly after it.
+        F.last("v", ignorenulls=True).over(cum).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(cum).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    gen = enriched.select(
+        "user_id",
+        "v",
+        "pv",
+        "pd",
+        "nv",
+        "nd",
+        F.posexplode(
+            F.sequence(
+                "day", F.coalesce(F.date_sub("next_day", 1), F.col("day"))
+            )
+        ).alias("pos", "day"),
+    )
+    observed = (F.col("pos") == 0) & F.col("v").isNotNull()
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        F.col("day"), F.col("pd")
+    ) / F.datediff(F.col("nd"), F.col("pd"))
+    return gen.select(
         "user_id",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("is_interpolated"),
+        F.when(observed, 0).otherwise(1).cast("int").alias("is_interpolated"),
         (
-            F.round(F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 6)
-            + F.lit(0.0)
+            F.round(F.when(observed, F.col("v")).otherwise(interp), 6) + F.lit(0.0)
         ).alias("value_interp"),
     )
 

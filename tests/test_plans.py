@@ -316,12 +316,17 @@ def test_gapfill_two_shuffles_no_join(spark):
     assert plan.index("Window") > plan.index("Generate")
 
 
-def test_interpolate_two_shuffles(spark):
+def test_interpolate_two_shuffles_no_join(spark):
+    """Same generator shape as the gap-fill op (round-11): two
+    Exchanges, zero joins, the single window pass BEFORE the gap-day
+    generator (anchors computed on the daily table, never the
+    densified output)."""
     import re
 
     plan = plan_of(spark, "ts_linear_interpolate")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert plan.index("Window") > plan.index("Generate")
 
 
 def test_zscore_single_user_shuffle(spark):
