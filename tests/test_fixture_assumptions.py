@@ -258,3 +258,62 @@ def test_events_event_id_non_null(sf_dir):
     finally:
         con.close()
     assert n == 0, f"events ({sf_dir}): {n} rows with NULL event_id"
+
+
+# Exact column SETS per table. Load-bearing in a specific way: a
+# handful of graded surfaces pass whole-table schemas through to the
+# compare (scan_parquet returns the bare nation scan against a
+# 3-column oracle) or splice `SELECT *` against an explicit-column
+# UNION branch in oracle CTEs (_DUCK_DOCS_REDELIVERED and
+# pipeline_training_prep's corpus) — an ADDITIVE regeneration (a new
+# column on any table) would flip those from green to schema-mismatch
+# or a loud DuckDB binder error with no code change. Round-11 policy:
+# pin the sets here instead of rewriting r4/r7-green oracles for a
+# class with no precedent in eleven rounds (schemas have never moved;
+# encodings have). If this fires: make scan_parquet's projection and
+# the corpus CTE branches explicit BEFORE debugging anything else.
+EXPECTED_COLUMNS = {
+    "region": ["r_name", "r_regionkey"],
+    "nation": ["n_name", "n_nationkey", "n_regionkey"],
+    "customer": ["c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey"],
+    "supplier": ["s_acctbal", "s_name", "s_nationkey", "s_suppkey"],
+    "part": ["p_brand", "p_name", "p_partkey", "p_retailprice", "p_size", "p_type"],
+    "orders": [
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+    ],
+    "lineitem": [
+        "l_discount",
+        "l_extendedprice",
+        "l_linenumber",
+        "l_linestatus",
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "l_returnflag",
+        "l_shipdate",
+        "l_suppkey",
+        "l_tax",
+    ],
+    "events": ["event_id", "event_type", "props", "ts", "user_id", "value"],
+    "documents": ["doc_id", "lang", "n_chars", "source", "text"],
+    "embeddings": ["embedding", "label", "vec_id"],
+}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("table", sorted(EXPECTED_COLUMNS), ids=sorted(EXPECTED_COLUMNS))
+def test_table_column_sets_are_exact(sf_dir, table):
+    path = f"{sf_dir}/{table}.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} missing")
+    got = sorted(pq.read_schema(path).names)
+    assert got == EXPECTED_COLUMNS[table], (
+        f"{table} ({sf_dir}): column set changed — additive/removed "
+        f"columns break whole-table compares and SELECT-*-spliced "
+        f"oracle CTEs (see module note): {got}"
+    )
