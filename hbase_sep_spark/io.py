@@ -127,6 +127,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         raw = events_raw(spark, sf_dir)
         ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "decimal(20,0)":
+            # UINT64 epoch ts (a C++ writer's uint64_t): Spark maps the
+            # parquet UINT64 to DecimalType(20,0) — normalize to bigint
+            # FIRST so the integer-epoch dispatch below sees it (the
+            # generic _normalize_unsigned runs after this branch and
+            # would otherwise leave ts as bigint epoch integers, not a
+            # timestamp). UINT8/16/32 epochs widen to signed natively
+            # and arrive here as plain bigint.
+            raw = raw.withColumn("ts", F.col("ts").cast("bigint"))
+            ts_type = "bigint"
         if ts_type == "bigint":
             df = raw.withColumn("ts", int_ts_to_session_expr(int_ts_unit(path)))
         elif ts_type == "timestamp_ntz":

@@ -294,7 +294,11 @@ def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = events_raw(spark, sf_dir)
     # Integer-epoch feeds carry NO unit annotation (nanos under
     # nanosAsLong, or a raw Kafka/Debezium int64 in s/ms/µs/ns) —
-    # classify from footer stats like io.t() does (round-11).
+    # classify from footer stats like io.t() does (round-11). A
+    # UINT64 epoch scans as decimal(20,0) — normalize to bigint first
+    # (io.t()'s rule) so the seam literal and predicate are integer.
+    if dict(raw.dtypes)["ts"] == "decimal(20,0)":
+        raw = raw.withColumn("ts", F.col("ts").cast("bigint"))
     int_unit = int_ts_unit(path) if dict(raw.dtypes)["ts"] == "bigint" else None
     to_session_ts = (
         int_ts_to_session_expr(int_unit)

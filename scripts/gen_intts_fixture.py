@@ -43,10 +43,13 @@ COPY_TABLES = (
 ).split()
 
 
-def mutate_events(tbl: pa.Table, unit: str) -> pa.Table:
+def mutate_events(tbl: pa.Table, unit: str, unsigned: bool = False) -> pa.Table:
     """events.ts (timestamp) → plain unannotated int64 epoch in
     `unit`. safe=False floors sub-unit digits for coarse units (the
-    real coarse feed never had them)."""
+    real coarse feed never had them). unsigned=True writes UINT64
+    instead (a C++ writer's uint64_t — Spark scans it as
+    DecimalType(20,0), the unsigned-id class applied to time), or
+    UINT32 for the seconds unit (time_t's historical width)."""
     i = tbl.schema.get_field_index("ts")
     col = (
         tbl.column("ts")
@@ -54,15 +57,19 @@ def mutate_events(tbl: pa.Table, unit: str) -> pa.Table:
         .cast(pa.timestamp(unit), safe=False)
         .cast(pa.int64())
     )
-    return tbl.set_column(i, pa.field("ts", pa.int64(), True), col)
+    typ = pa.int64()
+    if unsigned:
+        typ = pa.uint32() if unit == "s" else pa.uint64()
+        col = col.cast(typ)
+    return tbl.set_column(i, pa.field("ts", typ, True), col)
 
 
-def build(src: str, dst: str, unit: str = "ms") -> str:
+def build(src: str, dst: str, unit: str = "ms", unsigned: bool = False) -> str:
     os.makedirs(dst, exist_ok=True)
     for t in COPY_TABLES:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
     pq.write_table(
-        mutate_events(pq.read_table(f"{src}/events.parquet"), unit),
+        mutate_events(pq.read_table(f"{src}/events.parquet"), unit, unsigned),
         f"{dst}/events.parquet",
     )
     return dst

@@ -68,18 +68,27 @@ def test_intts_ms_fixture_matches_oracle(name, spark, intts_ms_sf):
     )
 
 
-@pytest.mark.parametrize("unit", ["s", "us"])
-def test_intts_other_units_match_oracle(unit, spark, tmp_path_factory):
-    """The seconds and microseconds wire shapes through the scan, a
-    pick, and the transport (the ms fixture above covers the rest)."""
-    dst = str(tmp_path_factory.mktemp(f"intts_{unit}_sf"))
-    build(SF_UNIT, dst, unit)
+@pytest.mark.parametrize(
+    "unit,unsigned",
+    [("s", False), ("us", False), ("ms", True), ("s", True)],
+    ids=["int64-s", "int64-us", "uint64-ms", "uint32-s"],
+)
+def test_intts_other_units_match_oracle(unit, unsigned, spark, tmp_path_factory):
+    """The seconds and microseconds wire shapes, plus the UNSIGNED
+    epochs (uint64_t millis scans as DecimalType(20,0) and bypasses
+    the bigint branch without the io.t()/bootstrap normalization;
+    uint32 time_t seconds widens to bigint natively), through the
+    scan, a pick, and the transport (the ms fixture above covers the
+    rest)."""
+    tag = f"{'u' if unsigned else ''}{unit}"
+    dst = str(tmp_path_factory.mktemp(f"intts_{tag}_sf"))
+    build(SF_UNIT, dst, unit, unsigned)
     con = duck_connection(dst)
     try:
         for name in ("scan_events_feed", "events_latest_per_key", "stream_sep_source"):
             res = check_query(name, REGISTRY[name], spark, con, dst)
             assert res["status"] in ("ok", "ok-rows-only"), (
-                f"{unit}/{name}: {res['status']}: {res['detail']}"
+                f"{tag}/{name}: {res['status']}: {res['detail']}"
             )
     finally:
         con.close()
