@@ -137,6 +137,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # and arrive here as plain bigint.
             raw = raw.withColumn("ts", F.col("ts").cast("bigint"))
             ts_type = "bigint"
+        elif ts_type in ("int", "smallint", "tinyint"):
+            # Signed sub-64-bit epoch (32-bit time_t seconds is the
+            # realistic member): widen to bigint so the unit dispatch
+            # below sees it. The transport (pa.types.is_integer) and
+            # the harness duck view already accept these widths —
+            # round-12 ADVICE closed the batch-side asymmetry.
+            raw = raw.withColumn("ts", F.col("ts").cast("bigint"))
+            ts_type = "bigint"
         if ts_type == "bigint":
             df = raw.withColumn("ts", int_ts_to_session_expr(int_ts_unit(path)))
         elif ts_type == "timestamp_ntz":

@@ -277,9 +277,15 @@ def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     one footer read plus one row-group-sliced single-row read (the
     same arithmetic the source's offsets use; driver cost is O(1)
     regardless of feed size), and the snapshot filters the RAW
-    physical-ts scan (int64 epoch of any unit, or ntz) with
-    `(ts, event_id) < boundary`, which reaches
-    parquet as PushedFilters and prunes row groups at the source. The
+    physical-ts scan with `(ts, event_id) < boundary`. For the
+    native encodings (int64 epoch of any unit, timestamp_ntz) the
+    predicate sits directly on the scanned column and reaches parquet
+    as PushedFilters, pruning row groups at the source; on the
+    exotic-writer recovery paths (a uint64 epoch scanning as
+    decimal(20,0), sub-64-bit signed ints) it sits above the
+    bigint-normalizing cast and filters post-scan — correctness over
+    pruning there, since Spark's parquet filter conversion does not
+    push predicates through a cast (round-12 ADVICE). The
     previous shape (`orderBy(ts, event_id).limit(K)`) was a global
     sort plus a single-point limit — a non-starter at 100 TB."""
     from hbase_sep_spark.io import events_raw
@@ -295,9 +301,10 @@ def stream_bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Integer-epoch feeds carry NO unit annotation (nanos under
     # nanosAsLong, or a raw Kafka/Debezium int64 in s/ms/µs/ns) —
     # classify from footer stats like io.t() does (round-11). A
-    # UINT64 epoch scans as decimal(20,0) — normalize to bigint first
-    # (io.t()'s rule) so the seam literal and predicate are integer.
-    if dict(raw.dtypes)["ts"] == "decimal(20,0)":
+    # UINT64 epoch scans as decimal(20,0), and a 32-bit time_t
+    # seconds feed as int — normalize both to bigint first (io.t()'s
+    # rule) so the seam literal and predicate are 64-bit integer.
+    if dict(raw.dtypes)["ts"] in ("decimal(20,0)", "int", "smallint", "tinyint"):
         raw = raw.withColumn("ts", F.col("ts").cast("bigint"))
     int_unit = int_ts_unit(path) if dict(raw.dtypes)["ts"] == "bigint" else None
     to_session_ts = (

@@ -43,13 +43,19 @@ COPY_TABLES = (
 ).split()
 
 
-def mutate_events(tbl: pa.Table, unit: str, unsigned: bool = False) -> pa.Table:
+def mutate_events(
+    tbl: pa.Table, unit: str, unsigned: bool = False, narrow: bool = False
+) -> pa.Table:
     """events.ts (timestamp) → plain unannotated int64 epoch in
     `unit`. safe=False floors sub-unit digits for coarse units (the
     real coarse feed never had them). unsigned=True writes UINT64
     instead (a C++ writer's uint64_t — Spark scans it as
     DecimalType(20,0), the unsigned-id class applied to time), or
-    UINT32 for the seconds unit (time_t's historical width)."""
+    UINT32 for the seconds unit (time_t's historical width).
+    narrow=True writes SIGNED INT32 (only meaningful for the seconds
+    unit — the classic 32-bit time_t; Spark scans it as IntegerType,
+    which io.t()/the bootstrap widen to bigint before unit dispatch,
+    round-12 ADVICE)."""
     i = tbl.schema.get_field_index("ts")
     col = (
         tbl.column("ts")
@@ -61,15 +67,21 @@ def mutate_events(tbl: pa.Table, unit: str, unsigned: bool = False) -> pa.Table:
     if unsigned:
         typ = pa.uint32() if unit == "s" else pa.uint64()
         col = col.cast(typ)
+    elif narrow:
+        assert unit == "s", "int32 epochs only hold the seconds unit"
+        typ = pa.int32()
+        col = col.cast(typ)
     return tbl.set_column(i, pa.field("ts", typ, True), col)
 
 
-def build(src: str, dst: str, unit: str = "ms", unsigned: bool = False) -> str:
+def build(
+    src: str, dst: str, unit: str = "ms", unsigned: bool = False, narrow: bool = False
+) -> str:
     os.makedirs(dst, exist_ok=True)
     for t in COPY_TABLES:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
     pq.write_table(
-        mutate_events(pq.read_table(f"{src}/events.parquet"), unit, unsigned),
+        mutate_events(pq.read_table(f"{src}/events.parquet"), unit, unsigned, narrow),
         f"{dst}/events.parquet",
     )
     return dst

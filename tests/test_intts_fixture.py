@@ -69,23 +69,36 @@ def test_intts_ms_fixture_matches_oracle(name, spark, intts_ms_sf):
 
 
 @pytest.mark.parametrize(
-    "unit,unsigned",
-    [("s", False), ("us", False), ("ms", True), ("s", True)],
-    ids=["int64-s", "int64-us", "uint64-ms", "uint32-s"],
+    "unit,unsigned,narrow",
+    [
+        ("s", False, False),
+        ("us", False, False),
+        ("ms", True, False),
+        ("s", True, False),
+        ("s", False, True),
+    ],
+    ids=["int64-s", "int64-us", "uint64-ms", "uint32-s", "int32-s"],
 )
-def test_intts_other_units_match_oracle(unit, unsigned, spark, tmp_path_factory):
+def test_intts_other_units_match_oracle(unit, unsigned, narrow, spark, tmp_path_factory):
     """The seconds and microseconds wire shapes, plus the UNSIGNED
     epochs (uint64_t millis scans as DecimalType(20,0) and bypasses
     the bigint branch without the io.t()/bootstrap normalization;
-    uint32 time_t seconds widens to bigint natively), through the
-    scan, a pick, and the transport (the ms fixture above covers the
-    rest)."""
-    tag = f"{'u' if unsigned else ''}{unit}"
-    dst = str(tmp_path_factory.mktemp(f"intts_{tag}_sf"))
-    build(SF_UNIT, dst, unit, unsigned)
+    uint32 time_t seconds widens to bigint natively) and the SIGNED
+    32-bit time_t seconds feed (scans as IntegerType — io.t() and the
+    bootstrap widen it to bigint before unit dispatch, round-12
+    ADVICE), through the scan, a pick, and the transport (the ms
+    fixture above covers the rest)."""
+    tag = f"{'u' if unsigned else ''}{'int32-' if narrow else ''}{unit}"
+    dst = str(tmp_path_factory.mktemp(f"intts_{tag.replace('-', '_')}_sf"))
+    build(SF_UNIT, dst, unit, unsigned, narrow)
+    names = ["scan_events_feed", "events_latest_per_key", "stream_sep_source"]
+    if narrow:
+        # The int32 widening touched the bootstrap's seam mirror too —
+        # drive it on the one variant that exercises that branch.
+        names.append("stream_bootstrap_then_tail")
     con = duck_connection(dst)
     try:
-        for name in ("scan_events_feed", "events_latest_per_key", "stream_sep_source"):
+        for name in names:
             res = check_query(name, REGISTRY[name], spark, con, dst)
             assert res["status"] in ("ok", "ok-rows-only"), (
                 f"{tag}/{name}: {res['status']}: {res['detail']}"
