@@ -145,9 +145,24 @@ def main() -> None:
     if duck_times:
         result["duckdb_queries"] = duck_times
         result["duckdb_total"] = round(sum(duck_times.values()), 4)
+        # ratio_vs_duckdb is computed on the COMMON SET — queries with
+        # oracles on both engines (protocol note 2 in BASELINE.md:
+        # no-oracle queries are included in `value` but excluded from
+        # the ratio, since they have no DuckDB counterpart to divide
+        # by). `common_set` makes that numerator/denominator explicit
+        # in the artifact so the ratio reproduces from this file alone
+        # — dividing the full `value` by `duckdb_total` instead mixes
+        # no-oracle Spark time into the numerator only (the round-11
+        # VERDICT arithmetic divergence).
         common = [n for n in times if n in duck_times]
+        common_spark = round(sum(times[n] for n in common), 4)
+        result["common_set"] = {
+            "n_queries": len(common),
+            "spark_total": common_spark,
+            "duckdb_total": result["duckdb_total"],
+        }
         result["ratio_vs_duckdb"] = round(
-            sum(times[n] for n in common) / max(sum(duck_times[n] for n in common), 1e-9), 3
+            common_spark / max(result["duckdb_total"], 1e-9), 3
         )
     print(json.dumps(result))
 
