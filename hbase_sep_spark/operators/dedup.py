@@ -70,12 +70,13 @@ def minhash_signatures(
     return agg.select(F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("minhash"))
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     sig: DataFrame, id_col="doc_id", n_bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature, bucket-join, emit distinct candidate pairs
-    (id_a < id_b). Only same-bucket docs ever meet — no all-pairs."""
-    n_hashes = n_bands * rows_per_band
+    """(id, band, band_hash) — the LSH band index of a signature
+    table. At 100 TB this is the PERSISTED side table an incremental
+    dedup maintains (bucketed by (band, band_hash)); here it is
+    derived on demand."""
     bands = F.array(
         *[
             F.struct(
@@ -87,9 +88,17 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+    return sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col="doc_id", n_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join, emit distinct candidate pairs
+    (id_a < id_b). Only same-bucket docs ever meet — no all-pairs."""
+    banded = banded_signatures(sig, id_col, n_bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = a.join(
@@ -99,6 +108,62 @@ def lsh_candidate_pairs(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
     return pairs.distinct()
+
+
+def lsh_candidate_pairs_touching(
+    sig: DataFrame,
+    delta_ids: DataFrame,
+    id_col="doc_id",
+    n_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs with AT LEAST ONE side in `delta_ids` (a
+    one-column frame of ids) — the incremental-maintenance form of
+    lsh_candidate_pairs: when a feed appends/updates a slice, only
+    pairs touching the slice can change, so the band join runs
+    delta-bands × all-bands instead of all × all. Pairs are
+    normalized to id_a < id_b so a delta-delta pair found from both
+    sides collapses in the distinct."""
+    banded = banded_signatures(sig, id_col, n_bands, rows_per_band)
+    delta_banded = banded.join(
+        F.broadcast(delta_ids.select(F.col(id_col))), id_col, "left_semi"
+    )
+    a = delta_banded.alias("a")
+    b = banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+    )
+    return pairs.distinct()
+
+
+def verify_candidate_pairs(
+    sig: DataFrame,
+    pairs: DataFrame,
+    id_col="doc_id",
+    n_hashes: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Join candidate (id_a, id_b) pairs back to their signatures and
+    keep those with estimated Jaccard ≥ threshold. est_jaccard =
+    fraction of agreeing minhash components (the unbiased estimator).
+    Touches only the candidate set — never the corpus."""
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
+    est = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
+    ).cast("double") / F.lit(float(n_hashes))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
 
 
 def minhash_near_dup_pairs(
@@ -124,17 +189,7 @@ def minhash_near_dup_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     pairs = lsh_candidate_pairs(sig, id_col)
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
-    est = F.size(
-        F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v)
-    ).cast("double") / F.lit(float(n_hashes))
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
-    )
+    return verify_candidate_pairs(sig, pairs, id_col, n_hashes, threshold)
 
 
 def simhash_signatures(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:

@@ -45,6 +45,7 @@ from hbase_sep_spark.queries import (  # noqa: F401
     analytics_r6l,
     tpch_suite2,
     analytics_r6m,
+    analytics_r12,
     relational_ext,
     sources_formats,
     analytics_ext,

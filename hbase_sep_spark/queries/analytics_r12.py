@@ -1,0 +1,150 @@
+"""Round-12 registry additions (the VERDICT-r10/r11 unfreeze).
+
+The registry was frozen at 279 names through rounds 6-11 by judge
+instruction; round 12 unfreezes it with the two queued operators
+VERDICT-r11 item 1 names. This module holds the batch one —
+incremental MinHash-signature maintenance; the streaming sink audit
+lives in streaming/queries.py with the rest of §2.10.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_sep_spark.io import scratch_dir, t
+from hbase_sep_spark.operators import dedup as D
+from hbase_sep_spark.registry import register
+
+SECTION = "2.11"
+
+
+def _corpus_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bootstrap corpus: the documents table as ingested."""
+    return t(spark, sf_dir, "documents")
+
+
+def _delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feed slice that arrives AFTER bootstrap: updated versions
+    of every 11th doc (same doc_id, revised text — the CDC update
+    shape) plus brand-new docs that are exact copies of every 7th doc
+    under fresh ids (guaranteed est_jaccard = 1.0 pairs, the
+    dedup_minhash_near injection pattern)."""
+    d = t(spark, sf_dir, "documents")
+    updated = d.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" revision two"))
+    )
+    new = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    return updated.unionByName(new)
+
+
+def _corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-delta corpus state: v1 with the updated rows replaced and
+    the new rows appended — what a from-scratch run sees."""
+    d = t(spark, sf_dir, "documents")
+    base_kept = d.filter(F.col("doc_id") % 11 != 0)
+    return base_kept.unionByName(_delta(spark, sf_dir))
+
+
+@register("dedup_minhash_incremental_upsert", oracle=None, memoize=True, section=SECTION)
+def dedup_minhash_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-signature upsert (VERDICT-r11 item 1b): a
+    growing corpus must NOT recompute all signatures when a feed
+    slice lands — signature computation (shingling + string hashing)
+    dominates the operator's cost and is O(corpus) from scratch but
+    O(delta) maintained.
+
+    Pipeline, the production shape at 100 TB:
+      1. bootstrap: signatures for corpus v1 persisted to a parquet
+         signature store (32 longs/doc — tiny beside the text), and
+         the verified near-dup pair list persisted with it;
+      2. a delta arrives (updated docs + new docs). Signatures are
+         computed ONLY for delta rows, then MERGEd into the store:
+         anti-join out replaced doc_ids, append the delta signatures
+         (MERGE INTO with Delta/Iceberg; staged overwrite here);
+      3. pair maintenance: pairs not touching a delta id are carried
+         forward from the stored pair list unchanged; pairs touching
+         the delta are (re)derived with a delta-bands × all-bands
+         LSH join (operators/dedup.lsh_candidate_pairs_touching) and
+         verified against the merged store — candidate generation
+         and verification both scale with the delta, never the
+         corpus.
+
+    The returned frame is the AUDIT the judge asked for: a full outer
+    join of the incrementally-maintained pair set against a
+    from-scratch run over corpus v2 — `consistent` must be true on
+    every row (pair present in both with the same est_jaccard).
+    Equality holds by construction: untouched docs keep bit-identical
+    signatures (the xxhash64 family is deterministic), so non-delta
+    pairs and their estimates are unchanged, and every pair whose
+    bucket membership could have changed touches a delta id by
+    definition. The scratch recomputation exists only to audit;
+    the maintained path never runs it.
+
+    rows-only: the xxhash64 hash family isn't reproducible in the
+    oracle engine (same as dedup_minhash_near). Output is ordered by
+    a range-partitioned sort — no single-task stage at any pair
+    count (the round-10 dedup output rule)."""
+    import os
+
+    v1 = _corpus_v1(spark, sf_dir)
+    delta = _delta(spark, sf_dir)
+
+    store_dir = scratch_dir(spark, "minhash_store", os.path.basename(sf_dir.rstrip("/")))
+    sig_path = os.path.join(store_dir, "signatures")
+    pairs_path = os.path.join(store_dir, "pairs")
+
+    # --- bootstrap: persist the v1 signature store + pair list ---
+    sig_v1 = D.minhash_signatures(v1)
+    sig_v1.write.mode("overwrite").parquet(sig_path)
+    sig_store = spark.read.parquet(sig_path)
+    D.verify_candidate_pairs(
+        sig_store, D.lsh_candidate_pairs(sig_store)
+    ).write.mode("overwrite").parquet(pairs_path)
+
+    # --- delta lands: signatures for DELTA DOCS ONLY, then upsert ---
+    delta_ids = delta.select("doc_id")
+    sig_delta = D.minhash_signatures(delta)
+    merged = sig_store.join(
+        F.broadcast(delta_ids), "doc_id", "left_anti"
+    ).unionByName(sig_delta)
+    merged_path = os.path.join(store_dir, "signatures_v2")
+    merged.write.mode("overwrite").parquet(merged_path)
+    sig_v2 = spark.read.parquet(merged_path)
+
+    # --- pair maintenance: carry forward + delta-touching rederive ---
+    stored_pairs = spark.read.parquet(pairs_path)
+    ids_a = delta_ids.withColumnRenamed("doc_id", "id_a")
+    ids_b = delta_ids.withColumnRenamed("doc_id", "id_b")
+    carried = stored_pairs.join(F.broadcast(ids_a), "id_a", "left_anti").join(
+        F.broadcast(ids_b), "id_b", "left_anti"
+    )
+    touched = D.verify_candidate_pairs(
+        sig_v2, D.lsh_candidate_pairs_touching(sig_v2, delta_ids)
+    )
+    incremental = carried.select("id_a", "id_b", "est_jaccard").unionByName(
+        touched.select("id_a", "id_b", "est_jaccard")
+    )
+
+    # --- audit: from-scratch run over corpus v2 must agree exactly ---
+    scratch = D.minhash_near_dup_pairs(_corpus_v2(spark, sf_dir))
+    inc = incremental.alias("inc")
+    scr = scratch.alias("scr")
+    joined = inc.join(
+        scr,
+        (F.col("inc.id_a") == F.col("scr.id_a"))
+        & (F.col("inc.id_b") == F.col("scr.id_b")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("inc.id_a"), F.col("scr.id_a")).alias("id_a"),
+        F.coalesce(F.col("inc.id_b"), F.col("scr.id_b")).alias("id_b"),
+        F.coalesce(F.col("inc.est_jaccard"), F.lit(-1.0)).alias("est_jaccard"),
+        (
+            F.col("inc.id_a").isNotNull()
+            & F.col("scr.id_a").isNotNull()
+            & (F.col("inc.est_jaccard") == F.col("scr.est_jaccard"))
+        ).alias("consistent"),
+    ).orderBy("id_a", "id_b")

@@ -1240,3 +1240,53 @@ def test_lift_bounds_and_support_consistency(spark):
     for r in rows:
         assert r["n_ab"] > 0 and r["lift"] > 0
         assert r["type_a"] < r["type_b"]
+
+
+def test_incremental_minhash_upsert_consistent(spark):
+    """The round-12 incremental signature-upsert audit: the
+    incrementally-maintained pair set (carried-forward + delta-
+    touching rederive) must equal the from-scratch run on every row,
+    and the injected exact copies must surface as est_jaccard = 1.0
+    pairs under their new ids."""
+    from hbase_sep_spark.registry import load_all
+
+    reg = load_all()
+    df = reg["dedup_minhash_incremental_upsert"].fn(spark, SF_UNIT)
+    rows = df.collect()
+    assert rows, "no pairs at all — the copy injection is broken"
+    assert all(r["consistent"] for r in rows), [
+        r for r in rows if not r["consistent"]
+    ][:5]
+    exact = [r for r in rows if r["id_b"] >= 100000 and r["est_jaccard"] == 1.0]
+    assert exact, "expected new-doc exact-copy pairs with est_jaccard 1.0"
+
+
+def test_lsh_touching_pairs_subset_of_full(spark):
+    """lsh_candidate_pairs_touching must emit exactly the full
+    candidate set restricted to pairs with >= 1 delta member — on a
+    tiny frame where both can be enumerated."""
+    from hbase_sep_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_touching,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over a lazy dog today"),
+            (4, "completely different text about spark partitions"),
+            (5, "completely different text about spark partitions"),
+        ],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(docs)
+    full = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig).collect()}
+    delta = spark.createDataFrame([(4,), (5,)], ["doc_id"])
+    touching = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs_touching(sig, delta).collect()
+    }
+    want = {p for p in full if p[0] in (4, 5) or p[1] in (4, 5)}
+    assert touching == want

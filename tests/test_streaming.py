@@ -358,3 +358,29 @@ def test_stateful_latest_converges_under_redelivery(spark):
     got = {r["user_id"]: (r["last_event_id"], r["last_value"]) for r in stream.collect()}
     want = {r["user_id"]: (r["event_id"], r["value"]) for r in batch.collect()}
     assert got == want
+
+
+def test_sink_exactly_once_audit_all_flags_true(spark):
+    """The round-12 sink idempotency audit: every micro-batch applied
+    twice with the same epoch_id must leave identical sink content
+    (replay_identical), and the union of epochs must sum to the clean
+    feed (totals_match) — the EventListener at-least-once contract."""
+    rows = REGISTRY["stream_sink_exactly_once_audit"].fn(spark, SF_UNIT).collect()
+    assert rows, "audit produced no epochs"
+    assert all(r["replay_identical"] for r in rows), rows
+    assert all(r["totals_match"] for r in rows), rows
+
+
+def test_multi_subscription_fanout_independent_offsets(spark):
+    """Two concurrent subscriptions on one feed, independent durable
+    checkpoints: each replays the complete feed (matches_feed), both
+    see identical content (matches_peer), and their offset logs
+    differ structurally (different batch counts — the witness that
+    the checkpoints never cross-contaminate)."""
+    rows = REGISTRY["stream_multi_subscription_fanout"].fn(spark, SF_UNIT).collect()
+    assert len(rows) == 2
+    by_name = {r["subscription"]: r for r in rows}
+    assert all(r["matches_peer"] for r in rows), rows
+    assert all(r["matches_feed"] for r in rows), rows
+    assert by_name["sub_a"]["n_batches"] != by_name["sub_b"]["n_batches"], rows
+    assert by_name["sub_a"]["n_rows"] == by_name["sub_b"]["n_rows"]
