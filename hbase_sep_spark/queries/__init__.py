@@ -59,133 +59,124 @@ from hbase_sep_spark.streaming import queries as _streaming_queries  # noqa: F40
 
 from hbase_sep_spark import registry as _registry
 
-# Driver-grading prefix for round 11 (standing rotation policy;
-# round 10 graded exactly positions 1-50 — 50/50 green,
-# CORRECTNESS_r10; zero failures, zero cut off).  Round-11 goal per
-# VERDICT-r10 item 1: FINISH the stale-grade drain — after this
-# prefix grades, zero names' latest evidence predates the round-4
-# testdata regeneration.  ast_diff 55ed4aa..HEAD on round-10 final
-# code saw 0 changed-since-green; the round-11 changes so far are
-# guard-path-only (sources/sep_events.py feed-order check now skips
-# mixed-tzinfo stats instead of raising TypeError; io.t()/transport/
-# bootstrap gained the int64-epoch-unit dispatch, dead code on the
-# annotated-micros fixture — behavior identical on every in-contract
-# feed, full registry 279/279 on the int64-ms fixture AND current
-# data) and test/comment-only, but per the transport rule every
-# sep_events consumer re-enters anyway.
-# 1-2   = the TWO sql-hash queries that materially changed in round
-#         11 (changed-since-green leads): ts_daily_gapfill_ffill
-#         (VERDICT-r10 item 4: the span+calendar LEFT JOIN was
-#         measured at +0.686 s — half the query — at sf1; rewritten
-#         join-free with lead()+sequence()+posexplode, 0.91 → 0.37 s
-#         at sf1 = 1.1× DuckDB, under the gate) and
-#         ts_linear_interpolate (the same spine-join shape, same
-#         generator rewrite — 0.85× DuckDB at sf1; anchors computed
-#         on the daily table are provably identical to the densified
-#         window's).  Both oracles gained the two-sided NULL
-#         ts/user_id dead-letter WHERE — hash-identical on the
-#         null-free driver fixture, verified across eight hostile
-#         fixture classes, two shuffle configs, and sf1.
-# 3-12  = the transport streaming consumers whose latest grades
-#         (r8/r9) predate BOTH round-10 sep_events changes (segment
-#         feed-order contract check, decimal feed normalization) and
-#         today's tzinfo guard — ast_diff-invisible (sources/, not a
-#         query module; enumerated by the helper-consumer grep).
-#         scan_events_feed is NOT here: it reads batch parquet via
-#         io.t(), never touches the transport (events.py:57).
-# 13    = scan_rowgroup_stats_audit (rows-only; impl gained the
-#         decimal-stats degrade in round 10 — the one r10-changed
-#         name the r10 bound cut off).
-# 14-27 = the fourteen r2°/r3° names the round-10 unsigned/decimal
-#         sweep insertions displaced past the bound.
-# 28-46 = the r3° remainder (22 minus the 3 streaming names already
-#         at positions 7, 11, 12) — the LAST pre-regeneration
-#         evidence in the registry.
-# 47-50 = four of the six streaming names graded r10 on the round-10
-#         transport, re-entering for today's (guard-path-only)
-#         transport touch — freshest evidence, so they fill the tail
-#         and are the cheapest names to lose if the driver's bound
-#         lands under 50 (the two queue-jumps displaced the other
-#         two, stream_static_join and stream_foreach_batch_sink, to
-#         positions 51-52: they keep their fresh r10 grades and the
-#         tzinfo guard is dead code on in-contract feeds).
+# Driver-grading prefix for round 12 (standing rotation policy;
+# round 11 graded exactly positions 1-50 — 50/50 green,
+# CORRECTNESS_r11: the sixth consecutive 50/50 round, zero failures
+# ever).  Round-11 finished the stale-grade drain (no name's latest
+# evidence predates the round-4 regeneration), so per VERDICT-r10
+# item 3 / VERDICT-r11 item 1 the registry UNFROZE this round: three
+# new ops (dedup_minhash_incremental_upsert,
+# stream_sink_exactly_once_audit, stream_multi_subscription_fanout)
+# joined at 282 total and sit at the head of this prefix (round-4
+# precedent: new names grade the round they land).
+# Changed-since-green enumeration for round 12 (ast_diff ef0020c..
+# HEAD + the helper-consumer grep): AST-changed = the 3 new ops +
+# stream_bootstrap_then_tail (int32-ts widening in its seam mirror);
+# ast-INVISIBLE = the four consumers of operators/dedup.py's
+# minhash refactor (minhash_near_dup_pairs re-expressed over the new
+# banded_signatures/verify_candidate_pairs primitives — behavior
+# identical, all four re-verified vs the local oracle).  io.t() also
+# gained the int/smallint/tinyint ts widening — dead code on the
+# annotated-micros fixture (round-11 precedent for guard-path-only
+# scan changes; int32-s fixture pins it end-to-end).
+# 1-3   = the THREE new ops (never graded).
+# 4-7   = the dedup-helper consumers (ast-invisible changed):
+#         dedup_minhash_near, dedup_clusters, pipeline_neardup_prep,
+#         pipeline_split_leakage_audit.
+# 8     = stream_bootstrap_then_tail (AST-changed this round).
+# 9-10  = the round-11 queue heads displaced past its bound:
+#         stream_static_join, stream_foreach_batch_sink (r10°).
+# 11-15 = the rows-only vector/scan names from the round-11 queue:
+#         simsearch_quantized_rerank (r5°), vec_pca_project (r4°),
+#         vec_kmeans_lloyd (r6°), scan_incremental_manifest,
+#         pipeline_sequence_pack (r4°).
+# 16-36 = the remaining twenty-one r4° names (the oldest evidence in
+#         the registry) in registration order.
+# 37-50 = the first fourteen r5° names by registration order
+#         (pipeline_neardup_prep and simsearch_quantized_rerank are
+#         already above).
 # --- bound ---
-# 51+   = round-12 queue: stream_static_join and
-#         stream_foreach_batch_sink first, then rows-only r7-changed
-#         vector/scan names (local evidence strong; rows-only
-#         re-grades add little), then r4+ greens by age via
-#         registration order.  Registry UNFREEZES in round 12 per
-#         VERDICT-r10 item 3 once this prefix grades (any new op
-#         added then must sit inside that round's prefix, round-4
-#         precedent).
+# 51-60 = round-13 queue: the TEN remaining r5° names
+#         (text_zipf_fit, pipeline_domain_mix_report,
+#         layout_file_sizing_audit, join_shuffle_hash_hint,
+#         agg_heavy_hitters_exact, tpch_q3/q5/q10 composites,
+#         join_lateral_topk, set_union_by_name_evolved), then r6°
+#         greens by registration order — and as always: anything
+#         CORRECTNESS_r12 flags or its bound cuts off leads, then
+#         anything changed-since-green in round 13 (ast_diff + the
+#         helper-consumer grep, never memory).
 # All prefix names re-verified against the local oracle on current
 # data under two shuffle configs + a chunked plain-session driver
-# sim before commit (tests.harness + plain_session_sweep.py).
+# sim before the round ends (tests.harness + plain_session_sweep.py).
 _GRADE_FIRST = [
-    # 1-2: the round-11 changed-since-green sql-hash queries
-    "ts_daily_gapfill_ffill",
-    "ts_linear_interpolate",
-    # 3-12: transport consumers with pre-round-10-transport grades
-    "stream_sep_source",
-    "stream_bootstrap_then_tail",
-    "stream_stateful_latest",
-    "stream_dedup_watermark",
-    "stream_latest_op_wins",
-    "stream_scd2_maintain",
-    "stream_anomaly_score",
-    "stream_windowed_distinct_hll",
-    "stream_stream_interval_join",
-    "stream_incremental_upsert_view",
-    # 11: r10-changed, cut off by the r10 bound
-    "scan_rowgroup_stats_audit",
-    # 12-25: the fourteen displaced r2°/r3° names
-    "date_trunc_arith",
-    "cond_case_coalesce",
-    "arr_construct_contains",
-    "arr_explode",
-    "arr_posexplode",
-    "arr_sort_distinct_slice",
-    "udf_pandas_vectorized",
-    "udtf_python",
-    "events_latest_op_wins",
-    "events_delete_column_mask",
-    "events_tombstone_cell_model",
-    "text_tokenize_wordcount",
-    "text_ngrams",
-    "text_tfidf",
-    # 26-44: the r3° remainder (non-streaming 19 of 22)
-    "text_lang_filter_stats",
-    "dedup_ngram_jaccard",
-    "text_langid_heuristic",
-    "text_quality_score",
+    # 1-3: the round-12 unfreeze ops (never graded)
+    "dedup_minhash_incremental_upsert",
+    "stream_sink_exactly_once_audit",
+    "stream_multi_subscription_fanout",
+    # 4-7: dedup-helper consumers (ast-invisible changed-since-green)
+    "dedup_minhash_near",
     "dedup_clusters",
-    "sample_stratified_docs",
-    "text_chunk_documents",
-    "text_redact_numbers",
-    "reshape_pivot",
-    "reshape_unpivot",
-    "subq_scalar_correlated",
-    "subq_in_uncorrelated",
-    "agg_approx_percentile",
-    "join_range_binned",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "agg_collect_sorted",
-    "simsearch_ivf_coarse",
-    # 47-50: r10-graded streaming, re-entering for the tzinfo guard
-    "stream_tumbling_count",
-    "stream_sliding_avg",
-    "stream_session_window",
-    "stream_watermark_late",
-    # --- 50-entry grading boundary; below = round-12 queue ---
+    "pipeline_neardup_prep",
+    "pipeline_split_leakage_audit",
+    # 8: AST-changed this round
+    "stream_bootstrap_then_tail",
+    # 9-10: the displaced round-11 queue heads
     "stream_static_join",
     "stream_foreach_batch_sink",
+    # 11-15: rows-only vector/scan names from the round-11 queue
     "simsearch_quantized_rerank",
     "vec_pca_project",
     "vec_kmeans_lloyd",
     "scan_incremental_manifest",
     "pipeline_sequence_pack",
+    # 16-36: the remaining r4° names (oldest evidence), registration order
+    "win_range_frame",
+    "scalar_try_safe_arith",
+    "graph_pagerank",
+    "dedup_containment_ngram",
+    "dedup_clusters_exact",
+    "agg_weighted_avg",
+    "win_pct_of_total",
+    "events_cdc_net_changes",
+    "pipeline_vocab_coverage",
+    "events_silence_alert",
+    "events_retention_cohort",
+    "dedup_keep_best",
+    "agg_hll_sketch_union",
+    "agg_mode_exact",
+    "scan_parquet",
+    "scan_events_feed",
+    "events_table_filter",
+    "events_latest_per_key",
+    "events_dedup_redelivery",
+    "join_asof_tolerance",
+    "join_nullsafe_eq",
+    # 37-50: the first fourteen r5° names, registration order
+    "win_rank_dense",
+    "win_ntile",
+    "win_percent_rank_cume",
+    "sort_multi_nulls",
+    "topk_per_group",
+    "set_union_all",
+    "set_union_distinct",
+    "set_except_all",
+    "sql_recursive_cte",
+    "events_offset_islands",
+    "win_trailing_time_frame",
+    "pipeline_epoch_shuffle",
+    "layout_zorder_stats",
+    "join_bloom_prefilter",
+    # --- 50-entry grading boundary; below = round-13 queue ---
+    "text_zipf_fit",
+    "pipeline_domain_mix_report",
+    "layout_file_sizing_audit",
+    "join_shuffle_hash_hint",
+    "agg_heavy_hitters_exact",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "join_lateral_topk",
+    "set_union_by_name_evolved",
 ]
 
 
