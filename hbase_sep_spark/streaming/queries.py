@@ -603,6 +603,13 @@ def stream_sink_exactly_once_audit(spark: SparkSession, sf_dir: str) -> DataFram
 
     _drive(spark, start)
 
+    schema = "epoch long, n_rows long, replay_identical boolean, totals_match boolean"
+    if not audit:
+        # Zero-row feed (round-10 zero-row class): no micro-batch ever
+        # fired, so there are no epoch dirs to read back — empty in,
+        # empty out.
+        return spark.createDataFrame([], schema)
+
     # Totals: the union of all epoch partitions must equal the batch
     # table's per-type counts (the feed delivered exactly once into
     # the sink). Both sides are tiny aggregates; the compare is one
@@ -634,9 +641,7 @@ def stream_sink_exactly_once_audit(spark: SparkSession, sf_dir: str) -> DataFram
         (e, n1, n1 == n2 and h1 == h2, n_mismatch == 0)
         for e, (n1, h1, n2, h2) in sorted(audit.items())
     ]
-    return spark.createDataFrame(
-        rows, "epoch long, n_rows long, replay_identical boolean, totals_match boolean"
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 @register("stream_multi_subscription_fanout", oracle=None, section=SECTION)

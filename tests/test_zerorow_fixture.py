@@ -58,6 +58,12 @@ PINNED_ALL_EMPTY = [
     "join_left_outer",
     "events_latest_per_key",
     "udaf_pandas_group",
+    # round-12 ops: the sink audit's no-epochs guard (an empty feed
+    # fires no micro-batch, so there are no epoch dirs to read back)
+    # and the empty-corpus upsert (empty signature store, empty
+    # delta, empty pair sets on both audit sides).
+    "stream_sink_exactly_once_audit",
+    "dedup_minhash_incremental_upsert",
 ]
 
 # The empty-dim × real-fact shape that reproduced the grouping-sets
