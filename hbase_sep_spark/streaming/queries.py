@@ -517,7 +517,8 @@ def stream_sink_exactly_once_audit(spark: SparkSession, sf_dir: str) -> DataFram
     sink (VERDICT-r11 item 1a): foreachBatch is at-least-once — after
     a failure between sink write and checkpoint commit, Spark RERUNS
     the same micro-batch with the SAME epoch_id, so the sink contract
-    (the SEP EventListener's: process duplicates harmlessly) is that
+    (the SEP EventListener's: process duplicates harmlessly
+    [R: sep-api/.../EventListener.java — UNVERIFIED, SURVEY §0]) is that
     applying a batch twice leaves output identical to applying it
     once. stream_foreach_batch_sink demonstrates the idempotent
     epoch-keyed-overwrite sink; this query PROVES the property: every
@@ -647,7 +648,9 @@ def stream_sink_exactly_once_audit(spark: SparkSession, sf_dir: str) -> DataFram
 @register("stream_multi_subscription_fanout", oracle=None, section=SECTION)
 def stream_multi_subscription_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-subscription fan-out (VERDICT-r11 item 3) — SEP's core
-    multi-consumer story: two subscriptions over ONE feed, each with
+    multi-consumer story [R: sep-impl/.../SepConsumer.java, one ZK
+    offset path per subscription name — UNVERIFIED, SURVEY §0]: two
+    subscriptions over ONE feed, each with
     its own durable checkpoint, running CONCURRENTLY. Each must
     replay the complete feed, and the offset logs must never
     cross-contaminate — proven here by giving the subscriptions
