@@ -1274,3 +1274,41 @@ def test_csv_roundtrip_read_stays_splittable(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert n_parts > 1, "single-file CSV read did not split — reader is not splittable"
+
+
+def test_incremental_upsert_no_nested_loops(spark):
+    """The round-12 incremental upsert's audit plan (carried-forward
+    anti-joins, the delta-bands x all-bands candidate join, the
+    signature verify joins, and the full-outer audit) must be
+    equi-joins end to end — a nested-loop or cartesian anywhere means
+    the delta restriction or a join key got lost, which at 100 TB
+    turns the O(delta) maintenance claim into all-pairs."""
+    plan = plan_of(spark, "dedup_minhash_incremental_upsert")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_touching_join_is_equi_broadcast(spark):
+    """lsh_candidate_pairs_touching: the delta restriction is a
+    broadcast semi-join (the delta id list is small by definition of
+    an increment) and candidate generation is an equi-join on
+    (band, band_hash) — never all-pairs."""
+    from hbase_sep_spark.operators.dedup import (
+        lsh_candidate_pairs_touching,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i % 3} repeated tokens") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(docs)
+    delta = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    df = lsh_candidate_pairs_touching(sig, delta)
+    jvm = spark.sparkContext._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan  # the broadcast delta restriction
