@@ -745,7 +745,11 @@ def stream_multi_subscription_fanout(spark: SparkSession, sf_dir: str) -> DataFr
     for name, _bs in subs:
         mem, ckpt = finished[name]
         n, h = content_sig(spark.table(mem))
-        n_batches = len(os.listdir(os.path.join(ckpt, "offsets")))
+        # One offset-log entry per committed micro-batch; skip the
+        # local-fs checksum siblings (".N.crc") or the count doubles.
+        n_batches = len(
+            [f for f in os.listdir(os.path.join(ckpt, "offsets")) if not f.startswith(".")]
+        )
         sigs[name] = (n, h, n_batches)
 
     (na, ha, ba), (nb, hb, bb) = sigs["sub_a"], sigs["sub_b"]
