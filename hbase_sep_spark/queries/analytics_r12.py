@@ -24,7 +24,25 @@ def _corpus_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "documents")
 
 
-def _delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fresh_id_offset(spark: SparkSession, sf_dir: str) -> int:
+    """Shift distance for minting fresh doc ids, derived from the
+    data (ADVICE-r12): `max - min + 1` guarantees every shifted id
+    exceeds max(doc_id), so fresh ids never collide with existing
+    ones regardless of the fixture's id domain (dense sf10 ids,
+    bigid-class regens, negative ids). One footer-cheap aggregate on
+    a dimension-sized table; falls back to a literal on an empty
+    corpus, where no delta rows exist anyway."""
+    row = (
+        t(spark, sf_dir, "documents")
+        .agg(F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn"))
+        .first()
+    )
+    if row is None or row["mx"] is None:
+        return 100000
+    return int(row["mx"]) - int(row["mn"]) + 1
+
+
+def _delta(spark: SparkSession, sf_dir: str, offset: int) -> DataFrame:
     """The feed slice that arrives AFTER bootstrap: updated versions
     of every 11th doc (same doc_id, revised text — the CDC update
     shape) plus brand-new docs that are exact copies of every 7th doc
@@ -35,17 +53,17 @@ def _delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.concat(F.col("text"), F.lit(" revision two"))
     )
     new = d.filter(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(100000)
+        "doc_id", F.col("doc_id") + F.lit(offset)
     )
     return updated.unionByName(new)
 
 
-def _corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus_v2(spark: SparkSession, sf_dir: str, offset: int) -> DataFrame:
     """Post-delta corpus state: v1 with the updated rows replaced and
     the new rows appended — what a from-scratch run sees."""
     d = t(spark, sf_dir, "documents")
     base_kept = d.filter(F.col("doc_id") % 11 != 0)
-    return base_kept.unionByName(_delta(spark, sf_dir))
+    return base_kept.unionByName(_delta(spark, sf_dir, offset))
 
 
 @register("dedup_minhash_incremental_upsert", oracle=None, memoize=True, section=SECTION)
@@ -87,12 +105,21 @@ def dedup_minhash_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFr
     oracle engine (same as dedup_minhash_near). Output is ordered by
     a range-partitioned sort — no single-task stage at any pair
     count (the round-10 dedup output rule)."""
+    import hashlib
     import os
 
     v1 = _corpus_v1(spark, sf_dir)
-    delta = _delta(spark, sf_dir)
+    offset = _fresh_id_offset(spark, sf_dir)
+    delta = _delta(spark, sf_dir, offset)
 
-    store_dir = scratch_dir(spark, "minhash_store", os.path.basename(sf_dir.rstrip("/")))
+    # Scratch keyed by a digest of the FULL fixture path (ADVICE-r12):
+    # two fixtures sharing a basename in one session must not clobber
+    # each other's persisted stores under the memoize cache's
+    # full-path key.
+    fixture_key = hashlib.sha1(
+        os.path.abspath(sf_dir.rstrip("/")).encode("utf-8")
+    ).hexdigest()[:12]
+    store_dir = scratch_dir(spark, "minhash_store", fixture_key)
     sig_path = os.path.join(store_dir, "signatures")
     pairs_path = os.path.join(store_dir, "pairs")
 
@@ -129,7 +156,7 @@ def dedup_minhash_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     # --- audit: from-scratch run over corpus v2 must agree exactly ---
-    scratch = D.minhash_near_dup_pairs(_corpus_v2(spark, sf_dir))
+    scratch = D.minhash_near_dup_pairs(_corpus_v2(spark, sf_dir, offset))
     inc = incremental.alias("inc")
     scr = scratch.alias("scr")
     joined = inc.join(

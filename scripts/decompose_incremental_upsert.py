@@ -34,14 +34,20 @@ def main() -> None:
 
     from hbase_sep_spark.io import scratch_dir
     from hbase_sep_spark.operators import dedup as D
-    from hbase_sep_spark.queries.analytics_r12 import _corpus_v1, _corpus_v2, _delta
+    from hbase_sep_spark.queries.analytics_r12 import (
+        _corpus_v1,
+        _corpus_v2,
+        _delta,
+        _fresh_id_offset,
+    )
     from hbase_sep_spark.session import get_spark
 
     spark = get_spark("decompose_incr_upsert", shuffle_partitions=8)
 
     v1 = _corpus_v1(spark, sf_dir)
-    delta = _delta(spark, sf_dir)
-    v2 = _corpus_v2(spark, sf_dir)
+    offset = _fresh_id_offset(spark, sf_dir)
+    delta = _delta(spark, sf_dir, offset)
+    v2 = _corpus_v2(spark, sf_dir, offset)
     n_v1, n_delta, n_v2 = v1.count(), delta.count(), v2.count()
 
     # Pre-existing production state: the v1 signature store + pairs.

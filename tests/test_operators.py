@@ -1248,6 +1248,7 @@ def test_incremental_minhash_upsert_consistent(spark):
     touching rederive) must equal the from-scratch run on every row,
     and the injected exact copies must surface as est_jaccard = 1.0
     pairs under their new ids."""
+    from hbase_sep_spark.io import t
     from hbase_sep_spark.registry import load_all
 
     reg = load_all()
@@ -1257,7 +1258,10 @@ def test_incremental_minhash_upsert_consistent(spark):
     assert all(r["consistent"] for r in rows), [
         r for r in rows if not r["consistent"]
     ][:5]
-    exact = [r for r in rows if r["id_b"] >= 100000 and r["est_jaccard"] == 1.0]
+    # fresh ids are minted strictly above the corpus max (ADVICE-r12:
+    # offset derived from the data, not a literal)
+    max_id = t(spark, SF_UNIT, "documents").agg({"doc_id": "max"}).first()[0]
+    exact = [r for r in rows if r["id_b"] > max_id and r["est_jaccard"] == 1.0]
     assert exact, "expected new-doc exact-copy pairs with est_jaccard 1.0"
 
 
