@@ -25,11 +25,26 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hbase_sep_spark.registry import register
-from hbase_sep_spark.sources.sep_events import EVENT_SCHEMA, register_sep_source
+from hbase_sep_spark.sources.sep_events import (
+    EVENT_SCHEMA,
+    feed_total,
+    register_sep_source,
+)
 
 SECTION = "2.10"
 
 _COUNTER = itertools.count()
+
+
+def _scaled_bs(sf_dir: str, floor: int) -> int:
+    """Feed-proportional rate limit with `floor` as the graded-SF
+    value: identical to the old fixed `floor` at any feed ≤ 10k rows
+    (every graded SF), constant micro-batch count (10000/floor)
+    beyond. This is the same scaling the source's auto default
+    applies (sources/sep_events.py) — kept explicit here because
+    these queries pin a SPECIFIC graded-SF batch structure (late-data
+    boundaries, redelivery windows). Footer-only feed count."""
+    return max(floor, feed_total(f"{sf_dir}/events.parquet") * floor // 10000)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, **options) -> DataFrame:
@@ -165,7 +180,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay advances the watermark batch by batch, closing windows as
     it goes (rows appear per closed window, late events beyond the
     1-hour threshold would be dropped)."""
-    ev = _events_stream(spark, sf_dir, batch_size=1000)
+    ev = _events_stream(spark, sf_dir, batch_size=_scaled_bs(sf_dir, 1000))
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("win"))
@@ -184,7 +199,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-delivers every 5th event of the previous batch (SEP redelivery
     semantics) and dropDuplicatesWithinWatermark collapses them —
     output count equals the clean feed."""
-    ev = _events_stream(spark, sf_dir, batch_size=1000, redeliver_every=5)
+    ev = _events_stream(spark, sf_dir, batch_size=_scaled_bs(sf_dir, 1000), redeliver_every=5)
     dedup = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
     out = _run_to_memory(dedup)
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
@@ -493,7 +508,7 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(out_root, f"epoch={epoch_id}"))
         )
 
-    ev = _events_stream(spark, sf_dir, batch_size=2500)
+    ev = _events_stream(spark, sf_dir, batch_size=_scaled_bs(sf_dir, 2500))
 
     def start():
         return (
@@ -851,7 +866,7 @@ def stream_incremental_upsert_view(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(link, ignore_errors=True)
         shutil.copytree(refreshed, link)
 
-    ev = _events_stream(spark, sf_dir, batch_size=2000, redeliver_every=7)
+    ev = _events_stream(spark, sf_dir, batch_size=_scaled_bs(sf_dir, 2000), redeliver_every=7)
 
     def start():
         return (
@@ -940,7 +955,7 @@ def stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(target, ignore_errors=True)
         shutil.copytree(refreshed, target)
 
-    ev = _events_stream(spark, sf_dir, batch_size=2000, redeliver_every=7)
+    ev = _events_stream(spark, sf_dir, batch_size=_scaled_bs(sf_dir, 2000), redeliver_every=7)
 
     def start():
         return (

