@@ -243,6 +243,64 @@ def test_source_batches_bounded_at_bench_sf():
     assert covered == total
 
 
+def test_source_rate_limit_scales_with_feed():
+    """Round-13 pacing contract: the DEFAULT rate limit is
+    feed-proportional — max(2500, feed/4) — so the micro-batch count
+    is scale-invariant instead of O(feed), while every graded SF
+    (feeds <= 10k rows) keeps the historical fixed-2500 pacing
+    bit-identically. _scaled_bs applies the same rule to queries that
+    pin a specific graded-SF batch structure."""
+    from hbase_sep_spark.sources.sep_events import SepEventsStreamReader, feed_total
+    from hbase_sep_spark.streaming.queries import _scaled_bs
+
+    path = f"{SF_UNIT}/events.parquet"
+    total = feed_total(path)
+    assert total == 1000
+
+    # auto default at a graded-SF-sized feed = the historical 2500
+    r = SepEventsStreamReader({"path": path})
+    assert r.batch_size == 2500
+    assert r.rows_per_partition == 1250
+    # explicit values are honored verbatim
+    r = SepEventsStreamReader({"path": path, "batch_size": "400"})
+    assert r.batch_size == 400
+    # _scaled_bs floors bind at graded SFs (unit feed: 1000 rows)
+    assert _scaled_bs(SF_UNIT, 1000) == 1000
+    assert _scaled_bs(SF_UNIT, 2000) == 2000
+    assert _scaled_bs(SF_UNIT, 2500) == 2500
+
+
+def test_source_read_yields_arrow_batches():
+    """Round-13 transport contract: read() hands Spark arrow
+    RecordBatches whose schema exactly matches EVENT_SCHEMA (int64
+    ids, timestamp[us, UTC], float64 value, strings) — the worker
+    forwards them wholesale instead of converting rows one by one.
+    The batch content must equal the _read_rows tuple view."""
+    import pyarrow as pa
+
+    from hbase_sep_spark.sources.sep_events import (
+        SepEventsStreamReader,
+        SepRange,
+        _read_rows,
+    )
+
+    path = f"{SF_UNIT}/events.parquet"
+    r = SepEventsStreamReader({"path": path})
+    batches = list(r.read(SepRange(lo=100, hi=250)))
+    assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+    tbl = pa.Table.from_batches(batches)
+    assert [f.name for f in tbl.schema] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    assert tbl.schema.field("ts").type == pa.timestamp("us", "UTC")
+    assert tbl.schema.field("event_id").type == pa.int64()
+    assert tbl.schema.field("value").type == pa.float64()
+    rows = [tuple(rec[n] for n in tbl.schema.names) for rec in tbl.to_pylist()]
+    assert rows == list(_read_rows(path, 100, 250))
+    # empty range yields no batches
+    assert list(r.read(SepRange(lo=250, hi=250))) == []
+
+
 def test_bootstrap_then_tail_no_gap_no_overlap(spark):
     """Late-subscriber bootstrap: batch snapshot [0, K) + stream tail
     [K, end) must tile the feed exactly — the seam loses nothing and
