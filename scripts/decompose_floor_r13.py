@@ -17,11 +17,15 @@ bench members (VERDICT-r12 items 3-4): `simsearch_cosine_topk`,
 Solo, warmed, median of 5 — the gapfill/win_running_sum methodology
 (BASELINE.md). Run on an IDLE machine:
 
-    python scripts/decompose_floor_r13.py [SF_DIR]
+    python scripts/decompose_floor_r13.py [SF_DIR] [OUT_JSON]
+
+When OUT_JSON is given, the medians are also written as one JSON
+object (the committed-capture form BASELINE.md cites).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import statistics
 import sys
@@ -51,6 +55,7 @@ def noop(df) -> None:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else None
     spark = get_spark()
 
     from hbase_sep_spark.registry import load_all
@@ -80,6 +85,7 @@ def main() -> None:
         ),
     }
 
+    results = {"sf_dir": sf_dir, "floor_range1_toarrow_sec": round(floor, 4)}
     for name, (scan, full) in cases.items():
         n = full().count()
         print(f"{name} ({n} output rows):")
@@ -91,6 +97,18 @@ def main() -> None:
             f"operators +{c - s:.4f}s | arrow materialization +{tot - c:.4f}s "
             f"= {tot:.4f}s total"
         )
+        results[name] = {
+            "output_rows": n,
+            "scan_noop_sec": round(s, 4),
+            "full_noop_sec": round(c, 4),
+            "full_toarrow_sec": round(tot, 4),
+        }
+
+    if out_json:
+        with open(out_json, "w") as fh:
+            json.dump(results, fh, indent=1)
+            fh.write("\n")
+        print(f"wrote {out_json}")
 
     spark.stop()
 
