@@ -106,11 +106,30 @@ def main() -> None:
 
     from hbase_sep_spark.session import get_spark
 
-    # 8 shuffle partitions: sized so sf0.1 shuffle blocks stay ~MB and
-    # task-scheduling overhead stays off the measurement; AQE coalesces
-    # further at runtime. At cluster scale this knob comes from the
-    # cluster conf, not from here.
-    spark = get_spark("bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8")))
+    # Shuffle partitions: $SPARK_GRAFT_SHUFFLE wins if set; otherwise
+    # DERIVED from input size (round 13, guide §2.2) — one partition
+    # per 32 MB of parquet input, floored at 8 and capped at the core
+    # count. At sf0.1 (~30 MB) this evaluates to the same 8 every
+    # prior capture used (shuffle blocks stay ~MB, task-scheduling
+    # overhead stays off the measurement — the driver's bench is
+    # bit-comparable), while 100× inputs get the cores they can use:
+    # the fixed 8 was a local-mode constant that halved sf10 throughput
+    # board-wide (A/B in BENCH_local_r13_shj_ab.json / OPTIMIZATION_
+    # r13.md). AQE still coalesces below the derived count at runtime.
+    # At cluster scale this knob comes from the cluster conf.
+    env_shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    if env_shuffle is not None:
+        shuffle = int(env_shuffle)
+    else:
+        input_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(sf_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        shuffle = max(8, min(cpus, input_bytes // (32 << 20)))
+    spark = get_spark("bench", shuffle_partitions=shuffle)
 
     # Warm the whole suite twice before any timing: first pass pays
     # Catalyst analysis + Janino codegen + Arrow Python worker spawn,

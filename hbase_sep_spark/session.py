@@ -26,6 +26,22 @@ def get_spark(app_name: str = "hbase-sep-spark", shuffle_partitions: int | None 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE SMJ→SHJ rewrite threshold — measured round 13 and left
+        # OFF (the Spark default, 0). Solo A/B at sf10 it cut the
+        # fact⋈fact join 40%+ (BENCH_local_r13_shj_ab.json,
+        # fingerprint-identical), but in the full bench session the
+        # no-spill hash-relation build hit execution-memory exhaustion
+        # ("Can't acquire 4194304 bytes to build hash relation") once
+        # cache-holding queries (pagerank edges) shared the pool —
+        # the §3.1 documented SHJ hazard, reproduced twice. A
+        # deployment with per-task memory to spare can opt in via
+        # $SPARK_GRAFT_SHJ_THRESHOLD; a sort-merge join spills and
+        # never fails this way, which is worth more at 100 TB than
+        # 40% on one join. (OPTIMIZATION_r13.md C6.)
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "0"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Bigger Arrow batches amortize the Python-worker transfer:
         # the round-10 sweep on Spark 4.1.2 measured the pandas-UDF
