@@ -107,6 +107,40 @@ def fixture_key(sf_dir: str) -> str:
     ).hexdigest()[:12]
 
 
+_TABLE_ROWS_CACHE: LruCache[int] = LruCache(maxsize=64)
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Footer-only row count of one fixture table — no data pages
+    read; directory tables enumerate part files in sorted-filename
+    order (the layout rule). Cached with the file-listing signature
+    so a same-path regeneration (the driver precedent) re-counts.
+    Use this to make fan-out knobs scale with the data instead of
+    pinning a local-mode constant (round 13 — the batch analog of the
+    streaming `_scaled_bs` discipline)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    sig = tuple(
+        (fp, st.st_size, st.st_mtime_ns) for fp in files for st in (os.stat(fp),)
+    )
+    cached = _TABLE_ROWS_CACHE.get(sig)
+    if cached is not None:
+        return cached
+    n = sum(pq.ParquetFile(fp).metadata.num_rows for fp in files)
+    _TABLE_ROWS_CACHE.put(sig, n)
+    return n
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver table. At cluster scale these would be
     partitioned/bucketed catalog tables; the reader API is identical.

@@ -1312,3 +1312,38 @@ def test_lsh_touching_join_is_equi_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan  # the broadcast delta restriction
+
+
+def test_udf_fanout_scales_with_table_and_floors_at_graded_sf(spark, tmp_path):
+    """Round-13: udf_pandas_vectorized's Arrow fan-out repartition is
+    derived from the orders footer row count (floor 8 = the measured
+    sf0.1 optimum) instead of a pinned local constant. Two pins:
+    (1) at the graded SF the plan is BIT-IDENTICAL to the historical
+    repartition(8) — RoundRobinPartitioning(8); (2) the count grows
+    with the table (footer-only — io.table_rows must agree with a
+    real scan, including on a directory table), so a 100x feed is not
+    pinned to 8 Python workers."""
+    import pyarrow.parquet as pq
+
+    from hbase_sep_spark.io import table_rows
+
+    # (1) graded-SF plan floor
+    plan = plan_of(spark, "udf_pandas_vectorized")
+    assert "RoundRobinPartitioning(8)" in plan
+
+    # (2) footer count == scan count, single file and directory forms
+    assert table_rows(SF_UNIT, "orders") == spark.read.parquet(
+        f"{SF_UNIT}/orders.parquet"
+    ).count()
+    src = pq.read_table(f"{SF_UNIT}/orders.parquet")
+    d = tmp_path / "orders.parquet"
+    d.mkdir()
+    half = len(src) // 2
+    pq.write_table(src.slice(0, half), str(d / "part-000.parquet"))
+    pq.write_table(src.slice(half), str(d / "part-001.parquet"))
+    assert table_rows(str(tmp_path), "orders") == len(src)
+
+    # (3) the derivation formula: floor at small tables, cores cap
+    cores = spark.sparkContext.defaultParallelism
+    assert max(8, min(cores, table_rows(SF_UNIT, "orders") // 150_000)) == 8
+    assert max(8, min(cores, 15_000_000 // 150_000)) == min(cores, 100)
