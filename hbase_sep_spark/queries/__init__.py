@@ -80,11 +80,15 @@ from hbase_sep_spark import registry as _registry
 # 1     = dedup_minhash_incremental_upsert (ADVICE-r12, changed).
 # 2-19  = ALL 18 stream_* names (source rewrite), registration order.
 # 20    = scan_incremental_manifest (digest-key change).
-# 21-30 = the ten r5°-evidence names (the oldest in the registry —
+# 21    = udf_pandas_vectorized (optimization session: fan-out count
+#         derived from io.table_rows — graded-SF plan bit-identical,
+#         plan-pinned; OPTIMIZATION_r13.md C7).
+# 22-31 = the ten r5°-evidence names (the oldest in the registry —
 #         VERDICT-r12 item 1's queue).
-# 31-50 = the first twenty r6°-evidence names by registration order.
+# 32-50 = the first nineteen r6°-evidence names by registration order.
 # --- bound ---
-# 51-60 = round-14 queue: the TEN remaining r6° names
+# 51+   = round-14 queue: tpch_q11_important_parts (displaced by the
+#         position-21 insertion), then the TEN remaining r6° names
 #         (text_source_similarity_matrix, agg_chi_square_independence,
 #         events_rolling_wau, text_bpe_pair_stats, scan_table_profile,
 #         tpch_q2/q6/q9/q16/q20), then r7° greens by registration
@@ -121,7 +125,12 @@ _GRADE_FIRST = [
     "stream_windowed_distinct_hll",
     # 20: digest-keyed landing dir (ADVICE-r12 class, changed)
     "scan_incremental_manifest",
-    # 21-30: the ten r5°-evidence names (oldest evidence; VERDICT-r12
+    # 21: changed in the round-13 optimization session — the Arrow
+    # fan-out repartition count is now derived from the orders footer
+    # row count (floor 8 ⇒ the graded-SF plan is bit-identical,
+    # pinned by tests/test_plans.py; OPTIMIZATION_r13.md C7)
+    "udf_pandas_vectorized",
+    # 22-31: the ten r5°-evidence names (oldest evidence; VERDICT-r12
     # item 1), registration order
     "text_zipf_fit",
     "pipeline_domain_mix_report",
@@ -133,7 +142,9 @@ _GRADE_FIRST = [
     "tpch_q10_returned_items",
     "join_lateral_topk",
     "set_union_by_name_evolved",
-    # 31-50: the first twenty r6°-evidence names, registration order
+    # 32-50: the first nineteen r6°-evidence names, registration
+    # order (tpch_q11 displaced past the boundary by the
+    # udf_pandas_vectorized insertion — it leads the round-14 queue)
     "graph_label_propagation",
     "agg_weighted_median",
     "agg_gini_activity",
@@ -153,8 +164,8 @@ _GRADE_FIRST = [
     "pipeline_token_budget_alloc",
     "graph_bfs_levels",
     "agg_cohens_kappa",
-    "tpch_q11_important_parts",
     # --- 50-entry grading boundary; below = round-14 queue ---
+    "tpch_q11_important_parts",
     "text_source_similarity_matrix",
     "agg_chi_square_independence",
     "events_rolling_wau",
