@@ -59,6 +59,42 @@ HEADLINE = [
 ]
 
 
+def _table_bytes(sf_dir: str) -> int:
+    """Parquet bytes of the REGISTRY'S tables only (VERDICT-r13 item
+    7): the old recursive sf_dir walk summed every .parquet under the
+    fixture root, so a regeneration that ships extra parquet (scratch,
+    landing dirs, decoys) would silently inflate the derived shuffle
+    count. Each table is either a single `<name>.parquet` file or a
+    directory of part files (the round-9 physical-layout class)."""
+    from hbase_sep_spark.io import TABLES
+
+    total = 0
+    for name in TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+        elif os.path.isdir(p):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(p)
+                for f in files
+                if f.endswith(".parquet")
+            )
+    return total
+
+
+def _cpus_for_derivation() -> int:
+    """$SPARK_GRAFT_CPUS as an int, tolerating the non-integer values
+    session.py accepts for the master URL (e.g. "*" = all cores) —
+    ADVICE-r13: `local[*]` worked for get_spark but crashed this
+    derivation with ValueError before the session was even built."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        return int(raw)
+    except ValueError:
+        return os.cpu_count() or 32
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -121,14 +157,7 @@ def main() -> None:
     if env_shuffle is not None:
         shuffle = int(env_shuffle)
     else:
-        input_bytes = sum(
-            os.path.getsize(os.path.join(root, f))
-            for root, _, files in os.walk(sf_dir)
-            for f in files
-            if f.endswith(".parquet")
-        )
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        shuffle = max(8, min(cpus, input_bytes // (32 << 20)))
+        shuffle = max(8, min(_cpus_for_derivation(), _table_bytes(sf_dir) // (32 << 20)))
     spark = get_spark("bench", shuffle_partitions=shuffle)
 
     # Warm the whole suite twice before any timing: first pass pays

@@ -178,18 +178,28 @@ def minhash_near_dup_pairs(
     est_jaccard = fraction of agreeing minhash components (unbiased
     Jaccard estimator); candidates come only from LSH buckets.
 
-    The signature table is persisted: it is consumed three times
-    (banding + both sides of the verify join) and is tiny relative to
-    the corpus (n_hashes longs per doc) — materializing it once is
-    the standard MinHash-at-scale shape.
-    """
+    The signature table is persisted for the build: it is consumed
+    three times (banding + both sides of the verify join) and is tiny
+    relative to the corpus (n_hashes longs per doc) — materializing
+    it once is the standard MinHash-at-scale shape. The verified pair
+    set is then eagerly localCheckpoint-ed and the signature persist
+    RELEASED before returning (VERDICT-r13 item 1 audit): the old
+    unreleased persist pinned one signature table per consuming query
+    in the protected storage fraction for the rest of the session —
+    the same session-lifetime memory tax as graph_pagerank's edge
+    persist, growing with corpus size. Same discipline as this
+    module's connected-components loop (line ~327)."""
     from pyspark import StorageLevel
 
     sig = minhash_signatures(df, id_col, text_col, n_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     pairs = lsh_candidate_pairs(sig, id_col)
-    return verify_candidate_pairs(sig, pairs, id_col, n_hashes, threshold)
+    out = verify_candidate_pairs(sig, pairs, id_col, n_hashes, threshold).localCheckpoint(
+        eager=True
+    )
+    sig.unpersist()
+    return out
 
 
 def simhash_signatures(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:

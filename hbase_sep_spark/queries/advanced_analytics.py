@@ -93,14 +93,36 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one every graph measure (centrality, label propagation,
     connected components) reduces to on Spark.
 
-    Scale shape: the weighted edge table (src, dst, deg) is built
-    once and PERSISTED — without it every iteration's lazy plan
-    re-derives the distinct+degree subtree from the scan (22 parquet
-    scans for 3 iterations, measured); with it each iteration is one
-    cached-edge ⋈ ranks join plus a map-side-combinable sum on dst.
-    The rank table is node-cardinality (≪ edges) and broadcasts here;
-    at a scale where ranks outgrow broadcast the join degrades to a
-    co-partitioned shuffle join on src, and you would persist +
+    Scale shape: see _pagerank_iterate. The iteration result is
+    materialized with an eager localCheckpoint and the persisted edge
+    table is RELEASED before returning (VERDICT-r13 item 1): the old
+    session-lifetime persist pinned the edge table in the protected
+    storage fraction for every query that ran after pagerank — at
+    sf10 it was the direct cause of the SHJ hash-build OOM that
+    forced round 13 to reject the measured-40%-win SMJ→SHJ threshold.
+    The checkpoint holds only the node-cardinality rank table (≪
+    edges), truncates the 15-Exchange iteration lineage, and is the
+    same persist-discipline operators/dedup.py's CC loop and
+    graph_bfs_levels already follow."""
+    final, ew = _pagerank_iterate(spark, sf_dir)
+    out = final.localCheckpoint(eager=True)
+    ew.unpersist()
+    return out
+
+
+def _pagerank_iterate(spark: SparkSession, sf_dir: str):
+    """Build the 3-iteration rank plan; returns (final_ranks_df,
+    persisted_edges) — the caller materializes the former and MUST
+    unpersist the latter.
+
+    The weighted edge table (src, dst, deg) is built once and
+    persisted for the iterations — without it every iteration's lazy
+    plan re-derives the distinct+degree subtree from the scan (22
+    parquet scans for 3 iterations, measured); with it each iteration
+    is one cached-edge ⋈ ranks join plus a map-side-combinable sum on
+    dst. The rank table is node-cardinality (≪ edges) and broadcasts
+    here; at a scale where ranks outgrow broadcast the join degrades
+    to a co-partitioned shuffle join on src, and you would persist +
     localCheckpoint ranks per iteration exactly as
     operators/dedup.py's CC loop does. The graph-size scalar n rides
     as a broadcast 1-row crossJoin, never a driver collect."""
@@ -136,11 +158,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("node"),
             ((1 - _DAMP) / F.col("n") + _DAMP * F.col("c")).alias("pr"),
         )
-    return ranks.select(
+    final = ranks.select(
         F.col("node").alias("node_id"),
         F.when(F.col("node") % 2 == 0, 1).otherwise(0).cast("int").alias("is_part"),
         F.round("pr", 8).alias("pagerank"),
     )
+    return final, ew
 
 
 @register(

@@ -292,10 +292,44 @@ def test_pagerank_caches_edges_no_cartesian(spark):
     """The iteration chain must consume the PERSISTED weighted edge
     table (InMemoryTableScan), not re-derive the distinct+degree
     subtree per iteration (22 parquet scans, measured pre-fix); the
-    only nested-loop joins are the broadcast 1-row graph-size scalar."""
-    plan = plan_of(spark, "graph_pagerank")
-    assert "InMemoryTableScan" in plan
-    assert "CartesianProduct" not in plan
+    only nested-loop joins are the broadcast 1-row graph-size scalar.
+    Asserted on the PRE-checkpoint plan via _pagerank_iterate — the
+    registered query eagerly checkpoints the result and releases the
+    edges (VERDICT-r13 item 1), so its own plan is a checkpoint scan."""
+    from hbase_sep_spark.queries.advanced_analytics import _pagerank_iterate
+
+    final, ew = _pagerank_iterate(spark, SF_UNIT)
+    try:
+        jvm = spark.sparkContext._jvm
+        plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            final._jdf.queryExecution(), "formatted"
+        )
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        ew.unpersist()
+
+
+def test_pagerank_releases_edges_and_checkpoints(spark):
+    """VERDICT-r13 item 1: graph_pagerank must NOT leave its edge
+    table pinned in executor storage for the rest of the session (at
+    sf10 that persist was the direct cause of the SHJ hash-build OOM).
+    The registered query returns an eagerly-checkpointed rank table
+    (lineage truncated to a checkpoint scan) and the edge persist is
+    released before returning — no InMemoryTableScan survives in the
+    returned plan, and the session's CacheManager holds nothing new."""
+    from hbase_sep_spark.registry import REGISTRY
+
+    before_empty = spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    q = REGISTRY["graph_pagerank"]
+    df = (q.raw or q.fn)(spark, SF_UNIT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:400]
+    assert "InMemoryTableScan" not in plan
+    if before_empty:
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+            "graph_pagerank left a persisted table behind"
+        )
 
 
 def test_gapfill_two_shuffles_no_join(spark):
@@ -1344,6 +1378,10 @@ def test_udf_fanout_scales_with_table_and_floors_at_graded_sf(spark, tmp_path):
     assert table_rows(str(tmp_path), "orders") == len(src)
 
     # (3) the derivation formula: floor at small tables, cores cap
+    # (ADVICE-r13: assert INCLUDING the floor so a host with
+    # SPARK_GRAFT_CPUS < 8 doesn't fail spuriously, plus a literal
+    # check of the cap at the reference core count)
     cores = spark.sparkContext.defaultParallelism
     assert max(8, min(cores, table_rows(SF_UNIT, "orders") // 150_000)) == 8
-    assert max(8, min(cores, 15_000_000 // 150_000)) == min(cores, 100)
+    assert max(8, min(cores, 15_000_000 // 150_000)) == max(8, min(cores, 100))
+    assert max(8, min(32, 15_000_000 // 150_000)) == 32
