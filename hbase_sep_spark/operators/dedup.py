@@ -178,28 +178,28 @@ def minhash_near_dup_pairs(
     est_jaccard = fraction of agreeing minhash components (unbiased
     Jaccard estimator); candidates come only from LSH buckets.
 
-    The signature table is persisted for the build: it is consumed
-    three times (banding + both sides of the verify join) and is tiny
-    relative to the corpus (n_hashes longs per doc) — materializing
-    it once is the standard MinHash-at-scale shape. The verified pair
-    set is then eagerly localCheckpoint-ed and the signature persist
-    RELEASED before returning (VERDICT-r13 item 1 audit): the old
-    unreleased persist pinned one signature table per consuming query
-    in the protected storage fraction for the rest of the session —
-    the same session-lifetime memory tax as graph_pagerank's edge
-    persist, growing with corpus size. Same discipline as this
-    module's connected-components loop (line ~327)."""
+    The signature table is persisted: it is consumed three times
+    (banding + both sides of the verify join) and is tiny relative to
+    the corpus (n_hashes longs per doc, ~0.3% of corpus bytes) —
+    materializing it once is the standard MinHash-at-scale shape.
+
+    VERDICT-r13 item 1 audit (round 14): the persist is deliberately
+    NOT released via the checkpoint-the-result discipline the CC loop
+    uses, because here the RESULT is the wrong thing to cache — the
+    clone-heavy pair set is 28.9M rows at the 100x fixture (measured)
+    where the signature table is ~130 MB; an eager localCheckpoint of
+    the pairs cached ~3 GB of deserialized rows, GC-thrashed the
+    build 100x (2.0 s -> 379 s solo, measured) and heap-OOMed the
+    full sf10 bench session. Holding the bounded signature persist is
+    the cheaper side of that trade at every scale (guide §1.1:
+    measure the "cleaner" variant before shipping it)."""
     from pyspark import StorageLevel
 
     sig = minhash_signatures(df, id_col, text_col, n_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     pairs = lsh_candidate_pairs(sig, id_col)
-    out = verify_candidate_pairs(sig, pairs, id_col, n_hashes, threshold).localCheckpoint(
-        eager=True
-    )
-    sig.unpersist()
-    return out
+    return verify_candidate_pairs(sig, pairs, id_col, n_hashes, threshold)
 
 
 def simhash_signatures(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
