@@ -59,112 +59,53 @@ from hbase_sep_spark.streaming import queries as _streaming_queries  # noqa: F40
 
 from hbase_sep_spark import registry as _registry
 
-# Driver-grading prefix for round 13 (standing rotation policy;
-# round 12 graded exactly positions 1-50 — 50/50 green,
-# CORRECTNESS_r12: the seventh consecutive 50/50 round, zero
-# failures ever; nothing flagged, nothing cut off by the bound).
-# Changed-since-green enumeration for round 13 (ast_diff 9cc4f31..
-# HEAD + the helper-consumer grep): AST-changed =
-# dedup_minhash_incremental_upsert (ADVICE-r12 fixes: data-derived
-# fresh-id offset + digest-keyed scratch store), the five
-# streaming queries whose pinned batch_size became the
-# feed-proportional _scaled_bs, and scan_incremental_manifest
-# (digest-keyed landing dir, same ADVICE class); ast-INVISIBLE =
-# every other stream_* query — sources/sep_events.py was rewritten
-# this round (arrow-RecordBatch read() over the shared normalized
-# _read_table, feed-proportional auto rate limit), which dirties
-# all 18 source consumers without touching their query-module AST.
-# Graded-SF outputs re-verified bit-identical (harness row counts
-# match CORRECTNESS_r12 exactly; sf0.01 rate limits unchanged by
-# construction — floors bind at every feed ≤ 10k rows).
-# 1     = dedup_minhash_incremental_upsert (ADVICE-r12, changed).
-# 2-19  = ALL 18 stream_* names (source rewrite), registration order.
-# 20    = scan_incremental_manifest (digest-key change).
-# 21    = udf_pandas_vectorized (optimization session: fan-out count
-#         derived from io.table_rows — graded-SF plan bit-identical,
-#         plan-pinned; OPTIMIZATION_r13.md C7).
-# 22-31 = the ten r5°-evidence names (the oldest in the registry —
-#         VERDICT-r12 item 1's queue).
-# 32-50 = the first nineteen r6°-evidence names by registration order.
+# Driver-grading prefix for round 15 (standing rotation policy;
+# round 13 graded exactly positions 1-50 — 29/29 oracle-bearing
+# green + 21 no_oracle rows-only, CORRECTNESS_r13: the eighth
+# consecutive clean prefix, zero failures ever; nothing flagged,
+# nothing cut off by the bound). Round 14 was an OPTIMIZATION round:
+# changed-since-green enumeration for round 15 (ast_diff 16819bd..
+# HEAD + the helper-consumer grep) = exactly FIVE names —
+# graph_pagerank (edge persist scoped: eager localCheckpoint +
+# unpersist; oracle re-verified green both shuffle configs),
+# vec_pca_project (BLAS mapInPandas projection + derived fan-out),
+# udf_pandas_vector_score / multimodal_decode_stub /
+# multimodal_frame_sample (Arrow payload trims + derived fan-out;
+# oracles unchanged, re-verified green both configs). Helper checks:
+# operators/dedup.py's round-14 diff is DOCSTRING-ONLY (a checkpoint
+# variant was measured catastrophically worse at sf10 and reverted —
+# OPTIMIZATION_r14.md C3), so its consumers are NOT dirtied;
+# session.py/bench.py diffs are comment/harness-level.
+# 1-5   = the five round-14-changed names.
+# 6-16  = tpch_q11_important_parts (displaced queue head) + the ten
+#         remaining r6°-evidence names (VERDICT-r12 item 1's queue,
+#         now fully drained).
+# 17-46 = ALL thirty remaining r7°-evidence names (staleness order =
+#         registration order among them; computed from
+#         CORRECTNESS_r01..r13 last-graded rounds, not memory).
+# 47-50 = the first four r8°-evidence names.
 # --- bound ---
-# 51+   = round-14 queue: tpch_q11_important_parts (displaced by the
-#         position-21 insertion), then the TEN remaining r6° names
-#         (text_source_similarity_matrix, agg_chi_square_independence,
-#         events_rolling_wau, text_bpe_pair_stats, scan_table_profile,
-#         tpch_q2/q6/q9/q16/q20), then r7° greens by registration
-#         order — and as always: anything CORRECTNESS_r13 flags or
-#         its bound cuts off leads, then anything changed-since-green
-#         in round 14 (ast_diff + the helper-consumer grep, never
-#         memory).
+# 51+   = round-16 queue: the remaining r8° names by registration
+#         order (simsearch_lsh_bucketed, text_token_count,
+#         text_fingerprint, ts_rolling_zscore, join_asof_nearest,
+#         join_pit_scd2, agg_skew_kurtosis_portable,
+#         win_running_distinct, agg_bitmap_distinct_users,
+#         agg_geometric_mean, ts_stl_decompose_lite,
+#         ts_autocorrelation, ...), then r9° — and as always:
+#         anything CORRECTNESS_r14 flags or its bound cuts off
+#         leads, then anything changed-since-green in round 15
+#         (ast_diff + the helper-consumer grep, never memory).
 # All prefix names re-verified against the local oracle on current
 # data under two shuffle configs + a chunked plain-session driver
 # sim before the round ends (tests.harness + plain_session_sweep.py).
 _GRADE_FIRST = [
-    # 1: ADVICE-r12 fixes (changed-since-green)
-    "dedup_minhash_incremental_upsert",
-    # 2-19: all 18 sep_events-source consumers (source rewritten
-    # round 13: arrow-batch read + feed-proportional rate limit),
-    # registration order
-    "stream_sink_exactly_once_audit",
-    "stream_multi_subscription_fanout",
-    "stream_bootstrap_then_tail",
-    "stream_static_join",
-    "stream_foreach_batch_sink",
-    "stream_sep_source",
-    "stream_tumbling_count",
-    "stream_sliding_avg",
-    "stream_session_window",
-    "stream_watermark_late",
-    "stream_dedup_watermark",
-    "stream_stateful_latest",
-    "stream_latest_op_wins",
-    "stream_stream_interval_join",
-    "stream_incremental_upsert_view",
-    "stream_scd2_maintain",
-    "stream_anomaly_score",
-    "stream_windowed_distinct_hll",
-    # 20: digest-keyed landing dir (ADVICE-r12 class, changed)
-    "scan_incremental_manifest",
-    # 21: changed in the round-13 optimization session — the Arrow
-    # fan-out repartition count is now derived from the orders footer
-    # row count (floor 8 ⇒ the graded-SF plan is bit-identical,
-    # pinned by tests/test_plans.py; OPTIMIZATION_r13.md C7)
-    "udf_pandas_vectorized",
-    # 22-31: the ten r5°-evidence names (oldest evidence; VERDICT-r12
-    # item 1), registration order
-    "text_zipf_fit",
-    "pipeline_domain_mix_report",
-    "layout_file_sizing_audit",
-    "join_shuffle_hash_hint",
-    "agg_heavy_hitters_exact",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "join_lateral_topk",
-    "set_union_by_name_evolved",
-    # 32-50: the first nineteen r6°-evidence names, registration
-    # order (tpch_q11 displaced past the boundary by the
-    # udf_pandas_vectorized insertion — it leads the round-14 queue)
-    "graph_label_propagation",
-    "agg_weighted_median",
-    "agg_gini_activity",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q12_priority_class",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_inactive_customers",
-    "agg_jensen_shannon_drift",
-    "pipeline_token_budget_alloc",
-    "graph_bfs_levels",
-    "agg_cohens_kappa",
-    # --- 50-entry grading boundary; below = round-14 queue ---
+    # 1-5: round-14 optimization changes (changed-since-green)
+    "graph_pagerank",
+    "vec_pca_project",
+    "udf_pandas_vector_score",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    # 6-16: queue head + the ten remaining r6°-evidence names
     "tpch_q11_important_parts",
     "text_source_similarity_matrix",
     "agg_chi_square_independence",
@@ -176,6 +117,42 @@ _GRADE_FIRST = [
     "tpch_q9_product_profit",
     "tpch_q16_parts_supplier_counts",
     "tpch_q20_excess_stock_suppliers",
+    # 17-46: all thirty remaining r7°-evidence names
+    "arr_lambda_transform",
+    "arr_lambda_filter_agg",
+    "dedup_exact_docs",
+    "simsearch_cosine_topk",
+    "simsearch_knn_join",
+    "vec_normalize_norm",
+    "multimodal_struct_cols",
+    "vec_quantize_int8",
+    "dedup_embedding_cosine",
+    "pipeline_training_prep",
+    "text_contamination_check",
+    "vec_matryoshka_truncate",
+    "events_hourly_seasonality",
+    "events_interarrival_stats",
+    "pipeline_quality_gate_report",
+    "events_watermark_lag_audit",
+    "text_unigram_logprob",
+    "pipeline_dataset_card_report",
+    "events_uptime_pct",
+    "events_type_cooccurrence_lift",
+    "agg_ols_two_factor",
+    "agg_benford_price_audit",
+    "events_consumer_rebalance_plan",
+    "join_dpp_partition_prune",
+    "text_entropy_score",
+    "text_repetition_ratio",
+    "vec_centroid_distance",
+    "agg_global",
+    "agg_groupby_basic",
+    "sink_partitioned_prune",
+    # 47-50: the first four r8°-evidence names
+    "win_row_number",
+    "win_lag_lead",
+    "win_running_sum",
+    "map_keys_values",
 ]
 
 
