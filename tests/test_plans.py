@@ -1388,18 +1388,21 @@ def test_udf_fanout_scales_with_table_and_floors_at_graded_sf(spark, tmp_path):
 
 
 def test_pca_fanout_floors_at_graded_sf(spark):
-    """Round-14: vec_pca_project's Python-worker fan-out repartition
-    is derived from the embeddings footer row count (one partition
-    per 25k vectors, skipped entirely below 2) — at the graded SFs
-    the corpus is tiny, so the plan must stay the historical
-    single-split form with NO round-robin exchange; at a 200k-vector
-    corpus the derivation spreads the matmul across 8 workers
-    (measured 0.757 s serial -> 0.269 s at sf10)."""
+    """Round-14: vec_pca_project's projection is SIZE-BRANCHED on the
+    embeddings footer row count (one Python worker per 25k vectors;
+    below 2 workers the Python round-trip costs more than the whole
+    projection) — at the graded SFs the corpus is tiny, so the
+    returned plan must stay the historical JVM expression form with
+    NO Python node and NO round-robin exchange; at a 200k-vector
+    corpus the derivation spreads the BLAS matmul across 8 workers
+    (measured 0.757 s serial -> 0.269 s at sf10; the sf10 plan
+    capture plans/r14/vec_pca_project_after_sf10.txt shows the
+    MapInPandas + RoundRobinPartitioning form)."""
     from hbase_sep_spark.queries.llm_ops import _emb_fanout
 
     assert _emb_fanout(spark, SF_UNIT) < 2
     plan = plan_of(spark, "vec_pca_project")
     assert "RoundRobinPartitioning" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInPandas" not in plan
     cores = spark.sparkContext.defaultParallelism
     assert min(cores, 200_000 // 25_000) == min(cores, 8)
